@@ -1,0 +1,280 @@
+"""Index build: docs -> docids -> postings/doclens/terms -> committed segment.
+
+Replaces the reference's entire write path (pool, external sort, codec,
+lock, multiproc — ``writing.py:518-941``, ``externalsort.py``,
+``multiproc.py``) with four declarative Spark stages:
+
+1. **docid assignment** — deterministic dense docids from a total order on
+   ``id_col`` (reference assigns insertion-order docnums,
+   ``writing.py:584-606``; distributed ingest needs a *reproducible* order,
+   SURVEY §7.4).  Implemented scalably: ``repartitionByRange(id_col)`` +
+   ``sortWithinPartitions`` + partition-local ordinals (mapInPandas, no
+   window shuffle), staged to parquet; global ids are
+   ``base + offset[pid] + local_ord`` with tiny broadcast offsets.  No
+   ``monotonically_increasing_id`` (not stable across retries).
+2. **analyze** — one vectorized pandas pass per doc batch producing
+   tf-aggregated postings ``(field, term, docid, weight, tf, len_q)``;
+   the per-(doc,term) aggregation happens *inside* the Arrow batch (the
+   grouping key contains docid), so raw token streams never hit a shuffle
+   — the reference does the same grouping in ``Format.word_values``
+   (formats.py:190-236).
+3. **posting sort/sink** — ``repartitionByRange(field, term, docid)`` +
+   ``sortWithinPartitions``: Spark's range shuffle is the external merge
+   sort (externalsort.py:84-237) and the multiproc k-way merge
+   (multiproc.py:315-351) in one step.  Range-partitioning on
+   ``(term, docid)`` — not just ``term`` — splits Zipf-head posting lists
+   across partitions at docid boundaries: skew-proof by construction.
+4. **stats** — terms table (TermInfo semantics, reading.py:61-139) and
+   doclens from map-side-combined groupBys; exact field-length totals into
+   the manifest (whoosh3.py:242-243).
+
+Every stage writes a parquet checkpoint + a JSON stage marker with
+per-partition row counts, so a killed build resumes by skipping completed
+stages (SURVEY §7.4 "Resume").
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.functions.analysis import ANALYZERS
+from whoosh_novo_spark.functions.quantize import quantized_length_np
+from whoosh_novo_spark.schema import IndexConfig
+from whoosh_novo_spark.sources.segment_store import Manifest, SegmentInfo, SegmentStore
+
+POSTINGS_SCHEMA = (
+    "field string, term string, docid long, weight double, tf int, len_q int, "
+    "positions array<int>"
+)
+
+
+# ---------------------------------------------------------------- stage 1
+
+def _stage_docmap(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: IndexConfig,
+    store: SegmentStore,
+    segment_id: str,
+    partitions: int,
+) -> dict:
+    """Sort by id_col, attach (pid, local_ord), stage to parquet; return
+    {pid: offset} plus doc_count. Idempotent via stage marker."""
+    marker = store.read_stage_marker(segment_id, "docmap")
+    if marker is not None:
+        return marker
+
+    id_col = config.id_col
+    sorted_docs = docs.repartitionByRange(partitions, id_col).sortWithinPartitions(id_col)
+
+    def add_ordinals(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf["pid"] = np.int32(pid)
+            pdf["local_ord"] = np.arange(seen, seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(sorted_docs.schema.fields)
+        + [T.StructField("pid", T.IntegerType()), T.StructField("local_ord", T.LongType())]
+    )
+    staged = sorted_docs.mapInPandas(add_ordinals, out_schema)
+    path = store.table_path(segment_id, "docmap")
+    staged.write.mode("overwrite").parquet(path)
+
+    # narrow scan: per-pid counts -> offsets (drives global docid mapping)
+    counts = (
+        spark.read.parquet(path).groupBy("pid").count().orderBy("pid").collect()
+    )
+    offsets: dict[str, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[str(r["pid"])] = acc
+        acc += r["count"]
+    marker = {"offsets": offsets, "doc_count": acc, "partitions": partitions}
+    store.write_stage_marker(segment_id, "docmap", marker)
+    return marker
+
+
+def read_docmap(
+    spark: SparkSession, store: SegmentStore, seg: SegmentInfo, columns: list[str] | None = None
+) -> DataFrame:
+    """Docmap with materialized global docid (base + offset[pid] + ord)."""
+    marker = store.read_stage_marker(seg.segment_id, "docmap")
+    base = seg.meta["base"]
+    off = F.create_map(
+        *[F.lit(x) for kv in marker["offsets"].items() for x in (int(kv[0]), kv[1])]
+    )
+    df = spark.read.parquet(store.table_path(seg.segment_id, "docmap"))
+    df = df.withColumn(
+        "docid", (F.lit(base) + off[F.col("pid")] + F.col("local_ord")).cast("long")
+    ).drop("pid", "local_ord")
+    return df.select(*columns) if columns else df
+
+
+# ---------------------------------------------------------------- stage 2+3
+
+def _analyze_partition(config: IndexConfig, want_positions: bool):
+    """Returns the mapInPandas function: doc batches -> posting rows."""
+    fields = config.fields
+
+    def analyze(iterator):
+        for pdf in iterator:
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            outs = []
+            for fc in fields:
+                fn = ANALYZERS[fc.analyzer]
+                tb = fn(pdf[fc.name])
+                if len(tb.term) == 0:
+                    continue
+                tdf = pd.DataFrame({"row": tb.row, "term": tb.term, "pos": tb.pos})
+                if want_positions and fc.positions:
+                    agg = tdf.groupby(["row", "term"], sort=False).agg(
+                        tf=("pos", "size"), positions=("pos", lambda s: list(s))
+                    )
+                else:
+                    agg = tdf.groupby(["row", "term"], sort=False).agg(tf=("pos", "size"))
+                    agg["positions"] = None
+                agg = agg.reset_index()
+                lens = tb.doc_lengths()  # true post-filter length per row
+                len_q = quantized_length_np(np.maximum(lens, 0))
+                rows = agg["row"].to_numpy(dtype=np.int64)
+                out = pd.DataFrame(
+                    {
+                        "field": fc.name,
+                        "term": agg["term"],
+                        "docid": docids[rows],
+                        # weight = tf * field boost (formats.py:190-203)
+                        "weight": agg["tf"].to_numpy(dtype=np.float64) * fc.boost,
+                        "tf": agg["tf"].to_numpy(dtype=np.int32),
+                        "len_q": len_q[rows].astype(np.int32),
+                        "positions": agg["positions"],
+                        # true_len rides along once per (doc,field) for exact
+                        # field_length totals; only on the first term row
+                        "_true_len": np.where(
+                            _first_of_row(rows), lens[rows], 0
+                        ).astype(np.int64),
+                    }
+                )
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return analyze
+
+
+def _first_of_row(rows: np.ndarray) -> np.ndarray:
+    if len(rows) == 0:
+        return np.zeros(0, dtype=bool)
+    first = np.empty(len(rows), dtype=bool)
+    first[0] = True
+    np.not_equal(rows[1:], rows[:-1], out=first[1:])
+    return first
+
+
+def build_segment(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: IndexConfig,
+    store: SegmentStore,
+    partitions: int | None = None,
+) -> Manifest:
+    """Build one segment from a batch of documents and commit it.
+
+    The whoosh equivalent is ``writer.add_document()*N; writer.commit()``
+    (writing.py:748-822, 854-941).  Returns the committed manifest.
+    """
+    t0 = time.time()
+    manifest = store.read_manifest()
+    manifest.id_col = config.id_col
+    segment_id = store.new_segment_id()
+    base = manifest.next_docid
+    sp = partitions or config.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    # stage 1: docid assignment (staged, resumable)
+    dm = _stage_docmap(spark, docs, config, store, segment_id, sp)
+    doc_count = dm["doc_count"]
+
+    seg = SegmentInfo(
+        segment_id,
+        doc_count,
+        {},
+        min_docid=base,
+        max_docid=base + doc_count - 1,
+        has_positions=any(f.positions for f in config.fields),
+        meta={"base": base},
+    )
+
+    # stage 2+3: analyze -> postings, range-sorted sink
+    if store.read_stage_marker(segment_id, "postings") is None:
+        want_pos = seg.has_positions
+        docmap = read_docmap(
+            spark, store, seg, columns=["docid"] + [f.name for f in config.fields]
+        )
+        postings_raw = docmap.mapInPandas(
+            _analyze_partition(config, want_pos),
+            POSTINGS_SCHEMA + ", _true_len long",
+        )
+        sorted_postings = postings_raw.repartitionByRange(
+            sp, "field", "term", "docid"
+        ).sortWithinPartitions("field", "term", "docid")
+        sorted_postings.write.mode("overwrite").parquet(
+            store.table_path(segment_id, "postings")
+        )
+        store.write_stage_marker(segment_id, "postings", {"partitions": sp})
+
+    postings = spark.read.parquet(store.table_path(segment_id, "postings"))
+
+    # stage 4a: terms stats (TermInfo: df, cf=sum weight, max_weight,
+    # min/max len, min/max id — reading.py:61-139, whoosh3.py:1196-1210)
+    if store.read_stage_marker(segment_id, "terms") is None:
+        terms = postings.groupBy("field", "term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("weight").alias("cf"),
+            F.max("weight").alias("max_weight"),
+            F.min("len_q").alias("min_len_q"),
+            F.max("len_q").alias("max_len_q"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+        )
+        terms.write.mode("overwrite").parquet(store.table_path(segment_id, "terms"))
+        store.write_stage_marker(segment_id, "terms", {})
+
+    # stage 4b: doclens + exact field-length totals
+    if store.read_stage_marker(segment_id, "doclens") is None:
+        doclens = postings.groupBy("field", "docid").agg(
+            F.sum("tf").alias("len"),
+            F.max("len_q").alias("len_q"),
+            F.sum("_true_len").alias("_tl"),
+        )
+        doclens.drop("_tl").write.mode("overwrite").parquet(
+            store.table_path(segment_id, "doclens")
+        )
+        totals = {
+            r["field"]: r["total"]
+            for r in postings.groupBy("field")
+            .agg(F.sum("_true_len").alias("total"))
+            .collect()
+        }
+        store.write_stage_marker(segment_id, "doclens", {"field_length": totals})
+    totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
+    seg.field_length = {k: int(v) for k, v in totals.items()}
+
+    seg.meta["build_seconds"] = round(time.time() - t0, 3)
+    manifest.segments.append(seg)
+    manifest.next_docid = base + doc_count
+    return store.commit(manifest)

@@ -1,0 +1,433 @@
+"""Read path: Index handle + Searcher compiling Query ASTs to DataFrames.
+
+Replaces the reference's Searcher/collector/matcher machinery
+(``searching.py:697-859``, ``collectors.py``, ``matching/``) with
+set-oriented plans (SURVEY §2.3):
+
+- Term          -> filtered postings scan (parquet term min/max row-group
+                   pruning does the term-dictionary lookup)
+- And           -> union + groupBy(docid) having count == n, score = sum
+                   (IntersectionMatcher binary.py:405-556: inner merge, sum)
+- Or            -> groupBy(docid).sum (UnionMatcher binary.py:117-295 /
+                   ArrayUnionMatcher combo.py:161-316 — the score-array
+                   strategy is exactly what a shuffle agg does)
+- DisjunctionMax-> groupBy(docid).max (+tiebreak) (binary.py:298-402)
+- AndNot        -> left_anti join (binary.py:559-674)
+- AndMaybe      -> left join + coalesce (binary.py:677-794)
+- Require       -> left_semi join (wrappers.py:420-483)
+- Not           -> anti join against all-docs (wrappers.py:76-145)
+- Prefix/Wildcard/Regex/FuzzyTerm/TermRange -> terms-table predicate
+                   expansion then Or of Terms (terms.py:182-241,310-519)
+- Phrase        -> positional join + consecutive-position check via
+                   higher-order array functions (spans.py:530-700)
+
+Scoring: BM25F with the reference's exact statistics (SURVEY §1.4):
+idf = ln(dc/(df+1)) + 1 over doc_count_all *including deletes*
+(scoring.py:50-56), avgfl = exact field_length / doc_count_all
+(searching.py:275-278), per-doc fl = 8-bit-quantized length (len_q column,
+materialized at build), score = idf*(w*(K1+1))/(w + K1*((1-B) + B*fl/avgfl))
+(scoring.py:263-296).  Top-k = ORDER BY score DESC, docid ASC LIMIT k
+(TakeOrderedAndProject), matching the (score, -docnum) heap tie-break
+(collectors.py:462-508).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.plans import ast
+from whoosh_novo_spark.schema import IndexConfig
+from whoosh_novo_spark.sources.segment_store import Manifest, SegmentStore
+
+B_DEFAULT = 0.75
+K1_DEFAULT = 1.2
+
+
+@dataclass
+class TermStats:
+    df: int
+    cf: float
+    max_weight: float
+    min_len_q: int
+
+
+class Index:
+    """Read-side handle over a committed SegmentStore manifest."""
+
+    def __init__(self, spark: SparkSession, store: SegmentStore, config: IndexConfig | None = None):
+        self.spark = spark
+        self.store = store
+        self.config = config or IndexConfig()
+        self.manifest: Manifest = store.read_manifest()
+        if not self.manifest.segments:
+            raise ValueError(f"no committed segments in {store.path}")
+
+    def _union_table(self, table: str) -> DataFrame:
+        paths = self.store.table_paths(self.manifest, table)
+        return self.spark.read.parquet(*paths)
+
+    def postings(self, apply_deletes: bool = True) -> DataFrame:
+        df = self._union_table("postings")
+        if apply_deletes and self.manifest.has_tombstones:
+            df = df.join(self.tombstones(), "docid", "left_anti")
+        return df
+
+    def terms(self) -> DataFrame:
+        return self._union_table("terms")
+
+    def doclens(self, apply_deletes: bool = True) -> DataFrame:
+        df = self._union_table("doclens")
+        if apply_deletes and self.manifest.has_tombstones:
+            df = df.join(self.tombstones(), "docid", "left_anti")
+        return df
+
+    def tombstones(self) -> DataFrame:
+        import os
+
+        p = self.store.tombstones_path()
+        if os.path.exists(p):
+            return self.spark.read.parquet(p).select("docid")
+        return self.spark.createDataFrame([], "docid long")
+
+    def docmap(self, columns: list[str] | None = None) -> DataFrame:
+        from whoosh_novo_spark.operators.build import read_docmap
+
+        dfs = [
+            read_docmap(self.spark, self.store, s, columns=None)
+            for s in self.manifest.segments
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.select(*columns) if columns else out
+
+    # --- global statistics (scoring.py:50-56, searching.py:275-278) ---
+    @property
+    def doc_count_all(self) -> int:
+        return self.manifest.doc_count_all
+
+    def avg_field_length(self, fieldname: str) -> float:
+        return self.manifest.avg_field_length(fieldname) or 1.0
+
+    def term_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], TermStats]:
+        """Aggregate per-(field,term) stats across segments for the given
+        terms — the broadcast 'term dictionary lookup' of the query."""
+        if not pairs:
+            return {}
+        fields = sorted({f for f, _ in pairs})
+        texts = sorted({t for _, t in pairs})
+        rows = (
+            self.terms()
+            .where(F.col("field").isin(fields) & F.col("term").isin(texts))
+            .groupBy("field", "term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_weight").alias("max_weight"),
+                F.min("min_len_q").alias("min_len_q"),
+            )
+            .collect()
+        )
+        out = {}
+        for r in rows:
+            if (r["field"], r["term"]) in set(pairs):
+                out[(r["field"], r["term"])] = TermStats(
+                    int(r["df"]), float(r["cf"]), float(r["max_weight"]), int(r["min_len_q"])
+                )
+        return out
+
+    def expand_terms(self, q: ast.Query) -> list[tuple[str, TermStats]]:
+        """Multi-term expansion against the terms table
+        (terms.py:182-201: simplify -> Or of Terms)."""
+        t = self.terms().groupBy("field", "term").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_weight").alias("max_weight"),
+            F.min("min_len_q").alias("min_len_q"),
+        )
+        f = F.col("field") == q.fieldname
+        if isinstance(q, ast.Prefix):
+            cond = f & F.col("term").startswith(q.text)
+        elif isinstance(q, ast.Wildcard):
+            # glob -> anchored regex (automata/glob.py semantics)
+            rx = "^" + re.escape(q.text).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+            cond = f & F.col("term").rlike(rx)
+        elif isinstance(q, ast.Regex):
+            cond = f & F.col("term").rlike(q.text)
+        elif isinstance(q, ast.TermRange):
+            cond = f
+            if q.start is not None:
+                cond = cond & (
+                    F.col("term") > q.start if q.startexcl else F.col("term") >= q.start
+                )
+            if q.end is not None:
+                cond = cond & (
+                    F.col("term") < q.end if q.endexcl else F.col("term") <= q.end
+                )
+        elif isinstance(q, ast.FuzzyTerm):
+            pre = q.text[: q.prefixlength]
+            cond = f & (F.levenshtein(F.col("term"), F.lit(q.text)) <= q.maxdist)
+            if pre:
+                cond = cond & F.col("term").startswith(pre)
+        else:
+            raise TypeError(type(q))
+        rows = t.where(cond).collect()
+        return [
+            (
+                r["term"],
+                TermStats(int(r["df"]), float(r["cf"]), float(r["max_weight"]), int(r["min_len_q"])),
+            )
+            for r in rows
+        ]
+
+
+class Searcher:
+    def __init__(self, index: Index, B: float = B_DEFAULT, K1: float = K1_DEFAULT):
+        self.index = index
+        self.B = B
+        self.K1 = K1
+
+    # --- scoring expressions -------------------------------------------
+    def idf(self, df: int) -> float:
+        """scoring.py:50-56: log(dc / (df+1)) + 1, natural log."""
+        return math.log(self.index.doc_count_all / (df + 1)) + 1.0
+
+    def _bm25_col(self, idf: float, fieldname: str, w=None, flq=None):
+        """BM25 column expression over postings columns weight/len_q
+        (scoring.py:263-270 ``bm25``); computed JVM-side."""
+        w = w if w is not None else F.col("weight")
+        flq = flq if flq is not None else F.col("len_q")
+        avgfl = self.index.avg_field_length(fieldname)
+        B, K1 = self.B, self.K1
+        scorable = self.index.config.field(fieldname).scorable
+        if not scorable:
+            return w  # WeightScorer fallback (scoring.py:301-303,133-157)
+        denom = w + K1 * ((1 - B) + B * flq.cast("double") / F.lit(float(avgfl)))
+        return F.lit(idf) * (w * (K1 + 1)) / denom
+
+    # --- public API ----------------------------------------------------
+    def search(self, q: ast.Query, limit: int | None = 10) -> DataFrame:
+        """Returns (docid, score) top-`limit`, ordered score desc, docid asc.
+        ``limit=None`` == UnlimitedCollector (collectors.py:511-530)."""
+        qn = q.normalize()
+        scored = self.score_df(qn)
+        out = scored.orderBy(F.desc("score"), F.asc("docid"))
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def score_df(self, q: ast.Query) -> DataFrame:
+        """Full scored match set (docid, score) for a normalized query."""
+        if isinstance(q, ast.NullQuery):
+            return self.index.spark.createDataFrame([], "docid long, score double")
+        stats = self.index.term_stats(
+            [(t.fieldname, t.text) for t in ast.term_leaves(q)]
+        )
+        return self._compile(q, stats)
+
+    def fetch(self, results: DataFrame, columns: list[str]) -> DataFrame:
+        """Join top-k docids back to stored fields (Results.fields,
+        searching.py:350-392) — broadcast the tiny result set."""
+        return F.broadcast(results).join(
+            self.index.docmap(columns=["docid"] + columns), "docid", "inner"
+        )
+
+    # --- compiler ------------------------------------------------------
+    def _compile(self, q: ast.Query, stats) -> DataFrame:
+        spark = self.index.spark
+        empty = spark.createDataFrame([], "docid long, score double")
+
+        def boost(df: DataFrame, b: float) -> DataFrame:
+            if b == 1.0:
+                return df
+            return df.withColumn("score", F.col("score") * F.lit(float(b)))
+
+        if isinstance(q, ast.NullQuery):
+            return empty
+
+        if isinstance(q, ast.Term):
+            st = stats.get((q.fieldname, q.text))
+            if st is None:
+                return empty
+            p = self.index.postings().where(
+                (F.col("field") == q.fieldname) & (F.col("term") == q.text)
+            )
+            score = self._bm25_col(self.idf(st.df), q.fieldname)
+            return boost(p.select("docid", score.alias("score")), q.boost)
+
+        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.Regex, ast.TermRange, ast.FuzzyTerm)):
+            expansions = self.index.expand_terms(q)
+            if not expansions:
+                return empty
+            texts = [t for t, _ in expansions]
+            p = self.index.postings().where(
+                (F.col("field") == q.fieldname) & F.col("term").isin(texts)
+            )
+            # per-term idf via a tiny broadcast map (term -> idf)
+            idf_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for t, st in expansions
+                    for x in (t, float(self.idf(st.df)))
+                ]
+            )
+            score = self._bm25_col(1.0, q.fieldname) * idf_map[F.col("term")]
+            scored = p.select("docid", score.alias("score"))
+            agg = scored.groupBy("docid").agg(F.sum("score").alias("score"))
+            return boost(agg, q.boost)
+
+        if isinstance(q, ast.Every):
+            if q.fieldname in (None, "*"):
+                d = self.index.docmap(columns=["docid"])
+            else:
+                d = self.index.doclens().where(F.col("field") == q.fieldname).select("docid")
+            return d.select("docid", F.lit(float(q.boost)).alias("score"))
+
+        if isinstance(q, ast.And):
+            kids = [self._compile(c, stats) for c in q.children]
+            n = len(kids)
+            u = _union_all(kids)
+            agg = (
+                u.groupBy("docid")
+                .agg(F.sum("score").alias("score"), F.count(F.lit(1)).alias("_nc"))
+                .where(F.col("_nc") == n)
+                .drop("_nc")
+            )
+            return boost(agg, q.boost)
+
+        if isinstance(q, ast.Or):
+            kids = [self._compile(c, stats) for c in q.children]
+            u = _union_all(kids)
+            aggs = [F.sum("score").alias("score")]
+            if q.minmatch and q.minmatch > 1:
+                agg = (
+                    u.groupBy("docid")
+                    .agg(*aggs, F.count(F.lit(1)).alias("_nc"))
+                    .where(F.col("_nc") >= q.minmatch)
+                    .drop("_nc")
+                )
+            else:
+                agg = u.groupBy("docid").agg(*aggs)
+            return boost(agg, q.boost)
+
+        if isinstance(q, ast.DisjunctionMax):
+            kids = [self._compile(c, stats) for c in q.children]
+            u = _union_all(kids)
+            agg = u.groupBy("docid").agg(
+                F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+            )
+            score = F.col("_mx") + F.lit(float(q.tiebreak)) * (F.col("_sm") - F.col("_mx"))
+            return boost(agg.select("docid", score.alias("score")), q.boost)
+
+        if isinstance(q, ast.AndNot):
+            a = self._compile(q.a, stats)
+            b = self._compile(q.b, stats).select("docid")
+            return boost(a.join(b, "docid", "left_anti"), q.boost)
+
+        if isinstance(q, ast.AndMaybe):
+            a = self._compile(q.a, stats)
+            b = self._compile(q.b, stats).withColumnRenamed("score", "_bs")
+            j = a.join(b, "docid", "left")
+            return boost(
+                j.select(
+                    "docid",
+                    (F.col("score") + F.coalesce(F.col("_bs"), F.lit(0.0))).alias("score"),
+                ),
+                q.boost,
+            )
+
+        if isinstance(q, ast.Require):
+            a = self._compile(q.a, stats)
+            b = self._compile(q.b, stats).select("docid")
+            return boost(a.join(b, "docid", "left_semi"), q.boost)
+
+        if isinstance(q, ast.Not):
+            child = self._compile(q.child, stats).select("docid")
+            alldocs = self.index.docmap(columns=["docid"])
+            return alldocs.join(child, "docid", "left_anti").select(
+                "docid", F.lit(0.0).alias("score")
+            )
+
+        if isinstance(q, ast.Phrase):
+            return boost(self._compile_phrase(q, stats), q.boost)
+
+        raise TypeError(f"unsupported query node {type(q)}")
+
+    def _compile_phrase(self, q: ast.Phrase, stats) -> DataFrame:
+        """Positional intersection: docs where words appear at consecutive
+        renumbered positions (whoosh Phrase -> SpanNear2 with slop,
+        positional.py:237-271).  Implemented as an AND-style docid agg that
+        also intersects shifted position arrays with higher-order functions
+        — no Python in the loop.
+
+        Scoring: like whoosh, the phrase scores as the sum of its word
+        matchers' BM25 scores for matching docs (SpanNear scores via its
+        wrapped IntersectionMatcher)."""
+        spark = self.index.spark
+        empty = spark.createDataFrame([], "docid long, score double")
+        words = list(q.words)
+        leaf_stats = [stats.get((q.fieldname, w)) for w in words]
+        if any(s is None for s in leaf_stats):
+            return empty
+        p = self.index.postings().where(
+            (F.col("field") == q.fieldname) & F.col("term").isin(words)
+        )
+        idf_map = F.create_map(
+            *[
+                F.lit(x)
+                for w, st in zip(words, leaf_stats)
+                for x in (w, float(self.idf(st.df)))
+            ]
+        )
+        # order index of each word in the phrase (first occurrence wins for
+        # duplicate words — positions arrays still distinguish docs)
+        ord_map = F.create_map(
+            *[F.lit(x) for i, w in enumerate(words) for x in (w, i)]
+        )
+        score = self._bm25_col(1.0, q.fieldname) * idf_map[F.col("term")]
+        # shift each word's positions back by its phrase offset; a phrase
+        # occurrence at base position p makes p appear in every word's
+        # shifted set — slop=1 (exact adjacency) requires intersection
+        shifted = p.select(
+            "docid",
+            "term",
+            score.alias("score"),
+            F.transform(
+                F.col("positions"), lambda x: x - ord_map[F.col("term")]
+            ).alias("shifted"),
+        )
+        n = len(set(words))
+        agg = (
+            shifted.groupBy("docid")
+            .agg(
+                F.sum("score").alias("score"),
+                F.count(F.lit(1)).alias("_nc"),
+                F.aggregate(
+                    F.collect_list("shifted"),
+                    F.lit(None).cast("array<int>"),
+                    lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                        F.array_intersect(acc, x)
+                    ),
+                ).alias("_common"),
+            )
+            .where((F.col("_nc") == n) & (F.size("_common") > 0))
+        )
+        if q.slop != 1:
+            # slop>1: windowed adjacency is approximated by the strict check
+            # only when slop==1; wider slop handled in the spans module.
+            from whoosh_novo_spark.operators.spans import phrase_with_slop
+
+            return phrase_with_slop(self, q, stats)
+        return agg.select("docid", "score")
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0].select("docid", "score")
+    for d in dfs[1:]:
+        out = out.unionByName(d.select("docid", "score"))
+    return out

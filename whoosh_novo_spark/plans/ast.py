@@ -1,0 +1,283 @@
+"""Query AST + logical rewrites.
+
+A small dataclass tree standing in for ``whoosh.query`` objects
+(``/root/reference/src/whoosh/query/``).  Catalyst never sees the query
+language: the compiler in ``operators/query.py`` turns this tree into
+DataFrame plans, so all whoosh-specific rewrites happen here
+(the reference's ``q.normalize()`` pass, SURVEY §4.1).
+
+Rewrites implemented (reference cites):
+- flatten nested And/And and Or/Or (compound.py:116-126)
+- duplicate-subquery dedup (compound.py:160-169)
+- NullQuery elimination; empty compound -> Null; single child unwrap
+  (compound.py:128-130, 171-184)
+- And([a, Not(b), ...]) -> AndNot(And([a, ...]), Or([b...]))
+  (wrappers.py:76-145 semantics: Not only filters within an intersection)
+- Phrase with one word -> Term (positional.py:202-218)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+class Query:
+    boost: float = 1.0
+
+    def normalize(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class NullQuery(Query):
+    pass
+
+
+NULL = NullQuery()
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    fieldname: str
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Every(Query):
+    """All documents with any term in the field (qcore.py:650-760)."""
+
+    fieldname: str = "*"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Prefix(Query):
+    fieldname: str
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    """Glob pattern: ``*`` and ``?`` (terms.py:333-376)."""
+
+    fieldname: str
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Regex(Query):
+    fieldname: str
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyTerm(Query):
+    """Terms within edit distance maxdist sharing ``prefixlength`` prefix
+    (terms.py:436-519)."""
+
+    fieldname: str
+    text: str
+    maxdist: int = 1
+    prefixlength: int = 1
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange(Query):
+    """Lexicographic term range (ranges.py:144-242)."""
+
+    fieldname: str
+    start: str | None
+    end: str | None
+    startexcl: bool = False
+    endexcl: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    """Words must appear with consecutive (renumbered) positions within
+    ``slop`` (positional.py:237-271 -> SpanNear2 spans.py:530-700)."""
+
+    fieldname: str
+    words: tuple[str, ...]
+    slop: int = 1
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        if len(self.words) == 0:
+            return NULL
+        if len(self.words) == 1:
+            return Term(self.fieldname, self.words[0], self.boost)
+        return self
+
+
+def _norm_children(children) -> list[Query]:
+    return [c.normalize() for c in children]
+
+
+@dataclass(frozen=True)
+class And(Query):
+    children: tuple[Query, ...]
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        kids: list[Query] = []
+        nots: list[Query] = []
+        for c in _norm_children(self.children):
+            if isinstance(c, NullQuery):
+                return NULL  # AND with empty relation is empty
+            if isinstance(c, And):
+                kids.extend(c.children)
+            elif isinstance(c, Not):
+                nots.append(c.child)
+            else:
+                kids.append(c)
+        kids = _dedup(kids)
+        if not kids:
+            return NULL
+        pos: Query = kids[0] if len(kids) == 1 else And(tuple(kids), self.boost)
+        if nots:
+            neg = nots[0] if len(nots) == 1 else Or(tuple(nots))
+            return AndNot(pos, neg)
+        return pos
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    children: tuple[Query, ...]
+    boost: float = 1.0
+    minmatch: int = 0
+
+    def normalize(self) -> Query:
+        kids: list[Query] = []
+        for c in _norm_children(self.children):
+            if isinstance(c, NullQuery):
+                continue
+            if isinstance(c, Or) and c.minmatch == 0:
+                kids.extend(c.children)
+            else:
+                kids.append(c)
+        kids = _dedup(kids)
+        if not kids:
+            return NULL
+        if len(kids) == 1 and self.minmatch <= 1:
+            return kids[0]
+        return Or(tuple(kids), self.boost, self.minmatch)
+
+
+@dataclass(frozen=True)
+class DisjunctionMax(Query):
+    """Score = max over children (+ tiebreak * sum-of-rest)
+    (binary.py:298-402)."""
+
+    children: tuple[Query, ...]
+    boost: float = 1.0
+    tiebreak: float = 0.0
+
+    def normalize(self) -> Query:
+        kids = [c for c in _norm_children(self.children) if not isinstance(c, NullQuery)]
+        kids = _dedup(kids)
+        if not kids:
+            return NULL
+        if len(kids) == 1:
+            return kids[0]
+        return DisjunctionMax(tuple(kids), self.boost, self.tiebreak)
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    child: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if isinstance(c, NullQuery):
+            return NULL
+        return Not(c, self.boost)
+
+
+@dataclass(frozen=True)
+class AndNot(Query):
+    """a minus b, scored by a (binary.py:559-674)."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery):
+            return NULL
+        if isinstance(b, NullQuery):
+            return a  # AndNot(a, Null) -> a (compound.py:558-570)
+        return AndNot(a, b, self.boost)
+
+
+@dataclass(frozen=True)
+class AndMaybe(Query):
+    """a required; b's score added when it matches the same doc
+    (binary.py:677-794)."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery):
+            return NULL
+        if isinstance(b, NullQuery):
+            return a
+        return AndMaybe(a, b, self.boost)
+
+
+@dataclass(frozen=True)
+class Require(Query):
+    """Docs in a∩b scored only by a (wrappers.py:420-483)."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery) or isinstance(b, NullQuery):
+            return NULL
+        return Require(a, b, self.boost)
+
+
+def _dedup(kids: list[Query]) -> list[Query]:
+    seen: set = set()
+    out: list[Query] = []
+    for k in kids:
+        key = k if isinstance(k, tuple(_HASHABLE)) else id(k)
+        if key not in seen:
+            seen.add(key)
+            out.append(k)
+    return out
+
+
+_HASHABLE = (
+    Term, Every, Prefix, Wildcard, Regex, FuzzyTerm, TermRange, Phrase, NullQuery,
+    And, Or, DisjunctionMax, Not, AndNot, AndMaybe, Require,
+)
+
+
+def term_leaves(q: Query) -> list[Term]:
+    """All Term leaves in the tree (for stats prefetch)."""
+    if isinstance(q, Term):
+        return [q]
+    if isinstance(q, (And, Or, DisjunctionMax)):
+        return [t for c in q.children for t in term_leaves(c)]
+    if isinstance(q, (AndNot, AndMaybe, Require)):
+        return term_leaves(q.a) + term_leaves(q.b)
+    if isinstance(q, Not):
+        return term_leaves(q.child)
+    if isinstance(q, Phrase):
+        return [Term(q.fieldname, w) for w in q.words]
+    return []

@@ -1,0 +1,62 @@
+"""Index schema: per-field configuration.
+
+Mirrors the *role* of ``whoosh.fields.Schema``/``FieldType``
+(``/root/reference/src/whoosh/fields.py:60-367, 1375-1597``) without the
+machinery: the source table's Spark ``StructType`` already is the stored
+schema; what remains is per-indexed-field analysis/scoring config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Config for one indexed text field.
+
+    - ``analyzer``: name registered in ``functions.analysis.ANALYZERS``
+      (default "standard" == reference StandardAnalyzer, analyzers.py:190-217)
+    - ``scorable``: store quantized doc lengths; unscorable fields score by
+      raw weight (scoring.py:301-303)
+    - ``positions``: emit per-term position arrays (``Positions`` format,
+      formats.py:216-272) enabling phrase queries
+    - ``boost``: field boost multiplied into posting weight
+      (formats.py:190-203: weight = tf * boost)
+    """
+
+    name: str
+    analyzer: str = "standard"
+    scorable: bool = True
+    positions: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Whole-index configuration.
+
+    ``id_col`` provides the deterministic total order used for docid
+    assignment (sort by it — the reference assigns docnums in insertion
+    order, writing.py:584-606; we need a *reproducible* order under
+    distributed ingest, so we sort).
+    """
+
+    id_col: str = "url"
+    fields: tuple[FieldConfig, ...] = (FieldConfig("text"),)
+    # build knobs
+    shuffle_partitions: int | None = None  # None -> leave session setting
+    block_limit: int = 128  # postings per block, mirrors W3Codec blocklimit=128 (whoosh3.py:85)
+
+    def field(self, name: str) -> FieldConfig:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    @property
+    def default_field(self) -> FieldConfig:
+        return self.fields[0]
+
+
+DEFAULT_CONFIG = IndexConfig()

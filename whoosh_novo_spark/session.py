@@ -1,0 +1,81 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for the sandbox (local[N], 128 GiB) but every knob is
+the one you would set on a real 1000-executor cluster: AQE on (runtime
+coalesce + skew-join splitting), explicit shuffle partitions, Arrow enabled
+for the pandas-UDF analysis path, zstd parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "whoosh-novo-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 32)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def package_zip() -> str:
+    """Zip the whoosh_novo_spark package for --py-files / addPyFile.
+
+    This is the artifact a real deployment passes to
+    ``spark-submit --py-files`` (north rule); locally we addPyFile it so
+    executor Python workers can import the package regardless of cwd.
+    """
+    import zipfile
+
+    import whoosh_novo_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(whoosh_novo_spark.__file__))
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "whoosh_novo_spark_pkg.zip"
+    )
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "whoosh_novo_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    os.replace(tmp, out)
+    return out
+
+
+def ship_package(spark: SparkSession) -> None:
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context, or non-local scheduler quirk

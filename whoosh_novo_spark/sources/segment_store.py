@@ -1,0 +1,182 @@
+"""Segment store: immutable parquet segments + atomic manifest generations.
+
+Plays the role of whoosh's TOC/generation machinery
+(``/root/reference/src/whoosh/index.py:372-402,575+``,
+``writing.py:922-929``): a *commit* writes the new segment's data files and
+then atomically publishes a new ``manifest-<gen>.json`` via tmp-write +
+rename of the ``LATEST`` pointer.  Readers resolve LATEST -> manifest ->
+segment paths, so reads are snapshot-isolated and lock-free, exactly like
+whoosh's immutable-segment reads (and like an Iceberg snapshot commit — on
+a real deployment these tables would be Iceberg tables and a commit would
+be an Iceberg transaction; this module keeps that swap localized).
+
+Per-segment tables (all parquet, zstd):
+- ``docmap``     (docid, <id_col>, pid, ...stored cols): docid assignment
+- ``postings``   (field, term, docid, weight, tf, len_q[, positions])
+                 sorted by (field, term, docid) via range repartition so
+                 parquet row-group min/max stats prune term lookups
+- ``terms``      per-(field,term) stats: df, cf, max_weight, min_len_q,
+                 min_docid, max_docid   (TermInfo, reading.py:61-139)
+- ``blocks``     block-max skip metadata + varbyte posting blocks
+- ``tombstones`` deleted docids (applied at read, like whoosh per-segment
+                 deleted sets, whoosh3.py:1340-1351)
+
+Manifest stats: exact ``doc_count`` and per-field exact ``field_length``
+totals — whoosh keeps the exact totals even though per-doc lengths are
+quantized (whoosh3.py:242-243,287; SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SegmentInfo:
+    segment_id: str
+    doc_count: int
+    field_length: dict[str, int]
+    min_docid: int
+    max_docid: int
+    has_blocks: bool = False
+    has_positions: bool = False
+    meta: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "segment_id": self.segment_id,
+            "doc_count": self.doc_count,
+            "field_length": self.field_length,
+            "min_docid": self.min_docid,
+            "max_docid": self.max_docid,
+            "has_blocks": self.has_blocks,
+            "has_positions": self.has_positions,
+            "meta": self.meta,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "SegmentInfo":
+        return SegmentInfo(
+            d["segment_id"], d["doc_count"], d["field_length"],
+            d["min_docid"], d["max_docid"], d.get("has_blocks", False),
+            d.get("has_positions", False), d.get("meta", {}),
+        )
+
+
+@dataclass
+class Manifest:
+    generation: int
+    segments: list[SegmentInfo]
+    next_docid: int
+    id_col: str
+    deleted_count: int = 0
+    has_tombstones: bool = False
+
+    @property
+    def doc_count_all(self) -> int:
+        """Includes deleted docs — BM25's dc statistic deliberately counts
+        deleted documents (scoring.py:50-56 uses doc_count_all)."""
+        return sum(s.doc_count for s in self.segments)
+
+    def field_length(self, fld: str) -> int:
+        return sum(s.field_length.get(fld, 0) for s in self.segments)
+
+    def avg_field_length(self, fld: str) -> float:
+        """searching.py:275-278: field_length / doc_count (or 1)."""
+        return self.field_length(fld) / (self.doc_count_all or 1)
+
+
+class SegmentStore:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "segments"), exist_ok=True)
+
+    # --- paths ---
+    def segment_dir(self, segment_id: str) -> str:
+        return os.path.join(self.path, "segments", segment_id)
+
+    def table_path(self, segment_id: str, table: str) -> str:
+        return os.path.join(self.segment_dir(segment_id), table)
+
+    def table_paths(self, manifest: Manifest, table: str) -> list[str]:
+        out = []
+        for s in manifest.segments:
+            p = self.table_path(s.segment_id, table)
+            if os.path.exists(p):
+                out.append(p)
+        return out
+
+    def tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def staging_path(self, name: str) -> str:
+        return os.path.join(self.path, "_staging", name)
+
+    # --- manifest generations ---
+    def _latest_file(self) -> str:
+        return os.path.join(self.path, "LATEST")
+
+    def current_generation(self) -> int:
+        try:
+            with open(self._latest_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def read_manifest(self) -> Manifest:
+        gen = self.current_generation()
+        if gen == 0:
+            return Manifest(0, [], 0, "url")
+        with open(os.path.join(self.path, f"manifest-{gen}.json")) as f:
+            d = json.load(f)
+        return Manifest(
+            d["generation"],
+            [SegmentInfo.from_json(s) for s in d["segments"]],
+            d["next_docid"],
+            d.get("id_col", "url"),
+            d.get("deleted_count", 0),
+            d.get("has_tombstones", False),
+        )
+
+    def commit(self, manifest: Manifest) -> Manifest:
+        """Atomic generation bump: write manifest-<gen>, rename LATEST."""
+        gen = self.current_generation() + 1
+        manifest.generation = gen
+        doc = {
+            "generation": gen,
+            "segments": [s.to_json() for s in manifest.segments],
+            "next_docid": manifest.next_docid,
+            "id_col": manifest.id_col,
+            "deleted_count": manifest.deleted_count,
+            "has_tombstones": manifest.has_tombstones,
+            "committed_at": time.time(),
+        }
+        with open(os.path.join(self.path, f"manifest-{gen}.json"), "w") as f:
+            json.dump(doc, f, indent=1)
+        tmp = self._latest_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(gen))
+        os.replace(tmp, self._latest_file())  # atomic publish
+        return manifest
+
+    def new_segment_id(self) -> str:
+        existing = sorted(os.listdir(os.path.join(self.path, "segments")))
+        n = int(existing[-1].split("-")[1]) + 1 if existing else 0
+        return f"seg-{n:05d}"
+
+    # --- build-manifest / lineage (per-partition metrics for resume) ---
+    def write_stage_marker(self, segment_id: str, stage: str, payload: dict) -> None:
+        d = self.segment_dir(segment_id)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"_stage_{stage}.json"), "w") as f:
+            json.dump(payload, f)
+
+    def read_stage_marker(self, segment_id: str, stage: str) -> dict | None:
+        p = os.path.join(self.segment_dir(segment_id), f"_stage_{stage}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
