@@ -1,38 +1,228 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 disjunction over an index built from the
+sf0.001 ``documents`` table.
+
+``queries()`` — one entry per implemented operator from SURVEY §2, each
+running against a (memoized, on-disk) index built from ``{sf_dir}/
+documents.parquet`` with docids == doc_id (dense ids sorted numerically).
+
+``oracle_sql()`` — DuckDB SQL that recomputes each result from the raw
+parquet: tokenizer, quantized lengths, BM25 statistics and ranking are all
+re-derived independently (see whoosh_novo_spark/oracle_sql.py).
+Scores are rounded to 4 decimals on both sides so the driver's value-hash
+is robust to summation-order float noise.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import whoosh_novo_spark.oracle_sql as osql
+from whoosh_novo_spark.operators.build import build_segment
+from whoosh_novo_spark.operators.query import Index, Searcher
+from whoosh_novo_spark.plans import ast
+from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+from whoosh_novo_spark.session import ship_package
+from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+_CONFIG = IndexConfig(
+    id_col="doc_id", fields=(FieldConfig("text", positions=True),)
+)
+_INDEXES: dict[str, Index] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Build (once) and open the documents index for a testdata dir."""
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEXES:
+        ship_package(spark)
+        safe = key.strip("/").replace("/", "_")
+        path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_ix_{safe}"
+        )
+        store = SegmentStore(path)
+        if store.current_generation() == 0:
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            build_segment(spark, docs.select("doc_id", "text"), _CONFIG, store)
+        _INDEXES[key] = Index(spark, store, _CONFIG)
+    return Searcher(_INDEXES[key])
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _topk(s: Searcher, q: ast.Query, k: int = 10) -> DataFrame:
+    out = s.search(q, limit=k)
+    return out.select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _T(w: str) -> ast.Term:
+    return ast.Term("text", w)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    s = _index_for(spark, "/root/testdata/sf0.001")
+    return _topk(s, ast.Or((_T("spark"), _T("data"), _T("query"))), k=10)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_term(spark, sf_dir):
+    return _topk(_index_for(spark, sf_dir), _T("spark"))
+
+
+def q_and(spark, sf_dir):
+    return _topk(_index_for(spark, sf_dir), ast.And((_T("spark"), _T("data"))))
+
+
+def q_and3(spark, sf_dir):
+    return _topk(
+        _index_for(spark, sf_dir), ast.And((_T("spark"), _T("data"), _T("query")))
+    )
+
+
+def q_or(spark, sf_dir):
+    return _topk(
+        _index_for(spark, sf_dir), ast.Or((_T("spark"), _T("data"), _T("query")))
+    )
+
+
+def q_dismax(spark, sf_dir):
+    return _topk(
+        _index_for(spark, sf_dir),
+        ast.DisjunctionMax((_T("spark"), _T("data"), _T("query"))),
+    )
+
+
+def q_andnot(spark, sf_dir):
+    return _topk(_index_for(spark, sf_dir), ast.AndNot(_T("spark"), _T("data")))
+
+
+def q_andmaybe(spark, sf_dir):
+    return _topk(_index_for(spark, sf_dir), ast.AndMaybe(_T("spark"), _T("data")))
+
+
+def q_prefix(spark, sf_dir):
+    return _topk(_index_for(spark, sf_dir), ast.Prefix("text", "qu"))
+
+
+def q_wildcard(spark, sf_dir):
+    return _topk(_index_for(spark, sf_dir), ast.Wildcard("text", "s*rk"))
+
+
+def q_term_range(spark, sf_dir):
+    return _topk(
+        _index_for(spark, sf_dir), ast.TermRange("text", "table", "value")
+    )
+
+
+def q_fuzzy(spark, sf_dir):
+    return _topk(
+        _index_for(spark, sf_dir),
+        ast.FuzzyTerm("text", "spark", maxdist=1, prefixlength=1),
+    )
+
+
+def q_term_stats(spark, sf_dir):
+    """Terms-table stats: top 20 terms by df (TermInfo parity)."""
+    s = _index_for(spark, sf_dir)
+    t = s.index.terms().groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.max("max_weight").alias("max_weight"),
+    )
+    return t.orderBy(F.desc("df"), F.asc("term")).limit(20)
+
+
+def q_doclens(spark, sf_dir):
+    """Per-doc true + quantized lengths (length-code parity)."""
+    s = _index_for(spark, sf_dir)
+    return s.index.doclens().select(
+        F.col("docid").alias("doc_id"),
+        F.col("len").cast("long").alias("len"),
+        F.col("len_q").cast("long").alias("len_q"),
+    )
+
+
+def q_facet_lang(spark, sf_dir):
+    """FieldFacet+Count over matching docs (sorting.py:158,1028)."""
+    s = _index_for(spark, sf_dir)
+    matches = s.score_df(_T("spark")).select(F.col("docid").alias("doc_id"))
+    d = _docs(spark, sf_dir)
+    return (
+        d.join(matches, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_collapse(spark, sf_dir):
+    """CollapseCollector: best doc per source facet (collectors.py:854+)."""
+    from pyspark.sql import Window
+
+    s = _index_for(spark, sf_dir)
+    sc = s.score_df(_T("spark")).select(
+        F.col("docid").alias("doc_id"), "score"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    j = sc.join(d, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    top = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 1)
+    return (
+        top.select("doc_id", "source", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_bm25_topk": q_term,
+        "and_bm25_topk": q_and,
+        "and3_bm25_topk": q_and3,
+        "or_bm25_topk": q_or,
+        "dismax_topk": q_dismax,
+        "andnot_topk": q_andnot,
+        "andmaybe_topk": q_andmaybe,
+        "prefix_topk": q_prefix,
+        "wildcard_topk": q_wildcard,
+        "term_range_topk": q_term_range,
+        "fuzzy_topk": q_fuzzy,
+        "term_stats": q_term_stats,
+        "doclens": q_doclens,
+        "facet_lang": q_facet_lang,
+        "collapse_per_source": q_collapse,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_bm25_topk": osql.topk_term("spark"),
+        "and_bm25_topk": osql.topk_and(["spark", "data"]),
+        "and3_bm25_topk": osql.topk_and(["spark", "data", "query"]),
+        "or_bm25_topk": osql.topk_or(["spark", "data", "query"]),
+        "dismax_topk": osql.topk_dismax(["spark", "data", "query"]),
+        "andnot_topk": osql.topk_andnot("spark", "data"),
+        "andmaybe_topk": osql.topk_andmaybe("spark", "data"),
+        "prefix_topk": osql.topk_multiterm("term LIKE 'qu%'"),
+        "wildcard_topk": osql.topk_multiterm("regexp_matches(term, '^s.*rk$')"),
+        "term_range_topk": osql.topk_multiterm("term >= 'table' AND term <= 'value'"),
+        "fuzzy_topk": osql.topk_multiterm(
+            "term LIKE 's%' AND levenshtein(term, 'spark') <= 1"
+        ),
+        "term_stats": osql.term_stats_top(20),
+        "doclens": osql.doclens_check(),
+        "facet_lang": osql.facet_lang_count("spark"),
+        "collapse_per_source": osql.collapse_top_per_source("spark"),
+    }

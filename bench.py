@@ -1,0 +1,107 @@
+"""Round benchmark: index build throughput + top-k BM25 query latencies.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>, ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     WNS_BENCH_SYNTH_DOCS (extra synthetic corpus size for the build-
+     throughput leg; default 20000 — the testdata documents table is small,
+     so build throughput is measured on the deterministic synthetic
+     Common-Crawl-style corpus from sources/corpus.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_docs = int(os.environ.get("WNS_BENCH_SYNTH_DOCS", "20000"))
+
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.session import get_spark
+    from whoosh_novo_spark.sources.corpus import synthesize_corpus
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    spark = get_spark("wns-bench", cores=cpus, shuffle_partitions=max(32, cpus))
+    t_all = time.time()
+
+    # --- leg 1: build over the testdata documents table ---
+    ix_path = "/tmp/wns_bench_ix"
+    shutil.rmtree(ix_path, ignore_errors=True)
+    cfg = IndexConfig(id_col="doc_id", fields=(FieldConfig("text"),))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    t0 = time.time()
+    m = build_segment(spark, docs, cfg, SegmentStore(ix_path), partitions=max(8, cpus // 2))
+    t_build_docs = time.time() - t0
+    n_docs = m.doc_count_all
+
+    # --- leg 2: build throughput on the synthetic CC-style corpus ---
+    ix2_path = "/tmp/wns_bench_ix_synth"
+    shutil.rmtree(ix2_path, ignore_errors=True)
+    cfg2 = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+    corpus = synthesize_corpus(spark, n_docs=synth_docs, n_partitions=cpus, seed=42)
+    t0 = time.time()
+    m2 = build_segment(
+        spark, corpus, cfg2, SegmentStore(ix2_path), partitions=max(8, cpus // 2)
+    )
+    t_build_synth = time.time() - t0
+    docs_per_sec = round(m2.doc_count_all / t_build_synth, 1)
+
+    # --- leg 3: query latencies on the documents index ---
+    s = Searcher(Index(spark, SegmentStore(ix_path), cfg))
+    T = lambda w: ast.Term("text", w)  # noqa: E731
+    qset = {
+        "q_term": T("spark"),
+        "q_and2": ast.And((T("spark"), T("data"))),
+        "q_and3": ast.And((T("spark"), T("data"), T("query"))),
+        "q_or3": ast.Or((T("spark"), T("data"), T("query"))),
+        "q_or_head": ast.Or((T("the"), T("data"), T("line"))),  # head-term heavy
+        "q_dismax": ast.DisjunctionMax((T("spark"), T("data"), T("query"))),
+        "q_andnot": ast.AndNot(T("spark"), T("data")),
+        "q_prefix": ast.Prefix("text", "qu"),
+        "q_fuzzy": ast.FuzzyTerm("text", "spark"),
+    }
+    # warm the session/scan path once
+    s.search(T("warm"), limit=10).collect()
+    latencies: dict[str, float] = {}
+    for name, q in qset.items():
+        t0 = time.time()
+        s.search(q, limit=10).collect()
+        latencies[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "index-build + top-k BM25 query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": latencies,
+        "sf": sf_dir,
+        "docs_indexed": int(n_docs),
+        "build_sec_documents": round(t_build_docs, 3),
+        "synth_docs": int(m2.doc_count_all),
+        "build_sec_synth": round(t_build_synth, 3),
+        "build_docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
