@@ -1,0 +1,160 @@
+"""Batch query evaluation: many top-k queries in ONE Spark job.
+
+The reference evaluates queries one at a time on one core
+(searching.py:772-859).  At cluster scale the right shape for a query *set*
+is a single pass: a tiny broadcast frame of (qid, term, factor) joined into
+one postings scan, one (qid, docid) aggregation, and a per-qid top-k
+window.  Per-query work amortizes to near zero; the postings scan reads
+each needed term's posting list exactly once even if many queries share
+terms.
+
+Supports the flat boolean shapes of the reference query set — Term,
+And/Or/DisjunctionMax over Terms (FIXTURES.md §2).  Arbitrary nested trees
+fall back to ``Searcher.search`` per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.operators.query import Searcher
+from whoosh_novo_spark.plans import ast
+
+
+def _flatten(q: ast.Query) -> tuple[str, list[ast.Term]] | None:
+    """(qtype, term leaves) for flat shapes, else None."""
+    qn = q.normalize()
+    if isinstance(qn, ast.Term):
+        return "or", [qn]
+    if isinstance(qn, (ast.And, ast.Or, ast.DisjunctionMax)):
+        if not all(isinstance(c, ast.Term) for c in qn.children):
+            return None
+        if isinstance(qn, ast.Or) and qn.minmatch and qn.minmatch > 1:
+            return None
+        kind = {ast.And: "and", ast.Or: "or", ast.DisjunctionMax: "dismax"}[type(qn)]
+        return kind, list(qn.children)
+    return None
+
+
+def search_batch(
+    searcher: Searcher,
+    queries: dict[str, ast.Query],
+    limit: int = 10,
+) -> DataFrame:
+    """Evaluate all queries; returns (qid, docid, score, rank) with
+    rank 1..limit per qid ordered (score desc, docid asc) — identical
+    per-query results to Searcher.search."""
+    ix = searcher.index
+    spark = ix.spark
+
+    flat: dict[str, tuple[str, list[ast.Term]]] = {}
+    fallback: dict[str, ast.Query] = {}
+    for qid, q in queries.items():
+        sh = _flatten(q)
+        if sh is None:
+            fallback[qid] = q
+        else:
+            flat[qid] = sh
+
+    parts: list[DataFrame] = []
+    if flat:
+        pairs = sorted(
+            {(t.fieldname, t.text) for _, ts in flat.values() for t in ts}
+        )
+        stats = searcher._cached_stats(list(pairs))
+        qt_rows = []
+        qmeta_rows = []
+        for qid, (kind, ts) in flat.items():
+            n = len(ts)
+            present = 0
+            for t in ts:
+                st = stats.get((t.fieldname, t.text))
+                if st is None:
+                    continue
+                present += 1
+                scorable = ix.config.field(t.fieldname).scorable
+                factor = (searcher.idf(st.df) if scorable else 1.0) * t.boost
+                qt_rows.append((qid, t.fieldname, t.text, float(factor)))
+            qmeta_rows.append((qid, kind, n, present))
+        qt = spark.createDataFrame(
+            qt_rows, "qid string, field string, term string, factor double"
+        )
+        qmeta = spark.createDataFrame(
+            qmeta_rows, "qid string, qtype string, n_terms int, present int"
+        )
+        # drop AND queries with absent required terms before the big scan
+        qmeta = qmeta.where(
+            (F.col("qtype") != "and") | (F.col("present") == F.col("n_terms"))
+        )
+        qt = qt.join(F.broadcast(qmeta.select("qid")), "qid", "left_semi")
+
+        fieldnames = sorted({f for _, f, _, _ in qt_rows})
+        texts = sorted({t for _, _, t, _ in qt_rows})
+        p = ix.postings().where(
+            F.col("field").isin(fieldnames) & F.col("term").isin(texts)
+        )
+        # one scan x broadcast join: each posting row fans out only to the
+        # queries that contain its term
+        base = searcher._bm25_col(1.0, fieldnames[0]) if len(fieldnames) == 1 else None
+        if base is None:
+            # per-field avgfl differs; compute via map over field
+            avgfl_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for f in fieldnames
+                    for x in (f, float(ix.avg_field_length(f)))
+                ]
+            )
+            w, flq = F.col("weight"), F.col("len_q").cast("double")
+            B, K1 = searcher.B, searcher.K1
+            base = (w * (K1 + 1)) / (
+                w + K1 * ((1 - B) + B * flq / avgfl_map[F.col("field")])
+            )
+        j = p.join(F.broadcast(qt), ["field", "term"])
+        scored = j.select(
+            "qid", "docid", (base * F.col("factor")).alias("score")
+        )
+        agg = (
+            scored.groupBy("qid", "docid")
+            .agg(
+                F.sum("score").alias("_sum"),
+                F.max("score").alias("_max"),
+                F.count(F.lit(1)).alias("_nc"),
+            )
+            .join(F.broadcast(qmeta), "qid")
+            .where((F.col("qtype") != "and") | (F.col("_nc") == F.col("n_terms")))
+        )
+        res = agg.select(
+            "qid",
+            "docid",
+            F.when(F.col("qtype") == "dismax", F.col("_max"))
+            .otherwise(F.col("_sum"))
+            .alias("score"),
+        )
+        w_ = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        parts.append(
+            res.withColumn("rank", F.row_number().over(w_)).where(
+                F.col("rank") <= limit
+            )
+        )
+
+    for qid, q in fallback.items():
+        r = searcher.search(q, limit=limit)
+        parts.append(
+            r.select(
+                F.lit(qid).alias("qid"),
+                "docid",
+                "score",
+                F.row_number()
+                .over(Window.orderBy(F.desc("score"), F.asc("docid")))
+                .alias("rank"),
+            )
+        )
+
+    if not parts:
+        return spark.createDataFrame([], "qid string, docid long, score double, rank int")
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out

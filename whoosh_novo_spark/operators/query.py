@@ -191,6 +191,17 @@ class Searcher:
         self.index = index
         self.B = B
         self.K1 = K1
+        self._stats_cache: dict[tuple[str, str], TermStats | None] = {}
+
+    def _cached_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], TermStats]:
+        """Per-searcher cache of term stats (idf cache analogue,
+        searching.py:332-348)."""
+        missing = [p for p in pairs if p not in self._stats_cache]
+        if missing:
+            got = self.index.term_stats(missing)
+            for p in missing:
+                self._stats_cache[p] = got.get(p)
+        return {p: s for p in pairs if (s := self._stats_cache[p]) is not None}
 
     # --- scoring expressions -------------------------------------------
     def idf(self, df: int) -> float:
@@ -225,7 +236,7 @@ class Searcher:
         """Full scored match set (docid, score) for a normalized query."""
         if isinstance(q, ast.NullQuery):
             return self.index.spark.createDataFrame([], "docid long, score double")
-        stats = self.index.term_stats(
+        stats = self._cached_stats(
             [(t.fieldname, t.text) for t in ast.term_leaves(q)]
         )
         return self._compile(q, stats)
@@ -287,6 +298,38 @@ class Searcher:
             else:
                 d = self.index.doclens().where(F.col("field") == q.fieldname).select("docid")
             return d.select("docid", F.lit(float(q.boost)).alias("score"))
+
+        if isinstance(q, (ast.And, ast.Or, ast.DisjunctionMax)):
+            flat = self._flat_terms_df(q, stats)
+            if flat is not None:
+                u, n_present, n_children = flat
+                if isinstance(q, ast.And):
+                    if n_present < n_children:
+                        return empty  # a required term is absent from index
+                    agg = (
+                        u.groupBy("docid")
+                        .agg(F.sum("score").alias("score"), F.count(F.lit(1)).alias("_nc"))
+                        .where(F.col("_nc") == n_children)
+                        .drop("_nc")
+                    )
+                elif isinstance(q, ast.Or) and not (q.minmatch and q.minmatch > 1):
+                    agg = u.groupBy("docid").agg(F.sum("score").alias("score"))
+                elif isinstance(q, ast.Or):
+                    agg = (
+                        u.groupBy("docid")
+                        .agg(F.sum("score").alias("score"), F.count(F.lit(1)).alias("_nc"))
+                        .where(F.col("_nc") >= q.minmatch)
+                        .drop("_nc")
+                    )
+                else:  # DisjunctionMax
+                    agg = u.groupBy("docid").agg(
+                        F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+                    )
+                    score = F.col("_mx") + F.lit(float(q.tiebreak)) * (
+                        F.col("_sm") - F.col("_mx")
+                    )
+                    agg = agg.select("docid", score.alias("score"))
+                return boost(agg, q.boost)
 
         if isinstance(q, ast.And):
             kids = [self._compile(c, stats) for c in q.children]
@@ -358,6 +401,47 @@ class Searcher:
 
         raise TypeError(f"unsupported query node {type(q)}")
 
+    def _flat_terms_df(self, q, stats):
+        """Fast path for compounds whose children are all Terms: ONE
+        filtered postings scan with a per-term idf/boost broadcast map,
+        instead of N scans unioned.  This is the plan shape that matters at
+        scale — a single parquet scan with an IN-list pushed filter, one
+        shuffle, no union overhead.  Returns (scored_df, n_present,
+        n_children) or None if the shape doesn't apply.
+
+        Mirrors the reference's preloaded-score-array Or strategy
+        (combo.py:58-158) generalized to And/DisMax counting."""
+        kids = q.children
+        if not all(isinstance(c, ast.Term) for c in kids):
+            return None
+        fields = {c.fieldname for c in kids}
+        if len(fields) != 1:
+            return None
+        fieldname = next(iter(fields))
+        present = [c for c in kids if (c.fieldname, c.text) in stats]
+        if not present:
+            return None
+        texts = [c.text for c in present]
+        p = self.index.postings().where(
+            (F.col("field") == fieldname) & F.col("term").isin(texts)
+        )
+        scorable = self.index.config.field(fieldname).scorable
+        factor_map = F.create_map(
+            *[
+                F.lit(x)
+                for c in present
+                for x in (
+                    c.text,
+                    float(
+                        (self.idf(stats[(c.fieldname, c.text)].df) if scorable else 1.0)
+                        * c.boost
+                    ),
+                )
+            ]
+        )
+        score = self._bm25_col(1.0, fieldname) * factor_map[F.col("term")]
+        return p.select("docid", score.alias("score")), len(present), len(kids)
+
     def _compile_phrase(self, q: ast.Phrase, stats) -> DataFrame:
         """Positional intersection: docs where words appear at consecutive
         renumbered positions (whoosh Phrase -> SpanNear2 with slop,
@@ -371,6 +455,12 @@ class Searcher:
         spark = self.index.spark
         empty = spark.createDataFrame([], "docid long, score double")
         words = list(q.words)
+        if q.slop != 1 or len(set(words)) != len(words):
+            # wider slop or duplicate phrase words need the full span
+            # kernel (per-occurrence span combination)
+            from whoosh_novo_spark.operators.spans import phrase_with_slop
+
+            return phrase_with_slop(self, q, stats)
         leaf_stats = [stats.get((q.fieldname, w)) for w in words]
         if any(s is None for s in leaf_stats):
             return empty
@@ -417,12 +507,6 @@ class Searcher:
             )
             .where((F.col("_nc") == n) & (F.size("_common") > 0))
         )
-        if q.slop != 1:
-            # slop>1: windowed adjacency is approximated by the strict check
-            # only when slop==1; wider slop handled in the spans module.
-            from whoosh_novo_spark.operators.spans import phrase_with_slop
-
-            return phrase_with_slop(self, q, stats)
         return agg.select("docid", "score")
 
 
