@@ -1,0 +1,100 @@
+"""WAND pruned path == exact path (the reference's pruned-vs-exact
+equivalence, SURVEY §4.3), plus varbyte/delta codec round-trips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from whoosh_novo_spark.operators.blocks import decode_ids, encode_ids, vb_decode, vb_encode
+from whoosh_novo_spark.operators.build import build_segment
+from whoosh_novo_spark.operators.query import Index, Searcher
+from whoosh_novo_spark.operators.wand import search_wand
+from whoosh_novo_spark.plans import ast
+from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+from whoosh_novo_spark.sources.corpus import corpus_pandas
+from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+
+def test_varbyte_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        vals = rng.integers(0, 2**40, size=rng.integers(0, 300)).astype(np.uint64)
+        assert list(vb_decode(vb_encode(vals))) == list(vals)
+    assert vb_encode(np.array([], dtype=np.uint64)) == b""
+    # boundary values
+    edge = np.array([0, 1, 127, 128, 16383, 16384, 2**35], dtype=np.uint64)
+    assert list(vb_decode(vb_encode(edge))) == list(edge)
+
+
+def test_delta_ids_roundtrip():
+    rng = np.random.default_rng(1)
+    ids = np.unique(rng.integers(0, 10**9, size=500))
+    assert list(decode_ids(encode_ids(ids))) == list(ids)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = corpus_pandas(800, seed=21, vocab_size=300)
+    path = str(tmp_path_factory.mktemp("wand_ix"))
+    store = SegmentStore(path)
+    config = IndexConfig(id_col="url", fields=(FieldConfig("text"),), block_limit=32)
+    df = spark.createDataFrame(
+        list(zip(pdf["url"], pdf["text"])), "url string, text string"
+    )
+    build_segment(spark, df, config, store, partitions=4)
+    ix = Index(spark, store, config)
+    return ix, Searcher(ix)
+
+
+WAND_QUERIES = [
+    (ast.Term("text", "render"), 10),
+    (ast.Term("text", "w00001"), 10),  # head term
+    (ast.Or((ast.Term("text", "render"), ast.Term("text", "shade"))), 10),
+    (ast.Or((ast.Term("text", "w00000"), ast.Term("text", "w00001"), ast.Term("text", "render"))), 5),
+    (ast.Or(tuple(ast.Term("text", w) for w in ["render", "shade", "texture", "spark", "index"])), 20),
+    (ast.And((ast.Term("text", "render"), ast.Term("text", "shade"))), 10),
+    (ast.And((ast.Term("text", "w00000"), ast.Term("text", "w00001"))), 10),
+    (ast.And((ast.Term("text", "render"), ast.Term("text", "zzzmissing"))), 10),
+    (ast.Term("text", "zzzmissing"), 10),
+]
+
+
+@pytest.mark.parametrize("q,k", WAND_QUERIES, ids=lambda x: str(x)[:40])
+def test_wand_equals_exact(built, q, k):
+    ix, searcher = built
+    exact = searcher.search(q, limit=k).collect()
+    pruned = search_wand(searcher, q, limit=k, n_buckets=6).collect()
+    assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
+    for p, e in zip(pruned, exact):
+        assert p["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+def test_wand_many_buckets(built):
+    """bucket granularity must not change results (straddling blocks)."""
+    ix, searcher = built
+    q = ast.Or((ast.Term("text", "w00000"), ast.Term("text", "render")))
+    exact = [r["docid"] for r in searcher.search(q, limit=10).collect()]
+    for nb in (1, 2, 17, 64):
+        got = [r["docid"] for r in search_wand(searcher, q, limit=10, n_buckets=nb).collect()]
+        assert got == exact, nb
+
+
+def test_blocks_metadata(built):
+    """Block invariants: sorted disjoint runs, skip pointers consistent."""
+    ix, _ = built
+    import pandas as pd
+
+    blocks = ix._union_table("blocks").toPandas()
+    assert (blocks["n"] <= 32).all()
+    for (_, t), g in blocks.groupby(["field", "term"]):
+        g = g.sort_values("min_docid")
+        assert (g["min_docid"].to_numpy() <= g["max_docid"].to_numpy()).all()
+        # disjoint, ascending runs
+        assert (g["max_docid"].to_numpy()[:-1] < g["min_docid"].to_numpy()[1:]).all()
+    # spot-decode one block and check metadata
+    row = blocks.iloc[0]
+    ids = decode_ids(row["ids"])
+    w = np.frombuffer(row["weights"], dtype=np.float32)
+    assert ids[0] == row["min_docid"] and ids[-1] == row["max_docid"]
+    assert len(ids) == row["n"] and w.max() == pytest.approx(row["max_weight"])

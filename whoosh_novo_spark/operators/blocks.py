@@ -1,0 +1,184 @@
+"""Posting blocks: delta + varbyte doc gaps, skip pointers, block-max stats.
+
+Mirrors the reference's on-disk posting-block layout semantics
+(``whoosh3.py:766-876``): postings are grouped term-major into blocks of
+<=128, each block storing per-block metadata used for skipping
+(``last_id`` -> our ``max_docid``; ``max_weight``/``min_length`` ->
+block-max quality bounds, whoosh3.py:806-824) and delta-encoded docids
+(``numlists.py:23-34``) with varbyte compression (``varints.py:38-103``).
+
+We re-express, not copy: docid gaps are varbyte-encoded with a fully
+vectorized numpy codec (7-bit little-endian groups, continuation bit on
+non-final bytes — the classic public varint wire format); weights are a
+float32 array (the reference stores weights as array('f'), whoosh3.py:772)
+and quantized lengths a uint8 array.
+
+The block table is what the WAND/MaxScore kernel (operators/wand.py)
+scans; the plain postings table remains the exact-path source of truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from whoosh_novo_spark.functions.quantize import byte_to_length_np, length_to_byte_np
+
+BLOCKS_SCHEMA = (
+    "field string, term string, block_no int, n int, min_docid long, "
+    "max_docid long, max_weight double, min_len_q int, "
+    "ids binary, weights binary, lens binary"
+)
+
+
+# ---------------------------------------------------------------- codec
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if len(vals) == 0:
+        return b""
+    nb = np.ones(len(vals), dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    idx = ends - nb
+    v = vals.copy()
+    remaining = nb.copy()
+    while True:
+        m = remaining > 0
+        if not m.any():
+            break
+        byte = (v[m] & np.uint64(0x7F)).astype(np.uint8)
+        cont = np.where(remaining[m] > 1, 0x80, 0).astype(np.uint8)
+        out[idx[m]] = byte | cont
+        idx[m] += 1
+        v[m] >>= np.uint64(7)
+        remaining[m] -= 1
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    vidx = np.zeros(len(b), dtype=np.int64)
+    vidx[1:] = np.cumsum(is_last[:-1])
+    group_starts = np.concatenate(([0], np.nonzero(is_last)[0][:-1] + 1))
+    pos = np.arange(len(b), dtype=np.int64) - group_starts[vidx]
+    vals = np.zeros(int(is_last.sum()), dtype=np.uint64)
+    np.bitwise_or.at(
+        vals, vidx, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    )
+    return vals
+
+
+def encode_ids(docids: np.ndarray) -> bytes:
+    """delta (first absolute, then gaps) + varbyte."""
+    d = np.asarray(docids, dtype=np.int64)
+    gaps = np.empty(len(d), dtype=np.uint64)
+    gaps[0] = d[0]
+    gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+    return vb_encode(gaps)
+
+
+def decode_ids(buf: bytes) -> np.ndarray:
+    gaps = vb_decode(buf).astype(np.int64)
+    return np.cumsum(gaps)
+
+
+# ---------------------------------------------------------------- build
+
+def build_blocks(
+    spark: SparkSession, postings: DataFrame, block_limit: int = 128
+) -> DataFrame:
+    """Fold the sorted postings table into block rows.
+
+    No shuffle: postings parquet is already range-partitioned and sorted by
+    (field, term, docid) (build.py stage 3); blocks are formed within each
+    partition from consecutive runs.  A term whose postings span partition
+    boundaries simply yields blocks in both partitions — block docid ranges
+    stay disjoint and sorted, which is all the kernel needs.
+    """
+    cols = postings.select("field", "term", "docid", "weight", "len_q")
+
+    def fold(batches):
+        # accumulate the tail run across Arrow batches within a partition
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # keep the last (field, term) run as the tail (it may continue
+            # into the next batch)
+            last_f = pdf["field"].iloc[-1]
+            last_t = pdf["term"].iloc[-1]
+            is_tail = (pdf["field"] == last_f) & (pdf["term"] == last_t)
+            tail = pdf.loc[is_tail].copy()
+            body = pdf.loc[~is_tail]
+            if len(body):
+                yield _fold_runs(body, block_limit)
+        if tail is not None and len(tail):
+            yield _fold_runs(tail, block_limit)
+
+    return cols.mapInPandas(fold, BLOCKS_SCHEMA)
+
+
+def _fold_runs(pdf: pd.DataFrame, block_limit: int) -> pd.DataFrame:
+    out = {k: [] for k in (
+        "field", "term", "block_no", "n", "min_docid", "max_docid",
+        "max_weight", "min_len_q", "ids", "weights", "lens",
+    )}
+    fields = pdf["field"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    docids = pdf["docid"].to_numpy(dtype=np.int64)
+    weights = pdf["weight"].to_numpy(dtype=np.float64)
+    lens_q = pdf["len_q"].to_numpy(dtype=np.int64)
+    # run boundaries where (field, term) changes
+    change = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        change[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], len(pdf))
+    for s, e in zip(starts, ends):
+        bno = 0
+        for bs in range(s, e, block_limit):
+            be = min(bs + block_limit, e)
+            ids = docids[bs:be]
+            w = weights[bs:be]
+            lq = lens_q[bs:be]
+            out["field"].append(fields[s])
+            out["term"].append(terms[s])
+            out["block_no"].append(bno)
+            out["n"].append(be - bs)
+            out["min_docid"].append(int(ids[0]))
+            out["max_docid"].append(int(ids[-1]))  # skip pointer (last_id)
+            out["max_weight"].append(float(w.max()))
+            out["min_len_q"].append(int(lq.min()))
+            out["ids"].append(encode_ids(ids))
+            out["weights"].append(w.astype(np.float32).tobytes())
+            # store the 8-bit length CODE (numeric.py:635-641), not the
+            # dequantized length (which can exceed a byte)
+            out["lens"].append(length_to_byte_np(lq).astype(np.uint8).tobytes())
+            bno += 1
+    return pd.DataFrame(out)
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(docids int64, weights float64, len_q int64) from a block row."""
+    ids = decode_ids(row["ids"])
+    w = np.frombuffer(row["weights"], dtype=np.float32).astype(np.float64)
+    lq = decode_lens(row["lens"])
+    return ids, w, lq
+
+
+def decode_lens(buf: bytes) -> np.ndarray:
+    """uint8 length codes -> quantized lengths (BM25's fl input)."""
+    return byte_to_length_np(np.frombuffer(buf, dtype=np.uint8).astype(np.int64))

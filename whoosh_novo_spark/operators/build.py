@@ -274,6 +274,17 @@ def build_segment(
     totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
     seg.field_length = {k: int(v) for k, v in totals.items()}
 
+    # stage 4c: posting blocks (skip pointers + block-max metadata,
+    # whoosh3.py:806-824) for the WAND kernel
+    if store.read_stage_marker(segment_id, "blocks") is None:
+        from whoosh_novo_spark.operators.blocks import build_blocks
+
+        build_blocks(spark, postings, config.block_limit).write.mode(
+            "overwrite"
+        ).parquet(store.table_path(segment_id, "blocks"))
+        store.write_stage_marker(segment_id, "blocks", {"block_limit": config.block_limit})
+    seg.has_blocks = True
+
     seg.meta["build_seconds"] = round(time.time() - t0, 3)
     manifest.segments.append(seg)
     manifest.next_docid = base + doc_count

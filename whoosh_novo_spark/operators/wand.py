@@ -1,0 +1,257 @@
+"""Block-max pruned top-k (the reference's WAND path, SURVEY §4.3).
+
+The reference's TopCollector feeds the kth score back as ``minscore`` and
+matchers skip whole 128-posting blocks whose upper-bound quality can't
+beat it (collectors.py:405-413, whoosh3.py:1085-1098, binary.py:270-295).
+That loop is inherently sequential per query; the distributed shape here:
+
+1. partition the docid space into ranges ("buckets"); every posting block
+   overlapping a bucket is routed to it (blocks are sorted disjoint docid
+   runs, so the overlap set comes straight from the min/max skip pointers
+   — no decode);
+2. inside each bucket an Arrow kernel runs candidate introduction with
+   block-max pruning (MaxScore/BMW family): terms rarest-first
+   (compound.py:261-266), candidates fully scored on introduction via
+   skip-pointer lookups into other terms' blocks (decode on touch),
+   a local k-heap supplies the pruning threshold;
+3. the union of per-bucket top-k candidates (<= buckets x k rows) gets an
+   exact global ORDER BY score DESC, docid LIMIT k.
+
+Exactness: a block is skipped only when every not-yet-candidate doc in it
+has upper bound STRICTLY below the kth fully-scored score, so skipped docs
+can never enter the true top-k even via docid tie-break — the pruned path
+is rank-identical to the exact aggregation path (which remains the test
+oracle, tests/test_wand.py).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.operators.blocks import decode_ids, decode_lens
+from whoosh_novo_spark.plans import ast
+
+
+def _bm25(idf: float, w: np.ndarray, flq: np.ndarray, avgfl: float, B: float, K1: float):
+    return idf * (w * (K1 + 1)) / (w + K1 * ((1 - B) + B * flq / avgfl))
+
+
+class _TermBlocks:
+    """Per-term block arrays with lazy decode + cache."""
+
+    __slots__ = ("mins", "maxs", "maxw", "minlq", "ids_b", "w_b", "l_b", "cache")
+
+    def __init__(self, g: pd.DataFrame):
+        g = g.sort_values("min_docid", kind="mergesort")
+        self.mins = g["min_docid"].to_numpy(dtype=np.int64)
+        self.maxs = g["max_docid"].to_numpy(dtype=np.int64)
+        self.maxw = g["max_weight"].to_numpy(dtype=np.float64)
+        self.minlq = g["min_len_q"].to_numpy(dtype=np.int64)
+        self.ids_b = g["ids"].tolist()
+        self.w_b = g["weights"].tolist()
+        self.l_b = g["lens"].tolist()
+        self.cache: dict[int, tuple] = {}
+
+    def decode(self, bi: int):
+        got = self.cache.get(bi)
+        if got is None:
+            ids = decode_ids(self.ids_b[bi])
+            w = np.frombuffer(self.w_b[bi], dtype=np.float32).astype(np.float64)
+            lq = decode_lens(self.l_b[bi])
+            got = (ids.astype(np.int64), w, lq)
+            self.cache[bi] = got
+        return got
+
+    def lookup(self, docids: np.ndarray):
+        """Vectorized (weight, len_q) lookup via skip pointers; 0 where
+        absent.  Decodes only blocks that contain probed ids."""
+        n = len(docids)
+        w_out = np.zeros(n, dtype=np.float64)
+        l_out = np.ones(n, dtype=np.int64)
+        if len(self.mins) == 0:
+            return w_out, l_out
+        bi = np.searchsorted(self.maxs, docids, side="left")
+        ok = (bi < len(self.mins)) & (docids >= self.mins[np.minimum(bi, len(self.mins) - 1)])
+        for b in np.unique(bi[ok]):
+            m = ok & (bi == b)
+            ids, w, lq = self.decode(int(b))
+            pos = np.searchsorted(ids, docids[m])
+            pos = np.minimum(pos, len(ids) - 1)
+            hit = ids[pos] == docids[m]
+            rows = np.nonzero(m)[0][hit]
+            w_out[rows] = w[pos[hit]]
+            l_out[rows] = lq[pos[hit]]
+        return w_out, l_out
+
+
+def _bucket_kernel(pdf, params) -> pd.DataFrame:
+    k = params["k"]
+    mode = params["mode"]
+    B, K1, avgfl = params["B"], params["K1"], params["avgfl"]
+    idf = params["idf"]           # term -> idf
+    order = params["order"]       # terms rarest-first
+    mq = params["mq"]             # term -> max quality
+    lo, hi = None, None           # bucket range limits come from the rows
+
+    tb = {t: _TermBlocks(g) for t, g in pdf.groupby("term") if t in idf}
+    order = [t for t in order if t in tb]
+    if not order or (mode == "and" and len(order) < len(params["order"])):
+        return pd.DataFrame({"docid": [], "score": []})
+    total_mq = sum(mq[t] for t in order)
+    suffix = np.cumsum([mq[t] for t in order][::-1])[::-1]
+
+    lo = int(params["lo"])
+    hi = int(params["hi"])
+    seen: set[int] = set()
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of top-k
+    out_ids: list[int] = []
+    out_sc: list[float] = []
+    theta = None
+
+    intro_terms = order[:1] if mode == "and" else order
+    n_req = len(order)
+    for i, t in enumerate(intro_terms):
+        if theta is not None and suffix[i] < theta:
+            break
+        T = tb[t]
+        others = [o for o in order if o != t]
+        others_mq = total_mq - mq[t]
+        for b in range(len(T.mins)):
+            if T.maxs[b] < lo or T.mins[b] >= hi:
+                continue
+            bq = _bm25(
+                idf[t], np.array([T.maxw[b]]), np.array([float(T.minlq[b])]), avgfl, B, K1
+            )[0]
+            if theta is not None and bq + others_mq < theta:
+                continue  # block-max skip (strict: preserves ties)
+            ids, w, lq = T.decode(b)
+            m = (ids >= lo) & (ids < hi)
+            if not m.all():
+                ids, w, lq = ids[m], w[m], lq[m]
+            if len(ids) == 0:
+                continue
+            new = np.fromiter(
+                (d not in seen for d in ids), count=len(ids), dtype=bool
+            )
+            if not new.any():
+                continue
+            ids_n, w_n, lq_n = ids[new], w[new], lq[new]
+            seen.update(ids_n.tolist())
+            scores = _bm25(idf[t], w_n, lq_n.astype(np.float64), avgfl, B, K1)
+            nmatch = np.ones(len(ids_n), dtype=np.int64)
+            for t2 in others:
+                w2, lq2 = tb[t2].lookup(ids_n)
+                hit = w2 > 0
+                if hit.any():
+                    scores[hit] += _bm25(
+                        idf[t2], w2[hit], lq2[hit].astype(np.float64), avgfl, B, K1
+                    )
+                    nmatch[hit] += 1
+            if mode == "and":
+                keep = nmatch == n_req
+                ids_n, scores = ids_n[keep], scores[keep]
+            for d, s in zip(ids_n.tolist(), scores.tolist()):
+                if len(heap) < k:
+                    heapq.heappush(heap, (s, -d))
+                elif (s, -d) > heap[0]:
+                    heapq.heapreplace(heap, (s, -d))
+            if len(heap) == k:
+                theta = heap[0][0]
+
+    out_ids = [-nd for _, nd in heap]
+    out_sc = [s for s, _ in heap]
+    return pd.DataFrame({"docid": out_ids, "score": out_sc})
+
+
+def search_wand(
+    searcher,
+    q: ast.Query,
+    limit: int = 10,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Pruned top-k for flat And/Or-of-Terms queries over the blocks table.
+
+    Returns (docid, score) ordered (score desc, docid asc) limit k —
+    rank-identical to ``Searcher.search``.
+    """
+    ix = searcher.index
+    spark = ix.spark
+    qn = q.normalize()
+    if isinstance(qn, ast.Term):
+        terms, mode = [qn], "or"
+    elif isinstance(qn, ast.And) and all(isinstance(c, ast.Term) for c in qn.children):
+        terms, mode = list(qn.children), "and"
+    elif isinstance(qn, ast.Or) and all(isinstance(c, ast.Term) for c in qn.children):
+        terms, mode = list(qn.children), "or"
+    else:
+        return searcher.search(q, limit=limit)  # non-flat: exact path
+
+    if ix.manifest.has_tombstones:
+        # deleted docs would inflate the pruning threshold inside the
+        # kernel; correct handling needs the tombstone set per bucket —
+        # until then the exact path (which anti-joins) is authoritative
+        return searcher.search(q, limit=limit)
+
+    fieldname = terms[0].fieldname
+    pairs = [(t.fieldname, t.text) for t in terms]
+    stats = searcher._cached_stats(pairs)
+    present = [t for t in terms if (t.fieldname, t.text) in stats]
+    if not present or (mode == "and" and len(present) < len(terms)):
+        return spark.createDataFrame([], "docid long, score double")
+
+    avgfl = ix.avg_field_length(fieldname)
+    B, K1 = searcher.B, searcher.K1
+    idf = {t.text: searcher.idf(stats[(t.fieldname, t.text)].df) for t in present}
+    # whole-list max quality (scoring.py:205-212: score(max_weight, min_length))
+    mq = {
+        t.text: float(
+            _bm25(
+                idf[t.text],
+                np.array([stats[(t.fieldname, t.text)].max_weight]),
+                np.array([float(stats[(t.fieldname, t.text)].min_len_q)]),
+                avgfl, B, K1,
+            )[0]
+        )
+        for t in present
+    }
+    order = [t.text for t in sorted(present, key=lambda t: stats[(t.fieldname, t.text)].df)]
+
+    n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    max_docid = ix.manifest.next_docid
+    R = max(1, math.ceil(max_docid / n_buckets))
+
+    blocks = ix._union_table("blocks").where(
+        (F.col("field") == fieldname) & F.col("term").isin([t.text for t in present])
+    )
+    spanned = blocks.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("min_docid") / R).cast("long"),
+                (F.col("max_docid") / R).cast("long"),
+            )
+        ),
+    )
+
+    params_base = {
+        "k": limit, "mode": mode, "B": B, "K1": K1, "avgfl": float(avgfl),
+        "idf": idf, "mq": mq, "order": order,
+    }
+
+    def run(key, pdf):
+        bucket = int(key[0])
+        p = dict(params_base)
+        p["lo"] = bucket * R
+        p["hi"] = (bucket + 1) * R
+        return _bucket_kernel(pdf, p)
+
+    cand = spanned.groupBy("bucket").applyInPandas(
+        run, "docid long, score double"
+    )
+    return cand.orderBy(F.desc("score"), F.asc("docid")).limit(limit)
