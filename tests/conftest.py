@@ -57,7 +57,10 @@ class WhooshOracle:
     """Builds a RamStorage whoosh index over (id, text) rows and runs
     queries, returning [(id, score), ...] rank lists."""
 
-    def __init__(self, rows: list[tuple[str, str]]):
+    def __init__(self, rows: list[tuple[str, str]], batches: int = 1):
+        """``batches > 1`` commits the rows in that many separate writer
+        commits, producing a multi-segment index (whoosh MERGE_SMALL may
+        still fold them; pass merge=False per batch to keep them apart)."""
         _load_reference()
         from whoosh import fields
         from whoosh.analysis import StandardAnalyzer
@@ -68,10 +71,13 @@ class WhooshOracle:
             text=fields.TEXT(analyzer=StandardAnalyzer(), phrase=True),
         )
         self.ix = RamStorage().create_index(schema)
-        w = self.ix.writer()
-        for rid, text in rows:
-            w.add_document(id=rid, text=text)
-        w.commit()
+        per = max(1, len(rows) // batches)
+        chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+        for chunk in chunks:
+            w = self.ix.writer()
+            for rid, text in chunk:
+                w.add_document(id=rid, text=text)
+            w.commit(merge=False)
 
     def query(self, q, limit=10):
         with self.ix.searcher() as s:

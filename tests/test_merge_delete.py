@@ -1,0 +1,172 @@
+"""Segmented builds, deletes, and compaction vs the reference engine.
+
+Mirrors tests/test_searching.py:479-546 (test_merged/test_multireader) and
+tests/test_writing.py delete/update behavior: the same corpus written in
+batches must answer identically before and after compaction, and deletes
+must drop docs from results while keeping whoosh's stale-statistics
+scoring until an optimize purges them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.operators.build import build_segment
+from whoosh_novo_spark.operators.merge import (
+    delete_by_term,
+    merge_policy_small,
+    merge_segments,
+)
+from whoosh_novo_spark.operators.query import Index, Searcher
+from whoosh_novo_spark.operators.wand import search_wand
+from whoosh_novo_spark.plans import ast
+from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+from whoosh_novo_spark.sources.corpus import corpus_pandas
+from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+CFG = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+
+
+def _build_batches(spark, store, pdf, n_batches):
+    """Build n_batches segments over url-sorted slices (slices ordered by
+    url so global docids == sorted ordinals, matching the oracle)."""
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    per = len(pdf) // n_batches
+    for b in range(n_batches):
+        sl = pdf.iloc[b * per : (b + 1) * per if b < n_batches - 1 else len(pdf)]
+        df = spark.createDataFrame(
+            list(zip(sl["url"], sl["text"])), "url string, text string"
+        )
+        build_segment(spark, df, CFG, store, partitions=2)
+    return pdf
+
+
+QUERIES = [
+    ast.Term("text", "render"),
+    ast.Or((ast.Term("text", "render"), ast.Term("text", "shade"))),
+    ast.And((ast.Term("text", "render"), ast.Term("text", "shade"))),
+]
+
+
+@pytest.fixture(scope="module")
+def segmented(spark, tmp_path_factory):
+    pdf = corpus_pandas(240, seed=31, vocab_size=250)
+    path = str(tmp_path_factory.mktemp("seg_ix"))
+    store = SegmentStore(path)
+    pdf = _build_batches(spark, store, pdf, 3)
+    return store, pdf
+
+
+def _ranks(searcher, q, k=10):
+    return [
+        (int(r["docid"]), round(float(r["score"]), 9))
+        for r in searcher.search(q, limit=k).collect()
+    ]
+
+
+def test_multisegment_matches_oracle(spark, segmented, oracle_cls):
+    store, pdf = segmented
+    searcher = Searcher(Index(spark, store, CFG))
+    oracle = oracle_cls([(f"{i:06d}", t) for i, t in enumerate(pdf["text"])])
+    for q in QUERIES:
+        ours = _ranks(searcher, q)
+        spec_terms = [t.text for t in ast.term_leaves(q)]
+        kind = (
+            "term" if isinstance(q, ast.Term)
+            else "or" if isinstance(q, ast.Or) else "and"
+        )
+        theirs = oracle.query(
+            oracle.make_query({"type": kind, "terms": spec_terms}), limit=10
+        )
+        assert [d for d, _ in ours] == [int(d) for d, _ in theirs]
+
+
+def test_merge_preserves_results(spark, segmented, oracle_cls):
+    """Optimize must match a whoosh index built in the same batches and
+    then optimized — including whoosh's length REQUANTIZATION on merge
+    (writing.py:713-714 feeds quantized lengths into the new segment, so
+    the merged field-length total is a sum of quantized lengths)."""
+    store, pdf = segmented
+    before = {
+        i: {d for d, _ in _ranks(Searcher(Index(spark, store, CFG)), q)}
+        for i, q in enumerate(QUERIES)
+    }
+    m = merge_segments(spark, store, CFG)  # full optimize
+    assert len(m.segments) == 1
+    searcher = Searcher(Index(spark, store, CFG))
+
+    oracle = oracle_cls([(f"{i:06d}", t) for i, t in enumerate(pdf["text"])], batches=3)
+    oracle.ix.optimize()
+    for i, q in enumerate(QUERIES):
+        ours = _ranks(searcher, q)
+        # requantized lengths may reorder near-ties, but the match SET of a
+        # top-10 over these queries should be stable here
+        assert len({d for d, _ in ours} & before[i]) >= len(before[i]) - 2
+        kind = (
+            "term" if isinstance(q, ast.Term)
+            else "or" if isinstance(q, ast.Or) else "and"
+        )
+        theirs = oracle.query(
+            oracle.make_query({"type": kind, "terms": [t.text for t in ast.term_leaves(q)]}),
+            limit=10,
+        )
+        assert [d for d, _ in ours] == [int(d) for d, _ in theirs]
+        for (_, s1), (_, s2) in zip(ours, theirs):
+            assert s1 == pytest.approx(s2, rel=1e-6)
+    # WAND path still agrees on the merged single segment
+    q = QUERIES[1]
+    pruned = [r["docid"] for r in search_wand(searcher, q, limit=10, n_buckets=5).collect()]
+    assert pruned == [d for d, _ in _ranks(searcher, q)]
+
+
+def test_delete_then_optimize_matches_oracle(spark, tmp_path_factory, oracle_cls, whoosh_ref):
+    pdf = corpus_pandas(150, seed=37, vocab_size=200).sort_values("url").reset_index(drop=True)
+    path = str(tmp_path_factory.mktemp("del_ix"))
+    store = SegmentStore(path)
+    df = spark.createDataFrame(list(zip(pdf["url"], pdf["text"])), "url string, text string")
+    build_segment(spark, df, CFG, store, partitions=2)
+
+    oracle = oracle_cls([(f"{i:06d}", t) for i, t in enumerate(pdf["text"])])
+    # delete every doc containing 'shade' on both sides
+    delete_by_term(spark, store, "text", "shade")
+    from whoosh.query import Term as WTerm
+
+    w = oracle.ix.writer()
+    w.delete_by_term("text", "shade")
+    w.commit()
+
+    searcher = Searcher(Index(spark, store, CFG))
+    q = ast.Or((ast.Term("text", "render"), ast.Term("text", "texture")))
+    ours = _ranks(searcher, q)
+    theirs = oracle.query(
+        oracle.make_query({"type": "or", "terms": ["render", "texture"]}), limit=10
+    )
+    assert [d for d, _ in ours] == [int(d) for d, _ in theirs]
+    for (_, s1), (_, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+
+    # optimize both; stats now exclude deleted docs on both sides
+    merge_segments(spark, store, CFG)
+    oracle.ix.optimize()
+    searcher2 = Searcher(Index(spark, store, CFG))
+    ours2 = _ranks(searcher2, q)
+    theirs2 = oracle.query(
+        oracle.make_query({"type": "or", "terms": ["render", "texture"]}), limit=10
+    )
+    assert [d for d, _ in ours2] == [int(d) for d, _ in theirs2]
+    for (_, s1), (_, s2) in zip(ours2, theirs2):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+
+
+def test_merge_policy_small(spark, tmp_path_factory):
+    pdf = corpus_pandas(200, seed=41, vocab_size=150)
+    path = str(tmp_path_factory.mktemp("pol_ix"))
+    store = SegmentStore(path)
+    _build_batches(spark, store, pdf, 4)
+    m = store.read_manifest()
+    chosen = merge_policy_small(m)
+    assert len(chosen) >= 2  # similar-sized segments should all merge
+    m2 = merge_segments(spark, store, CFG, segment_ids=chosen)
+    assert len(m2.segments) == len(m.segments) - len(chosen) + 1
+    assert m2.doc_count_all == m.doc_count_all

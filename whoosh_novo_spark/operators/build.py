@@ -111,8 +111,14 @@ def _stage_docmap(
 def read_docmap(
     spark: SparkSession, store: SegmentStore, seg: SegmentInfo, columns: list[str] | None = None
 ) -> DataFrame:
-    """Docmap with materialized global docid (base + offset[pid] + ord)."""
+    """Docmap with materialized global docid (base + offset[pid] + ord).
+
+    Merged segments (operators/merge.py) store the docid column directly
+    and are flagged ``materialized`` in their stage marker."""
     marker = store.read_stage_marker(seg.segment_id, "docmap")
+    if marker.get("materialized"):
+        df = spark.read.parquet(store.table_path(seg.segment_id, "docmap"))
+        return df.select(*columns) if columns else df
     base = seg.meta["base"]
     off = F.create_map(
         *[F.lit(x) for kv in marker["offsets"].items() for x in (int(kv[0]), kv[1])]

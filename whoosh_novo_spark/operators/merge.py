@@ -1,0 +1,205 @@
+"""Deletes + LSM-style segment compaction.
+
+Reference semantics mirrored:
+- deletes are recorded per-index and applied at read time without touching
+  segment data (whoosh per-segment deleted sets, whoosh3.py:1340-1351;
+  our tombstones table is anti-joined by Index.postings/doclens).
+  Statistics (doc_count_all, field_length, df) deliberately KEEP counting
+  deleted docs until a merge purges them — that is whoosh's behavior
+  (scoring.py:50-56 uses doc_count_all *including* deleted; terms dict is
+  immutable until merge).
+- merge = whoosh ``add_reader`` (writing.py:730-740) + merge policies
+  (writing.py:68-130): postings from source segments are unioned already
+  tokenized (no re-analysis), deleted docs squeezed out, re-sorted by
+  (field, term, docid) and written as one new segment; terms/doclens/
+  blocks recomputed; a commit atomically swaps the segment list.
+  Unlike whoosh we never renumber docids (they are globally stable), so
+  merge rewrites no posting payloads — survivor relative order, and hence
+  score/docid tie-break ranking, is preserved.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.schema import IndexConfig
+from whoosh_novo_spark.sources.segment_store import Manifest, SegmentInfo, SegmentStore
+
+
+def delete_docs(spark: SparkSession, store: SegmentStore, docids: DataFrame) -> Manifest:
+    """Add docids (column ``docid``) to the tombstone table and commit."""
+    import os
+
+    manifest = store.read_manifest()
+    path = store.tombstones_path()
+    new = docids.select(F.col("docid").cast("long")).distinct()
+    if manifest.has_tombstones and os.path.exists(path):
+        old = spark.read.parquet(path).select("docid")
+        merged = old.unionByName(new).distinct()
+    else:
+        merged = new
+    tmp = path + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    count = spark.read.parquet(tmp).count()
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    manifest.has_tombstones = True
+    manifest.deleted_count = int(count)
+    return store.commit(manifest)
+
+
+def delete_by_term(
+    spark: SparkSession, store: SegmentStore, fieldname: str, text: str
+) -> Manifest:
+    """whoosh ``delete_by_term`` (writing.py:643-659): tombstone every doc
+    whose field contains the term."""
+    manifest = store.read_manifest()
+    paths = store.table_paths(manifest, "postings")
+    postings = spark.read.parquet(*paths)
+    ids = postings.where(
+        (F.col("field") == fieldname) & (F.col("term") == text)
+    ).select("docid")
+    return delete_docs(spark, store, ids)
+
+
+def merge_policy_small(manifest: Manifest) -> list[str]:
+    """Size-tiered selection approximating whoosh MERGE_SMALL's fibonacci
+    heuristic (writing.py:74-109): sort segments by doc_count ascending and
+    merge every segment whose size is < the cumulative size of the smaller
+    ones (always >= 2 segments or none)."""
+    segs = sorted(manifest.segments, key=lambda s: s.doc_count)
+    chosen: list[str] = []
+    acc = 0
+    for s in segs:
+        if not chosen or s.doc_count < max(acc, 1) * 2:
+            chosen.append(s.segment_id)
+            acc += s.doc_count
+        else:
+            break
+    return chosen if len(chosen) >= 2 else []
+
+
+def merge_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    config: IndexConfig,
+    segment_ids: list[str] | None = None,
+    partitions: int | None = None,
+) -> Manifest:
+    """Compact the given segments (default: all == whoosh OPTIMIZE) into
+    one, purging tombstoned docs.  Commits and returns the new manifest."""
+    import os
+
+    t0 = time.time()
+    manifest = store.read_manifest()
+    if segment_ids is None:
+        segment_ids = [s.segment_id for s in manifest.segments]
+    victims = [s for s in manifest.segments if s.segment_id in segment_ids]
+    if len(victims) < 1:
+        return manifest
+    keep = [s for s in manifest.segments if s.segment_id not in segment_ids]
+    sp = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    new_id = store.new_segment_id()
+    tomb = None
+    if manifest.has_tombstones and os.path.exists(store.tombstones_path()):
+        tomb = spark.read.parquet(store.tombstones_path()).select("docid")
+
+    # --- postings: union, purge, re-sort, write (no re-analysis) ---
+    postings = spark.read.parquet(
+        *[store.table_path(s.segment_id, "postings") for s in victims]
+    )
+    if tomb is not None:
+        postings = postings.join(tomb, "docid", "left_anti")
+    merged = postings.repartitionByRange(sp, "field", "term", "docid").sortWithinPartitions(
+        "field", "term", "docid"
+    )
+    merged.write.mode("overwrite").parquet(store.table_path(new_id, "postings"))
+    store.write_stage_marker(new_id, "postings", {"merged_from": segment_ids})
+    postings_new = spark.read.parquet(store.table_path(new_id, "postings"))
+
+    # --- docmap: materialized union of source docmaps (minus tombstones) ---
+    from whoosh_novo_spark.operators.build import read_docmap
+
+    dms = [read_docmap(spark, store, s) for s in victims]
+    dm = dms[0]
+    for d in dms[1:]:
+        dm = dm.unionByName(d)
+    if tomb is not None:
+        dm = dm.join(tomb, "docid", "left_anti")
+    dm.write.mode("overwrite").parquet(store.table_path(new_id, "docmap"))
+    doc_count = spark.read.parquet(store.table_path(new_id, "docmap")).count()
+    store.write_stage_marker(
+        new_id, "docmap", {"materialized": True, "doc_count": int(doc_count)}
+    )
+
+    # --- terms / doclens / blocks recomputed from merged postings ---
+    terms = postings_new.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("weight").alias("cf"),
+        F.max("weight").alias("max_weight"),
+        F.min("len_q").alias("min_len_q"),
+        F.max("len_q").alias("max_len_q"),
+        F.min("docid").alias("min_docid"),
+        F.max("docid").alias("max_docid"),
+    )
+    terms.write.mode("overwrite").parquet(store.table_path(new_id, "terms"))
+    store.write_stage_marker(new_id, "terms", {})
+
+    # whoosh add_reader copies the QUANTIZED length into the new segment
+    # (writing.py:713-714: length = reader.doc_field_length(...)), so the
+    # merged segment's doc lengths and field-length totals are sums of
+    # quantized lengths — replicate exactly for score parity
+    doclens = postings_new.groupBy("field", "docid").agg(
+        F.max("len_q").alias("len_q")
+    )
+    doclens.select(
+        "field", "docid", F.col("len_q").cast("long").alias("len"), "len_q"
+    ).write.mode("overwrite").parquet(store.table_path(new_id, "doclens"))
+    totals = {
+        r["field"]: int(r["total"])
+        for r in doclens.groupBy("field").agg(F.sum("len_q").alias("total")).collect()
+    }
+    store.write_stage_marker(new_id, "doclens", {"field_length": totals})
+
+    from whoosh_novo_spark.operators.blocks import build_blocks
+
+    build_blocks(spark, postings_new, config.block_limit).write.mode(
+        "overwrite"
+    ).parquet(store.table_path(new_id, "blocks"))
+    store.write_stage_marker(new_id, "blocks", {"block_limit": config.block_limit})
+
+    ids_minmax = postings_new.agg(
+        F.min("docid").alias("mn"), F.max("docid").alias("mx")
+    ).collect()[0]
+    seg = SegmentInfo(
+        new_id,
+        int(doc_count),
+        totals,
+        int(ids_minmax["mn"] or 0),
+        int(ids_minmax["mx"] or 0),
+        has_blocks=True,
+        has_positions=any(s.has_positions for s in victims),
+        meta={
+            "base": min(s.meta.get("base", s.min_docid) for s in victims),
+            "merged_from": segment_ids,
+            "merge_seconds": round(time.time() - t0, 3),
+        },
+    )
+
+    manifest.segments = keep + [seg]
+    if not keep:
+        # full optimize: all deletes purged -> clear tombstones
+        manifest.has_tombstones = False
+        manifest.deleted_count = 0
+        import shutil
+
+        if os.path.exists(store.tombstones_path()):
+            shutil.rmtree(store.tombstones_path())
+    return store.commit(manifest)
