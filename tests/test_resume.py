@@ -1,0 +1,75 @@
+"""Resume-from-checkpoint: a build killed between stages must finish from
+where it left off (SURVEY §7.4: idempotent stages, each committing a
+checkpoint + manifest marker), and lineage metrics must be recorded."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from whoosh_novo_spark.operators.build import _stage_docmap, build_segment
+from whoosh_novo_spark.operators.query import Index, Searcher
+from whoosh_novo_spark.plans import ast
+from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+from whoosh_novo_spark.sources.corpus import corpus_pandas
+from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+CFG = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+
+
+def _df(spark, pdf):
+    return spark.createDataFrame(list(zip(pdf["url"], pdf["text"])), "url string, text string")
+
+
+def test_resume_after_docmap_stage(spark, tmp_path):
+    """Simulate a death right after stage 1: only the docmap checkpoint +
+    marker exist; a fresh build_segment call must reuse them and finish."""
+    pdf = corpus_pandas(120, seed=51, vocab_size=100)
+    store = SegmentStore(str(tmp_path))
+    # stage 1 only (what a killed driver would leave behind)
+    marker1 = _stage_docmap(spark, _df(spark, pdf), CFG, store, "seg-00000", 2)
+    assert store.read_manifest().generation == 0  # nothing committed
+    assert store.read_stage_marker("seg-00000", "docmap") is not None
+
+    # restart: full build picks up the same segment dir and its marker
+    m = build_segment(spark, _df(spark, pdf), CFG, store, partitions=2)
+    assert m.generation == 1
+    assert [s.segment_id for s in m.segments] == ["seg-00000"]
+    assert m.doc_count_all == len(pdf)
+    # docmap stage was NOT redone: marker object identical
+    assert store.read_stage_marker("seg-00000", "docmap")["offsets"] == marker1["offsets"]
+
+    s = Searcher(Index(spark, store, CFG))
+    assert s.search(ast.Term("text", "render"), limit=5).count() > 0
+
+
+def test_rebuild_is_idempotent(spark, tmp_path):
+    pdf = corpus_pandas(80, seed=52, vocab_size=100)
+    store = SegmentStore(str(tmp_path))
+    m1 = build_segment(spark, _df(spark, pdf), CFG, store, partitions=2)
+    gen1 = m1.generation
+    # second call with same input = second segment (new batch), not resume
+    m2 = build_segment(spark, _df(spark, pdf), CFG, store, partitions=2)
+    assert m2.generation == gen1 + 1
+    assert len(m2.segments) == 2
+    assert m2.doc_count_all == 2 * len(pdf)
+
+
+def test_lineage_metrics_recorded(spark, tmp_path):
+    pdf = corpus_pandas(100, seed=53, vocab_size=100)
+    store = SegmentStore(str(tmp_path))
+    build_segment(spark, _df(spark, pdf), CFG, store, partitions=3)
+    dm = store.read_stage_marker("seg-00000", "docmap")
+    po = store.read_stage_marker("seg-00000", "postings")
+    assert sum(dm["file_rows"].values()) == len(pdf)
+    assert dm["offsets"] and dm["doc_count"] == len(pdf)
+    assert po["seconds"] >= 0 and sum(po["file_rows"].values()) > 0
+    # manifest records build duration
+    m = store.read_manifest()
+    assert m.segments[0].meta["build_seconds"] > 0
+    # markers are valid JSON on disk (external tooling readable)
+    p = os.path.join(store.segment_dir("seg-00000"), "_stage_docmap.json")
+    with open(p) as f:
+        json.load(f)

@@ -103,7 +103,12 @@ def _stage_docmap(
     for r in counts:
         offsets[str(r["pid"])] = acc
         acc += r["count"]
-    marker = {"offsets": offsets, "doc_count": acc, "partitions": partitions}
+    marker = {
+        "offsets": offsets,
+        "doc_count": acc,
+        "partitions": partitions,
+        "file_rows": parquet_file_rows(path),
+    }
     store.write_stage_marker(segment_id, "docmap", marker)
     return marker
 
@@ -181,6 +186,20 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
     return analyze
 
 
+def parquet_file_rows(path: str) -> dict[str, int]:
+    """Per-file row counts straight from parquet footers (no Spark job) —
+    the per-partition lineage record for each build stage."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for fn in sorted(os.listdir(path)):
+        if fn.endswith(".parquet"):
+            out[fn] = pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
+    return out
+
+
 def _first_of_row(rows: np.ndarray) -> np.ndarray:
     if len(rows) == 0:
         return np.zeros(0, dtype=bool)
@@ -188,6 +207,24 @@ def _first_of_row(rows: np.ndarray) -> np.ndarray:
     first[0] = True
     np.not_equal(rows[1:], rows[:-1], out=first[1:])
     return first
+
+
+def _resumable_segment_id(store: SegmentStore, manifest: Manifest) -> str:
+    """Reuse the newest *uncommitted* ingest segment dir (a previous build
+    of the same batch that died before commit) so its completed stage
+    markers are honored; otherwise mint a fresh id.  Crashed MERGE dirs
+    (materialized docmap markers) are never reused."""
+    import os
+
+    committed = {s.segment_id for s in manifest.segments}
+    seg_root = os.path.join(store.path, "segments")
+    for sid in sorted(os.listdir(seg_root), reverse=True):
+        if sid in committed:
+            continue
+        marker = store.read_stage_marker(sid, "docmap")
+        if marker is None or "offsets" in marker:
+            return sid
+    return store.new_segment_id()
 
 
 def build_segment(
@@ -205,7 +242,7 @@ def build_segment(
     t0 = time.time()
     manifest = store.read_manifest()
     manifest.id_col = config.id_col
-    segment_id = store.new_segment_id()
+    segment_id = _resumable_segment_id(store, manifest)
     base = manifest.next_docid
     sp = partitions or config.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -238,10 +275,19 @@ def build_segment(
         sorted_postings = postings_raw.repartitionByRange(
             sp, "field", "term", "docid"
         ).sortWithinPartitions("field", "term", "docid")
+        t_p = time.time()
         sorted_postings.write.mode("overwrite").parquet(
             store.table_path(segment_id, "postings")
         )
-        store.write_stage_marker(segment_id, "postings", {"partitions": sp})
+        store.write_stage_marker(
+            segment_id,
+            "postings",
+            {
+                "partitions": sp,
+                "seconds": round(time.time() - t_p, 3),
+                "file_rows": parquet_file_rows(store.table_path(segment_id, "postings")),
+            },
+        )
 
     postings = spark.read.parquet(store.table_path(segment_id, "postings"))
 
