@@ -1,0 +1,179 @@
+"""Training-data ops: dedup (exact/jaccard/minhash/simhash), similarity
+search, text statistics — verified against numpy/python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from whoosh_novo_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_batch,
+    lsh_ann_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "The quick brown fox JUMPS over the lazy dog again, and again today!"),  # exact dup of 0 after normalize
+    (2, "the quick brown fox jumps over the lazy cat again and again today"),  # near dup
+    (3, "completely different content about spark indexes and posting lists"),
+    (4, "spark indexes and posting lists are completely different content about"),  # shares shingles with 3
+    (5, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs_df):
+    groups = exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["ids"]) == [0, 1]
+
+
+def _py_shingles(text, k=3):
+    import re
+
+    toks = [t.lower() for t in re.findall(r"[\w*]+(?:\.?[\w*]+)*", text)]
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_ngram_jaccard_matches_python(docs_df):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, tau=0.1, max_shingle_df=None).collect()
+    }
+    for a in range(len(DOCS)):
+        for b in range(a + 1, len(DOCS)):
+            sa, sb = _py_shingles(DOCS[a][1]), _py_shingles(DOCS[b][1])
+            j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+            if j >= 0.1:
+                assert (a, b) in got
+                assert got[(a, b)] == pytest.approx(round(j, 6))
+            else:
+                assert (a, b) not in got
+
+
+def test_minhash_finds_near_dups(docs_df):
+    # 16 bands x 2 rows: P(candidate) ~= 1-(1-j^2)^16, ~0.998 at j=0.57
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_dedup_pairs(
+            docs_df, n_hashes=32, n_bands=16, tau=0.4
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always agrees on all hashes
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup (true j ~ 0.57)
+    assert (0, 5) not in pairs and (3, 5) not in pairs
+
+
+def test_minhash_signature_determinism(docs_df, spark):
+    s1 = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs_df).collect()}
+    s2 = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs_df).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical token streams -> identical signatures
+
+
+def test_simhash_properties(docs_df):
+    h = {r["id"]: r["simhash"] for r in simhash64(docs_df).collect()}
+    assert h[0] == h[1]
+    d_near = bin(h[0] ^ h[2]).count("1")
+    d_far = bin(h[0] ^ h[5]).count("1")
+    assert d_near < d_far
+    assert d_near <= 12
+    near = {(r["a"], r["b"]) for r in simhash_near_pairs(docs_df, max_hamming=12).collect()}
+    assert (0, 1) in near
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    cos = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))) for vid, v in vecs.items()
+    }
+    expected = sorted(cos.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    got = cosine_topk(emb, list(q), k=10).collect()
+    assert [r["vec_id"] for r in got] == [v for v, _ in expected]
+    for r, (_, c) in zip(got, expected):
+        assert r["cos"] == pytest.approx(c, abs=2e-6)
+
+
+def test_cosine_topk_batch_matches_single(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vs = emb.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(str(r["vec_id"]), list(r["embedding"])) for r in vs],
+        "qid string, qvec array<float>",
+    )
+    batch = cosine_topk_batch(emb, queries, k=5).collect()
+    got: dict[str, list] = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    for r in vs:
+        solo = cosine_topk(emb, list(r["embedding"]), k=5).collect()
+        assert [v for _, v in sorted(got[str(r["vec_id"])])] == [x["vec_id"] for x in solo]
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in cosine_topk(emb, list(q), k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_ann_topk(
+            emb, list(q), k=10, n_planes=4, probe_hamming=2
+        ).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, recall
+    assert 7 in approx  # the query vector itself is always found
+
+
+def test_textstats(spark):
+    from whoosh_novo_spark.functions.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "The quick brown fox is running through the woods today"),
+            (1, "the QUICK brown FOX is running, through the woods... today"),
+            (2, "der Hund ist nicht mit der Katze und dem Vogel"),
+            (3, "el perro es una mascota en la casa con los gatos"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        token_count("text").alias("n"),
+        fingerprint("text").alias("fp"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+    ).collect()}
+    assert rows[0]["n"] == 10
+    assert rows[0]["fp"] == rows[1]["fp"]  # punctuation/case robust
+    assert rows[0]["lang"] == "en"
+    assert rows[2]["lang"] == "de"
+    assert rows[3]["lang"] == "es"
+    assert rows[4]["lang"] == "und" and rows[4]["n"] == 0
+    assert 0.0 <= rows[4]["q"] <= rows[0]["q"] <= 1.0

@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All deterministic and (except simhash) built purely from JVM-side SQL
+expressions, with md5-based hashing reproducible in DuckDB so the driver
+oracle can recompute signatures bit-for-bit:
+
+- exact_duplicates: canonical-text fingerprint groupBy (hash-groupBy dedup)
+- shingles / ngram_jaccard_pairs: exact k-word-shingle Jaccard join
+- minhash_signatures / lsh_candidate_pairs: MinHash + banded LSH —
+  the scale path (candidate generation without the quadratic join)
+- simhash: 64-bit SimHash via a vectorized pandas UDF (bit-level ops are
+  the one place SQL is the wrong tool); near-dup = small Hamming distance
+- embedding near-dup lives in operators/similarity.py
+
+Scale notes: shingle explode -> groupBy is shuffle-heavy but linear;
+LSH buckets join on (band, band_hash) so only same-bucket pairs shuffle.
+Head shingles (boilerplate) are the skew risk — ngram_jaccard_pairs caps
+per-shingle fanout with a document-frequency filter, the standard guard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.functions.textstats import fingerprint, hash64, tokens_sql
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of docs with identical normalized token streams.
+    Returns (fp, n, ids sorted) for groups with n >= 2."""
+    fp = docs.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.col("n") >= 2)
+    )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (id, shingle)."""
+    toks = tokens_sql(text_col)
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    tau: float = 0.4,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets: pairs (a < b) with
+    jaccard >= tau.  ``max_shingle_df`` drops boilerplate shingles shared
+    by more than that many docs (skew guard; standard practice)."""
+    sh = shingles(docs, id_col, text_col, k)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > max_shingle_df
+        )
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig array<long>): sig[i] = min over shingles of hash64(i, s).
+    Pure SQL — one explode + one groupBy with n_hashes min aggregates."""
+    sh = shingles(docs, id_col, text_col, k)
+    aggs = [
+        F.min(hash64(F.col("shingle"), seed=i)).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    g = sh.groupBy("id").agg(*aggs)
+    return g.select("id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
+    pair.  Join is on (band, band_key) — only same-bucket docs shuffle."""
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("id").alias("a"), "band", "key")
+    b = bands.select(F.col("id").alias("b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    tau: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact signature agreement ratio
+    (estimated Jaccard) >= tau.  Returns (a, b, est_jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    cand = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands)
+    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ).cast("double")
+                / F.size("sig_a"),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= tau)
+        .select("a", "b", "est_jaccard")
+    )
+    return est
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tf-weighted token hashes (vectorized pandas
+    UDF; Arrow batches, numpy bit ops — no per-row Python loops).
+
+    Token hash: blake2b-8byte (stdlib, deterministic, no external deps).
+    Returns (id, simhash long)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from whoosh_novo_spark.functions.analysis import standard_analyze_batch
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        tb = standard_analyze_batch(texts)
+        n = tb.n_rows
+        if len(tb.term) == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        uniq, inv = np.unique(tb.term, return_inverse=True)
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                for t in uniq
+            ],
+            dtype=np.uint64,
+        )
+        tok_h = hs[inv]
+        bits = ((tok_h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )  # (n_tokens, 64) of 0/1
+        contrib = bits * 2 - 1
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, tb.row, contrib)
+        out_bits = (acc > 0).astype(np.uint64)
+        vals = (out_bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        return pd.Series(vals.astype(np.int64))
+
+    return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
+    chunks (a pair within hamming<=3 must agree on >=1 of 4 chunks —
+    pigeonhole), so no quadratic join."""
+    sh = simhash64(docs, id_col, text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "chunk", "key")
+    b = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "chunk", "key")
+    pairs = (
+        a.join(b, ["chunk", "key"]).where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "a", "b", "hamming"
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: exact brute-force top-k neighbors — one scan, JVM-side
+  dot products via zip_with/aggregate (no Python), TakeOrderedAndProject.
+  The correctness baseline and perfectly adequate for filter-scans.
+- lsh_ann_topk: random-hyperplane LSH bucketing — the scale path: only
+  same-bucket (and neighboring-bucket) vectors are scored.  Hyperplanes
+  are derived deterministically from a seed so runs are reproducible.
+- embedding_near_dup_pairs: all pairs with cosine >= tau via LSH buckets.
+
+At 100 TB the brute-force path is a full scan per query batch (fine when
+queries are batched: one scan scores ALL queries via a broadcast query
+matrix); LSH cuts candidates by ~2^n_planes for online lookups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+    Returns (vec_id, cos) ordered cos desc, vec_id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2))) or 1.0
+    v = F.col(vec_col)
+    vd = F.transform(v, lambda x: x.cast("double"))
+    cos = _dot(vd, q) / (_norm(vd) * F.lit(qn))
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k for MANY query vectors in one scan: broadcast the query
+    set, score every (vector, query) pair JVM-side, window top-k per qid."""
+    from pyspark.sql import Window
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qd = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    j = embeddings.select(F.col(id_col).alias("vec_id"), vd.alias("_v")).crossJoin(
+        F.broadcast(queries.select(F.col(qid_col).alias("qid"), qd.alias("_q")))
+    )
+    cos = _dot(F.col("_v"), F.col("_q")) / (_norm(F.col("_v")) * _norm(F.col("_q")))
+    scored = j.select("qid", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(np.random.SeedSequence([seed]))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Bucket id = sign bits against the hyperplanes (JVM-side)."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe)."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbits = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) >= 0))
+    probe = {qbits}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probe.add(qbits ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qbits ^ (1 << i) ^ (1 << j))
+
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("_bucket").isin(sorted(probe)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    tau: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= tau) via same-bucket join —
+    near-dups almost always share all sign bits at high tau."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    c = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(c, "bucket").where(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= tau)
+        .select("a", "b", "cos")
+        .distinct()
+    )
