@@ -186,6 +186,104 @@ def q_collapse(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- training-data ops
+
+def q_exact_dup(spark, sf_dir):
+    from whoosh_novo_spark.operators.dedup import exact_duplicates
+
+    g = exact_duplicates(_docs(spark, sf_dir))
+    return g.select(
+        "fp", "n", F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))).alias("ids")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    from whoosh_novo_spark.functions.textstats import fingerprint, mean_token_len, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(mean_token_len("text"), 6).alias("mean_len"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def q_lang_counts(spark, sf_dir):
+    from whoosh_novo_spark.functions.textstats import lang_id
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(lang_id("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def q_quality(spark, sf_dir):
+    from whoosh_novo_spark.functions.textstats import quality_score
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from whoosh_novo_spark.operators.dedup import minhash_signatures
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    sigs = minhash_signatures(d, n_hashes=4)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string"))).alias("sig"),
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from whoosh_novo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    return ngram_jaccard_pairs(d, tau=0.02, max_shingle_df=None)
+
+
+def q_cosine_topk(spark, sf_dir):
+    from whoosh_novo_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk(emb, list(qv), k=10)
+
+
+def q_embedding_dup(spark, sf_dir):
+    from whoosh_novo_spark.operators.similarity import embedding_all_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_all_pairs(emb, tau=0.45)
+
+
+def q_simhash(spark, sf_dir):
+    """Rows-only check (bit-level op; no SQL oracle)."""
+    from whoosh_novo_spark.operators.dedup import simhash64
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return simhash64(d).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Rows-only check (approximate by design)."""
+    from whoosh_novo_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return lsh_ann_topk(emb, list(qv), k=10, n_planes=4, probe_hamming=2)
+
+
+def q_phrase(spark, sf_dir):
+    """Rows-only check: positional phrase query (span kernel)."""
+    s = _index_for(spark, sf_dir)
+    return _topk(s, ast.Phrase("text", ("data", "line")), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25_topk": q_term,
@@ -203,6 +301,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclens": q_doclens,
         "facet_lang": q_facet_lang,
         "collapse_per_source": q_collapse,
+        "phrase_topk": q_phrase,
+        "dedup_exact": q_exact_dup,
+        "token_stats": q_token_stats,
+        "langid_counts": q_lang_counts,
+        "quality_scores": q_quality,
+        "minhash_sigs": q_minhash_sigs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dup_pairs": q_embedding_dup,
+        "simhash": q_simhash,
+        "ann_lsh_topk": q_ann_lsh,
     }
 
 
@@ -225,4 +334,14 @@ def oracle_sql() -> dict[str, str]:
         "doclens": osql.doclens_check(),
         "facet_lang": osql.facet_lang_count("spark"),
         "collapse_per_source": osql.collapse_top_per_source("spark"),
+        "dedup_exact": osql.exact_dup_groups(),
+        "token_stats": osql.token_stats(),
+        "langid_counts": osql.lang_id_counts(),
+        "quality_scores": osql.quality_scores(100),
+        "minhash_sigs": osql.minhash_first_sigs(3, 4, 50),
+        "jaccard_pairs": osql.jaccard_pairs(3, 0.02, 120),
+        "cosine_topk": osql.cosine_topk_sql(0, 10),
+        "embedding_dup_pairs": osql.embedding_dup_pairs_sql(0.45),
+        # phrase_topk, simhash, ann_lsh_topk: rows-only (non-SQL-expressible
+        # positional/bit-level/approximate ops)
     }

@@ -128,6 +128,29 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def embedding_all_pairs(
+    embeddings: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= tau (the correctness baseline the LSH
+    variant approximates; O(n^2) — use only on bounded inputs)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("_c", cos)
+        .where(F.col("_c") >= tau)
+        .select("a", "b", F.round("_c", 6).alias("cos"))
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     tau: float = 0.95,

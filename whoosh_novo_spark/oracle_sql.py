@@ -167,6 +167,154 @@ WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = '{term}')
 GROUP BY d.lang ORDER BY d.lang"""
 
 
+# ---------------------------------------------------------------- training-data ops
+
+_TOKS_EXPR = (
+    "list_transform(regexp_extract_all(text, '[\\w*]+(\\.?[\\w*]+)*'), x -> lower(x))"
+)
+
+
+def exact_dup_groups() -> str:
+    """Mirror operators/dedup.exact_duplicates (ids joined as string)."""
+    return f"""
+SELECT fp, count(*)::BIGINT AS n,
+       array_to_string(list_sort(list(doc_id)), ',') AS ids
+FROM (SELECT doc_id, md5(array_to_string({_TOKS_EXPR}, ' ')) AS fp FROM documents)
+GROUP BY fp HAVING count(*) >= 2"""
+
+
+def token_stats() -> str:
+    """Mirror token_count + mean_token_len + fingerprint per doc."""
+    return f"""
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+             ELSE 0 END, 6) AS mean_len,
+       md5(array_to_string(toks, ' ')) AS fp
+FROM (SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents)"""
+
+
+def lang_id_counts() -> str:
+    """Mirror functions/textstats.lang_id: per-language function-word hit
+    counts; winner = max hits, ties -> lexicographically LAST language
+    (Spark array_max over struct(hits, lang)); no hits -> 'und'."""
+    from whoosh_novo_spark.functions.textstats import LANG_PROFILES
+
+    hit_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ",".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        hit_cols.append(
+            f"len(list_filter(toks, x -> x IN ({words}))) "
+            f"+ len(list_filter(toks, x -> FALSE)) AS hits_{lang}"
+        )
+    # NB: count with multiplicity, like the Spark aggregate
+    hit_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ",".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        hit_cols.append(
+            f"list_sum(list_transform(toks, x -> CASE WHEN x IN ({words}) THEN 1 ELSE 0 END)) AS hits_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    pairs = ", ".join(
+        f"{{'h': coalesce(hits_{lg}, 0), 'l': '{lg}'}}" for lg in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents),
+h AS (SELECT doc_id, {','.join(hit_cols)} FROM t),
+g AS (SELECT doc_id, list_max([{pairs}]) AS best FROM h)
+SELECT CASE WHEN best.h > 0 THEN best.l ELSE 'und' END AS lang_guess,
+       count(*)::BIGINT AS n
+FROM g GROUP BY 1 ORDER BY 1"""
+
+
+def minhash_first_sigs(k: int = 3, n_hashes: int = 4, limit: int = 50) -> str:
+    """Mirror minhash_signatures: the first n_hashes signature values for
+    the first `limit` docs (joined to a string for hashing)."""
+    sh = (
+        f"list_distinct(CASE WHEN len(toks) >= {k} THEN "
+        f"list_transform(range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END)"
+    )
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{i}' || chr(31) || shingle), 1, 15))::BIGINT) AS h{i}"
+        for i in range(n_hashes)
+    )
+    cols = ", ".join(f"h{i}" for i in range(n_hashes))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents WHERE doc_id < {limit}),
+s AS (SELECT doc_id, unnest({sh}) AS shingle FROM t),
+m AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id)
+SELECT doc_id, concat_ws(',', {cols}) AS sig FROM m"""
+
+
+def jaccard_pairs(k: int = 3, tau: float = 0.3, limit: int = 120) -> str:
+    """Mirror ngram_jaccard_pairs (no df cap) over the first `limit` docs."""
+    sh = (
+        f"list_distinct(CASE WHEN len(toks) >= {k} THEN "
+        f"list_transform(range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents WHERE doc_id < {limit}),
+s AS (SELECT doc_id, unnest({sh}) AS shingle FROM t),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {tau}"""
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Mirror similarity.cosine_topk with embeddings.vec_id as query."""
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
+LIMIT {k}"""
+
+
+def embedding_dup_pairs_sql(tau: float = 0.9) -> str:
+    """Exact all-pairs cosine >= tau (mirrors the brute-force variant)."""
+    return f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {tau}"""
+
+
+def quality_scores(limit: int = 100) -> str:
+    """Mirror functions/textstats.quality_score for the first docs."""
+    from whoosh_novo_spark.functions.analysis import STOP_WORDS
+
+    stops = ",".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_EXPR} AS toks FROM documents WHERE doc_id < {limit}
+),
+c AS (
+  SELECT doc_id,
+    len(toks)::DOUBLE AS n,
+    CASE WHEN len(toks) > 0 THEN
+      list_sum(list_transform(toks, x -> CASE WHEN x IN ({stops}) THEN 1 ELSE 0 END))::DOUBLE / len(toks)
+    ELSE 0 END AS stop_ratio,
+    CASE WHEN length(text) > 0 THEN
+      length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(text)
+    ELSE 0 END AS alpha
+  FROM t
+)
+SELECT doc_id,
+  round(0.4 * least(n / 64.0, 1.0) + 0.3 * least(stop_ratio * 4.0, 1.0) + 0.3 * alpha, 6) AS quality
+FROM c"""
+
+
 def collapse_top_per_source(term: str, per: int = 1, k: int = 20) -> str:
     """CollapseCollector (collectors.py:854+): best `per` docs per source."""
     return f"""{_BASE}
