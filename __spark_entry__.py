@@ -186,6 +186,62 @@ def q_collapse(spark, sf_dir):
     )
 
 
+def q_or_minmatch(spark, sf_dir):
+    return _topk(
+        _index_for(spark, sf_dir),
+        ast.Or((_T("spark"), _T("data"), _T("query")), minmatch=2),
+    )
+
+
+def q_not(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    r = s.search(ast.Not(_T("spark")), limit=None)
+    return (
+        r.select(F.col("docid").alias("doc_id"))
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+def q_every(spark, sf_dir):
+    s = _index_for(spark, sf_dir)
+    r = s.score_df(ast.Every("text"))
+    return r.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_suggest(spark, sf_dir):
+    from whoosh_novo_spark.operators.suggest import suggest_df
+
+    s = _index_for(spark, sf_dir)
+    return suggest_df(s.index, "text", "spork", limit=5, maxdist=2).select("term")
+
+
+def q_range_facet(spark, sf_dir):
+    from whoosh_novo_spark.operators.facets import range_facet
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ship_package(spark)
+    return (
+        ev.select(range_facet(F.col("value"), 0.0, 100.0, 10.0).alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_date_facet(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    gap = 86400
+    bucket = (F.floor(F.unix_timestamp("ts") / gap).cast("long") * gap).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
 # ----------------------------------------------------- training-data ops
 
 def q_exact_dup(spark, sf_dir):
@@ -302,6 +358,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": q_facet_lang,
         "collapse_per_source": q_collapse,
         "phrase_topk": q_phrase,
+        "or_minmatch_topk": q_or_minmatch,
+        "not_docs": q_not,
+        "every_count": q_every,
+        "suggest_terms": q_suggest,
+        "range_facet_events": q_range_facet,
+        "date_facet_events": q_date_facet,
         "dedup_exact": q_exact_dup,
         "token_stats": q_token_stats,
         "langid_counts": q_lang_counts,
@@ -334,6 +396,12 @@ def oracle_sql() -> dict[str, str]:
         "doclens": osql.doclens_check(),
         "facet_lang": osql.facet_lang_count("spark"),
         "collapse_per_source": osql.collapse_top_per_source("spark"),
+        "or_minmatch_topk": osql.or_minmatch(["spark", "data", "query"], 2),
+        "not_docs": osql.not_term("spark", 20),
+        "every_count": osql.every_count(),
+        "suggest_terms": osql.suggest_terms("spork", 2, 5),
+        "range_facet_events": osql.range_facet_events(0.0, 100.0, 10.0),
+        "date_facet_events": osql.date_facet_events(86400),
         "dedup_exact": osql.exact_dup_groups(),
         "token_stats": osql.token_stats(),
         "langid_counts": osql.lang_id_counts(),

@@ -186,6 +186,24 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
     return analyze
 
 
+def _widen_input_splits(spark: SparkSession, path: str, want_partitions: int) -> None:
+    """Size file splits so a scan of `path` yields ~want_partitions input
+    tasks — the analysis stage's parallelism comes from these splits (the
+    expensive map work happens BEFORE any shuffle, so shuffle.partitions
+    can't help it).  Runtime conf; cheap to set per-build."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fn))
+    if total <= 0:
+        return
+    target = max(1 * 1024 * 1024, min(128 * 1024 * 1024, total // max(want_partitions, 1)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
+
 def parquet_file_rows(path: str) -> dict[str, int]:
     """Per-file row counts straight from parquet footers (no Spark job) —
     the per-partition lineage record for each build stage."""
@@ -265,6 +283,7 @@ def build_segment(
     # stage 2+3: analyze -> postings, range-sorted sink
     if store.read_stage_marker(segment_id, "postings") is None:
         want_pos = seg.has_positions
+        _widen_input_splits(spark, store.table_path(segment_id, "docmap"), sp)
         docmap = read_docmap(
             spark, store, seg, columns=["docid"] + [f.name for f in config.fields]
         )

@@ -167,6 +167,56 @@ WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = '{term}')
 GROUP BY d.lang ORDER BY d.lang"""
 
 
+def or_minmatch(terms: list[str], minmatch: int, k: int = 10) -> str:
+    return f"""{_BASE}
+SELECT doc_id, round(sum(score), 4) AS score
+FROM scored WHERE term IN ({_terms_in(terms)})
+GROUP BY doc_id HAVING count(*) >= {minmatch}
+ORDER BY sum(score) DESC, doc_id ASC LIMIT {k}"""
+
+
+def not_term(term: str, k: int = 20) -> str:
+    """Docs NOT matching the term (Not/InverseMatcher), ordered by id."""
+    return f"""{_with(TOKS_CTE, POSTINGS_CTE)}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM postings WHERE term = '{term}')
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
+def every_count() -> str:
+    """Every(field): docs with at least one indexed term (qcore.py:650)."""
+    return f"""{_with(TOKS_CTE)}
+SELECT count(DISTINCT doc_id)::BIGINT AS n FROM toks"""
+
+
+def suggest_terms(word: str, maxdist: int = 2, limit: int = 5) -> str:
+    """ReaderCorrector ranking: freq desc then term asc within maxdist
+    (spelling.py:109-116; the score is monotonic in frequency)."""
+    return f"""{_with(TOKS_CTE, POSTINGS_CTE)}
+SELECT term FROM (
+  SELECT term, sum(w) AS freq FROM postings
+  WHERE term <> '{word}' AND levenshtein(term, '{word}') <= {maxdist}
+  GROUP BY term
+) ORDER BY freq DESC, term ASC LIMIT {limit}"""
+
+
+def range_facet_events(start: float, end: float, gap: float) -> str:
+    """RangeFacet counts over events.value (sorting.py:446)."""
+    return f"""
+SELECT {start} + {gap} * floor((value - {start}) / {gap}) AS bucket,
+       count(*)::BIGINT AS n
+FROM events WHERE value >= {start} AND value < {end}
+GROUP BY 1 ORDER BY 1"""
+
+
+def date_facet_events(gap_seconds: int) -> str:
+    """DateRangeFacet-style day buckets over events.ts."""
+    return f"""
+SELECT (floor(epoch(ts) / {gap_seconds}) * {gap_seconds})::BIGINT AS bucket,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
 # ---------------------------------------------------------------- training-data ops
 
 _TOKS_EXPR = (
