@@ -56,8 +56,8 @@ docs = spark.read.parquet(src).select("url", "text")
 
 # warm the Python workers (imports of numpy/pandas per worker are a
 # one-time session cost, not part of steady-state throughput)
-warm_store = SegmentStore(ixp + "_warm")
 shutil.rmtree(ixp + "_warm", ignore_errors=True)
+warm_store = SegmentStore(ixp + "_warm")
 build_segment(
     spark, synthesize_corpus(spark, n_docs=2000, n_partitions=cores, seed=7),
     cfg, warm_store, partitions=cores,

@@ -236,6 +236,7 @@ def _resumable_segment_id(store: SegmentStore, manifest: Manifest) -> str:
 
     committed = {s.segment_id for s in manifest.segments}
     seg_root = os.path.join(store.path, "segments")
+    os.makedirs(seg_root, exist_ok=True)
     for sid in sorted(os.listdir(seg_root), reverse=True):
         if sid in committed:
             continue
