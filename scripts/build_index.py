@@ -1,0 +1,96 @@
+"""spark-submit entry point: build (or extend) an index over a web-pages
+table and optionally run smoke queries.
+
+    spark-submit --py-files "$(python -c 'from whoosh_novo_spark.session \
+        import package_zip; print(package_zip())')" \
+        scripts/build_index.py --input /path/pages.parquet \
+        --index /path/index --query spark,index --k 10
+
+This is the deployment shape the engine targets: the driver script plus
+the package zip; no repo checkout needed on executors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir of (url, ..., text) docs")
+    ap.add_argument("--index", required=True, help="segment store path")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--merge", action="store_true", help="compact after build")
+    ap.add_argument("--query", default=None, help="comma-separated AND terms to smoke-query")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("wns-build").getOrCreate()
+    # when launched via spark-submit the session already exists; make sure
+    # the package zip reaches executors even without --py-files
+    try:
+        from whoosh_novo_spark.session import ship_package
+
+        ship_package(spark)
+    except Exception:
+        pass
+
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    cfg = IndexConfig(
+        id_col=args.id_col,
+        fields=(FieldConfig(args.text_col, positions=args.positions),),
+    )
+    store = SegmentStore(args.index)
+    docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
+    t0 = time.time()
+    m = build_segment(spark, docs, cfg, store, partitions=args.partitions)
+    out = {
+        "generation": m.generation,
+        "segments": len(m.segments),
+        "doc_count": m.doc_count_all,
+        "build_sec": round(time.time() - t0, 2),
+        "docs_per_sec": round(m.doc_count_all / (time.time() - t0), 1),
+    }
+
+    if args.merge:
+        from whoosh_novo_spark.operators.merge import merge_segments
+
+        m = merge_segments(spark, store, cfg)
+        out["merged_segments"] = len(m.segments)
+
+    if args.query:
+        from whoosh_novo_spark.operators.query import Index, Searcher
+        from whoosh_novo_spark.plans import ast
+
+        terms = [t for t in args.query.split(",") if t]
+        q = (
+            ast.Term(args.text_col, terms[0])
+            if len(terms) == 1
+            else ast.And(tuple(ast.Term(args.text_col, t) for t in terms))
+        )
+        s = Searcher(Index(spark, store, cfg))
+        t0 = time.time()
+        rows = s.search(q, limit=args.k).collect()
+        out["query"] = {
+            "terms": terms,
+            "latency_sec": round(time.time() - t0, 3),
+            "top": [[int(r["docid"]), round(float(r["score"]), 4)] for r in rows],
+        }
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

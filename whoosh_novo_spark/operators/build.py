@@ -281,17 +281,40 @@ def build_segment(
         meta={"base": base},
     )
 
-    # stage 2+3: analyze -> postings, range-sorted sink
-    if store.read_stage_marker(segment_id, "postings") is None:
+    # stage 2: analyze -> RAW postings staging.  Staged (not piped straight
+    # into the range shuffle) for two reasons: repartitionByRange's sampler
+    # would execute the whole analysis child a SECOND time (doubling the
+    # most expensive stage), and the staged table is the natural resume
+    # point after a crash mid-sort.
+    if (
+        store.read_stage_marker(segment_id, "postings") is None
+        and store.read_stage_marker(segment_id, "postings_raw") is None
+    ):
         want_pos = seg.has_positions
         _widen_input_splits(spark, store.table_path(segment_id, "docmap"), sp)
         docmap = read_docmap(
             spark, store, seg, columns=["docid"] + [f.name for f in config.fields]
         )
-        postings_raw = docmap.mapInPandas(
+        t_r = time.time()
+        docmap.mapInPandas(
             _analyze_partition(config, want_pos),
             POSTINGS_SCHEMA + ", _true_len long",
+        ).write.mode("overwrite").parquet(store.table_path(segment_id, "postings_raw"))
+        store.write_stage_marker(
+            segment_id,
+            "postings_raw",
+            {
+                "seconds": round(time.time() - t_r, 3),
+                "file_rows": parquet_file_rows(
+                    store.table_path(segment_id, "postings_raw")
+                ),
+            },
         )
+
+    # stage 3: range-sorted sink from the staged raw postings
+    if store.read_stage_marker(segment_id, "postings") is None:
+        _widen_input_splits(spark, store.table_path(segment_id, "postings_raw"), sp)
+        postings_raw = spark.read.parquet(store.table_path(segment_id, "postings_raw"))
         sorted_postings = postings_raw.repartitionByRange(
             sp, "field", "term", "docid"
         ).sortWithinPartitions("field", "term", "docid")
@@ -308,6 +331,9 @@ def build_segment(
                 "file_rows": parquet_file_rows(store.table_path(segment_id, "postings")),
             },
         )
+        import shutil as _sh
+
+        _sh.rmtree(store.table_path(segment_id, "postings_raw"), ignore_errors=True)
 
     postings = spark.read.parquet(store.table_path(segment_id, "postings"))
 

@@ -65,23 +65,39 @@ def package_zip() -> str:
         os.environ.get("TMPDIR", "/tmp"), "whoosh_novo_spark_pkg.zip"
     )
     tmp = out + ".tmp"
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.join("whoosh_novo_spark", os.path.relpath(full, pkg_dir))
+                entries.append((rel, full))
+    # deterministic bytes (sorted entries, fixed timestamps) so the same
+    # source always produces the same archive — Spark refuses same-named
+    # files with different contents across addPyFile/--py-files
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
-                continue
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(
-                        "whoosh_novo_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    z.write(full, rel)
+        for rel, full in sorted(entries):
+            info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            with open(full, "rb") as f:
+                z.writestr(info, f.read())
     os.replace(tmp, out)
     return out
 
 
 def ship_package(spark: SparkSession) -> None:
     try:
-        spark.sparkContext.addPyFile(package_zip())
+        sc = spark.sparkContext
+        # skip when --py-files (or a previous call) already shipped it
+        listed = sc._jsc.sc().listFiles().toString() + ",".join(
+            getattr(sc, "_python_includes", []) or []
+        )
+        if "whoosh_novo_spark_pkg.zip" in listed or "whoosh_novo_spark" in ",".join(
+            getattr(sc, "_python_includes", []) or []
+        ):
+            return
+        sc.addPyFile(package_zip())
     except Exception:
         pass  # already added in this context, or non-local scheduler quirk
