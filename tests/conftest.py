@@ -79,9 +79,10 @@ class WhooshOracle:
                 w.add_document(id=rid, text=text)
             w.commit(merge=False)
 
-    def query(self, q, limit=10):
-        with self.ix.searcher() as s:
-            res = s.search(q, limit=limit)
+    def query(self, q, limit=10, optimize=True, weighting=None):
+        kw = {"weighting": weighting} if weighting is not None else {}
+        with self.ix.searcher(**kw) as s:
+            res = s.search(q, limit=limit, optimize=optimize)
             return [(hit["id"], hit.score) for hit in res]
 
     def make_query(self, spec: dict):

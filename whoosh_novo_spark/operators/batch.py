@@ -57,6 +57,13 @@ def search_batch(
         else:
             flat[qid] = sh
 
+    model = searcher.model
+    if not model.separable():
+        # non-separable models can't share one base expression across the
+        # broadcast map; evaluate per query instead
+        fallback.update({qid: queries[qid] for qid in flat})
+        flat = {}
+
     parts: list[DataFrame] = []
     if flat:
         pairs = sorted(
@@ -74,7 +81,9 @@ def search_batch(
                     continue
                 present += 1
                 scorable = ix.config.field(t.fieldname).scorable
-                factor = (searcher.idf(st.df) if scorable else 1.0) * t.boost
+                factor = (
+                    model.factor(searcher, t.fieldname, st) if scorable else 1.0
+                ) * t.boost
                 qt_rows.append((qid, t.fieldname, t.text, float(factor)))
             qmeta_rows.append((qid, kind, n, present))
         qt = spark.createDataFrame(
@@ -96,21 +105,26 @@ def search_batch(
         )
         # one scan x broadcast join: each posting row fans out only to the
         # queries that contain its term
-        base = searcher._bm25_col(1.0, fieldnames[0]) if len(fieldnames) == 1 else None
-        if base is None:
-            # per-field avgfl differs; compute via map over field
-            avgfl_map = F.create_map(
-                *[
-                    F.lit(x)
-                    for f in fieldnames
-                    for x in (f, float(ix.avg_field_length(f)))
-                ]
+        w, flq = F.col("weight"), F.col("len_q")
+        if len(fieldnames) == 1:
+            base = (
+                model.base_col(searcher, fieldnames[0], w, flq)
+                if ix.config.field(fieldnames[0]).scorable
+                else w
             )
-            w, flq = F.col("weight"), F.col("len_q").cast("double")
-            B, K1 = searcher.B, searcher.K1
-            base = (w * (K1 + 1)) / (
-                w + K1 * ((1 - B) + B * flq / avgfl_map[F.col("field")])
-            )
+        else:
+            base = None
+            for f in fieldnames:
+                b = (
+                    model.base_col(searcher, f, w, flq)
+                    if ix.config.field(f).scorable
+                    else w
+                )
+                base = (
+                    F.when(F.col("field") == f, b)
+                    if base is None
+                    else base.when(F.col("field") == f, b)
+                )
         j = p.join(F.broadcast(qt), ["field", "term"])
         scored = j.select(
             "qid", "docid", (base * F.col("factor")).alias("score")

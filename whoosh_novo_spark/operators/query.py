@@ -187,10 +187,19 @@ class Index:
 
 
 class Searcher:
-    def __init__(self, index: Index, B: float = B_DEFAULT, K1: float = K1_DEFAULT):
+    def __init__(
+        self,
+        index: Index,
+        B: float = B_DEFAULT,
+        K1: float = K1_DEFAULT,
+        weighting=None,
+    ):
+        from whoosh_novo_spark.plans.weighting import BM25F
+
         self.index = index
         self.B = B
         self.K1 = K1
+        self.model = weighting if weighting is not None else BM25F(B, K1)
         self._stats_cache: dict[tuple[str, str], TermStats | None] = {}
 
     def _cached_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], TermStats]:
@@ -220,6 +229,36 @@ class Searcher:
             return w  # WeightScorer fallback (scoring.py:301-303,133-157)
         denom = w + K1 * ((1 - B) + B * flq.cast("double") / F.lit(float(avgfl)))
         return F.lit(idf) * (w * (K1 + 1)) / denom
+
+    def _terms_score_col(self, fieldname: str, entries: list[tuple[str, "TermStats", float]]):
+        """Score Column for a single scan over several terms of one field:
+        ``entries`` = [(text, stats, boost)].  Separable models use a
+        broadcast factor map x one base expression; others a per-term CASE
+        chain.  Unscorable fields score by raw weight (WeightScorer,
+        scoring.py:301-303) under every model."""
+        w, flq = F.col("weight"), F.col("len_q")
+        if not self.index.config.field(fieldname).scorable:
+            boost_map = F.create_map(
+                *[F.lit(x) for t, _s, b in entries for x in (t, float(b))]
+            )
+            return w * boost_map[F.col("term")]
+        model = self.model
+        if model.separable():
+            factor_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for t, s, b in entries
+                    for x in (t, float(model.factor(self, fieldname, s) * b))
+                ]
+            )
+            return model.base_col(self, fieldname, w, flq) * factor_map[F.col("term")]
+        expr = None
+        for t, s, b in entries:
+            sc = model.score_col(self, fieldname, s, w, flq) * F.lit(float(b))
+            expr = F.when(F.col("term") == t, sc) if expr is None else expr.when(
+                F.col("term") == t, sc
+            )
+        return expr
 
     # --- public API ----------------------------------------------------
     def search(self, q: ast.Query, limit: int | None = 10) -> DataFrame:
@@ -268,7 +307,7 @@ class Searcher:
             p = self.index.postings().where(
                 (F.col("field") == q.fieldname) & (F.col("term") == q.text)
             )
-            score = self._bm25_col(self.idf(st.df), q.fieldname)
+            score = self._terms_score_col(q.fieldname, [(q.text, st, 1.0)])
             return boost(p.select("docid", score.alias("score")), q.boost)
 
         if isinstance(q, (ast.Prefix, ast.Wildcard, ast.Regex, ast.TermRange, ast.FuzzyTerm)):
@@ -279,15 +318,9 @@ class Searcher:
             p = self.index.postings().where(
                 (F.col("field") == q.fieldname) & F.col("term").isin(texts)
             )
-            # per-term idf via a tiny broadcast map (term -> idf)
-            idf_map = F.create_map(
-                *[
-                    F.lit(x)
-                    for t, st in expansions
-                    for x in (t, float(self.idf(st.df)))
-                ]
+            score = self._terms_score_col(
+                q.fieldname, [(t, st, 1.0) for t, st in expansions]
             )
-            score = self._bm25_col(1.0, q.fieldname) * idf_map[F.col("term")]
             scored = p.select("docid", score.alias("score"))
             agg = scored.groupBy("docid").agg(F.sum("score").alias("score"))
             return boost(agg, q.boost)
@@ -425,21 +458,10 @@ class Searcher:
         p = self.index.postings().where(
             (F.col("field") == fieldname) & F.col("term").isin(texts)
         )
-        scorable = self.index.config.field(fieldname).scorable
-        factor_map = F.create_map(
-            *[
-                F.lit(x)
-                for c in present
-                for x in (
-                    c.text,
-                    float(
-                        (self.idf(stats[(c.fieldname, c.text)].df) if scorable else 1.0)
-                        * c.boost
-                    ),
-                )
-            ]
+        score = self._terms_score_col(
+            fieldname,
+            [(c.text, stats[(c.fieldname, c.text)], c.boost) for c in present],
         )
-        score = self._bm25_col(1.0, fieldname) * factor_map[F.col("term")]
         return p.select("docid", score.alias("score")), len(present), len(kids)
 
     def _compile_phrase(self, q: ast.Phrase, stats) -> DataFrame:
@@ -467,19 +489,14 @@ class Searcher:
         p = self.index.postings().where(
             (F.col("field") == q.fieldname) & F.col("term").isin(words)
         )
-        idf_map = F.create_map(
-            *[
-                F.lit(x)
-                for w, st in zip(words, leaf_stats)
-                for x in (w, float(self.idf(st.df)))
-            ]
-        )
         # order index of each word in the phrase (first occurrence wins for
         # duplicate words — positions arrays still distinguish docs)
         ord_map = F.create_map(
             *[F.lit(x) for i, w in enumerate(words) for x in (w, i)]
         )
-        score = self._bm25_col(1.0, q.fieldname) * idf_map[F.col("term")]
+        score = self._terms_score_col(
+            q.fieldname, [(w, st, 1.0) for w, st in zip(words, leaf_stats)]
+        )
         # shift each word's positions back by its phrase offset; a phrase
         # occurrence at base position p makes p appear in every word's
         # shifted set — slop=1 (exact adjacency) requires intersection

@@ -78,21 +78,16 @@ def phrase_with_slop(searcher, q: ast.Phrase, stats) -> DataFrame:
                       # (positional.py:258-261)
 
     # stage 1: distributed prefilter — docs containing ALL distinct words,
-    # with per-(doc,word) BM25 scores and positions in one scan
-    idf_map = F.create_map(
-        *[
-            F.lit(x)
-            for w in uniq
-            for x in (w, float(searcher.idf(stats[(q.fieldname, w)].df)))
-        ]
-    )
+    # with per-(doc,word) scores and positions in one scan
     cnt_map = F.create_map(
         *[F.lit(x) for w in uniq for x in (w, float(word_counts[w]))]
     )
     p = ix.postings().where(
         (F.col("field") == q.fieldname) & F.col("term").isin(uniq)
     )
-    score = searcher._bm25_col(1.0, q.fieldname) * idf_map[F.col("term")]
+    score = searcher._terms_score_col(
+        q.fieldname, [(w, stats[(q.fieldname, w)], 1.0) for w in uniq]
+    )
     # duplicate phrase words score once per phrase occurrence (one matcher
     # per word in SpanNear2Matcher)
     rows = p.select(
@@ -157,11 +152,10 @@ def spannear2(
         return phrase_with_slop(searcher, q, stats)
     # unordered / custom mindist variant: same plan, different kernel params
     uniq = sorted(set(words))
-    idf_map = F.create_map(
-        *[F.lit(x) for w in uniq for x in (w, float(searcher.idf(stats[(fieldname, w)].df)))]
-    )
     p = ix.postings().where((F.col("field") == fieldname) & F.col("term").isin(uniq))
-    score = searcher._bm25_col(1.0, fieldname) * idf_map[F.col("term")]
+    score = searcher._terms_score_col(
+        fieldname, [(w, stats[(fieldname, w)], 1.0) for w in uniq]
+    )
     rows = p.select("docid", "term", score.alias("score"), "positions")
     cand = (
         rows.groupBy("docid")

@@ -192,6 +192,13 @@ def search_wand(
     else:
         return searcher.search(q, limit=limit)  # non-flat: exact path
 
+    from whoosh_novo_spark.plans.weighting import BM25F as _BM25F
+
+    if not isinstance(searcher.model, _BM25F):
+        # the numpy kernel hard-codes the BM25 bound math; other models
+        # use the exact path (pruning is an optimization, not semantics)
+        return searcher.search(q, limit=limit)
+
     if ix.manifest.has_tombstones:
         # deleted docs would inflate the pruning threshold inside the
         # kernel; correct handling needs the tombstone set per bucket —
@@ -206,7 +213,7 @@ def search_wand(
         return spark.createDataFrame([], "docid long, score double")
 
     avgfl = ix.avg_field_length(fieldname)
-    B, K1 = searcher.B, searcher.K1
+    B, K1 = searcher.model.B, searcher.model.K1
     idf = {t.text: searcher.idf(stats[(t.fieldname, t.text)].df) for t in present}
     # whole-list max quality (scoring.py:205-212: score(max_weight, min_length))
     mq = {

@@ -1,0 +1,176 @@
+"""Pluggable weighting models (scoring.py:37-520 equivalents).
+
+Each model turns (per-term statistics, weight column, quantized-length
+column) into a JVM-side score Column.  Models whose score factors as
+``term_factor x f(weight, length)`` (BM25F, TF_IDF, Frequency) are
+*separable*: the flat single-scan fast path multiplies a broadcast
+per-term factor map into one shared base expression.  Non-separable
+models (PL2, DFree) get a per-term CASE chain — still one scan.
+
+Reference formulas replicated exactly:
+- BM25F   scoring.py:263-328 (B=0.75, K1=1.2)
+- TF_IDF  scoring.py:468-494: weight * idf
+- Frequency scoring.py:461-465: raw weight
+- DFree   scoring.py:330-381 (Terrier's DFree; cf = collection weight,
+          fl = total field length)
+- PL2     scoring.py:385-446 (Terrier's PL2, c=1.0)
+- MultiWeighting (per-field models), ReverseWeighting (0 - score),
+  FunctionWeighting (user Column builder) scoring.py:514-610
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class WeightingModel:
+    """Base: build a score Column for one (field, term)."""
+
+    def idf(self, searcher, df: int) -> float:
+        return math.log(searcher.index.doc_count_all / (df + 1)) + 1.0
+
+    def separable(self) -> bool:
+        return False
+
+    def factor(self, searcher, fieldname: str, stats) -> float:
+        raise NotImplementedError
+
+    def base_col(self, searcher, fieldname: str, w: Column, flq: Column) -> Column:
+        raise NotImplementedError
+
+    def score_col(self, searcher, fieldname: str, stats, w: Column, flq: Column) -> Column:
+        if self.separable():
+            return self.base_col(searcher, fieldname, w, flq) * F.lit(
+                self.factor(searcher, fieldname, stats)
+            )
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class BM25F(WeightingModel):
+    B: float = 0.75
+    K1: float = 1.2
+
+    def separable(self) -> bool:
+        return True
+
+    def factor(self, searcher, fieldname, stats) -> float:
+        return self.idf(searcher, stats.df)
+
+    def base_col(self, searcher, fieldname, w, flq) -> Column:
+        avgfl = searcher.index.avg_field_length(fieldname)
+        B, K1 = self.B, self.K1
+        denom = w + K1 * ((1 - B) + B * flq.cast("double") / F.lit(float(avgfl)))
+        return (w * (K1 + 1)) / denom
+
+
+@dataclass(frozen=True)
+class TF_IDF(WeightingModel):
+    def separable(self) -> bool:
+        return True
+
+    def factor(self, searcher, fieldname, stats) -> float:
+        return self.idf(searcher, stats.df)
+
+    def base_col(self, searcher, fieldname, w, flq) -> Column:
+        return w
+
+
+@dataclass(frozen=True)
+class Frequency(WeightingModel):
+    def separable(self) -> bool:
+        return True
+
+    def factor(self, searcher, fieldname, stats) -> float:
+        return 1.0
+
+    def base_col(self, searcher, fieldname, w, flq) -> Column:
+        return w
+
+
+@dataclass(frozen=True)
+class DFree(WeightingModel):
+    qf: float = 1.0
+
+    def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
+        cf = float(stats.cf)
+        fl = float(searcher.index.manifest.field_length(fieldname))
+        dl = flq.cast("double")
+        tf = w
+        prior = tf / dl
+        post = (tf + 1.0) / (dl + 1.0)
+        invpriorcol = F.lit(fl / cf)
+        norm = tf * F.log(post / prior)
+        return F.lit(self.qf) * norm * (
+            tf * F.log(prior * invpriorcol)
+            + (tf + 1.0) * F.log(post * invpriorcol)
+            + 0.5 * F.log(post / prior)
+        )
+
+
+@dataclass(frozen=True)
+class PL2(WeightingModel):
+    c: float = 1.0
+    qf: float = 1.0
+
+    def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
+        rec_log2_e = 1.0 / math.log(2)
+        dc = searcher.index.doc_count_all
+        avgfl = searcher.index.avg_field_length(fieldname)
+        f = float(stats.cf) / dc
+        TF = w * F.log(1.0 + (self.c * avgfl) / flq.cast("double"))
+        norm = 1.0 / (TF + 1.0)
+        return norm * F.lit(self.qf) * (
+            TF * F.lit(math.log(1.0 / f))
+            + F.lit(f * rec_log2_e)
+            + 0.5 * F.log(2 * math.pi * TF)
+            + TF * (F.log(TF) - F.lit(rec_log2_e))
+        )
+
+
+@dataclass(frozen=True)
+class MultiWeighting(WeightingModel):
+    """Per-field model override (scoring.py:546-575)."""
+
+    default: WeightingModel
+    fields: tuple[tuple[str, WeightingModel], ...] = ()
+
+    def _for(self, fieldname: str) -> WeightingModel:
+        for f, m in self.fields:
+            if f == fieldname:
+                return m
+        return self.default
+
+    def separable(self) -> bool:
+        return False
+
+    def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
+        return self._for(fieldname).score_col(searcher, fieldname, stats, w, flq)
+
+
+@dataclass(frozen=True)
+class ReverseWeighting(WeightingModel):
+    """0 - subscore (scoring.py:578-610)."""
+
+    model: WeightingModel
+
+    def separable(self) -> bool:
+        return False
+
+    def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
+        return F.lit(0.0) - self.model.score_col(searcher, fieldname, stats, w, flq)
+
+
+class FunctionWeighting(WeightingModel):
+    """Custom scoring function: fn(searcher, fieldname, stats, w, flq) ->
+    Column (scoring.py:514-543's pure-function hook, vectorized)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
+        return self.fn(searcher, fieldname, stats, w, flq)
