@@ -280,6 +280,64 @@ class Searcher:
         )
         return self._compile(q, stats)
 
+    def search_filtered(
+        self,
+        q: ast.Query,
+        limit: int | None = 10,
+        allow: ast.Query | DataFrame | None = None,
+        restrict: ast.Query | DataFrame | None = None,
+    ) -> DataFrame:
+        """FilterCollector (collectors.py:659-762): ``allow`` keeps only
+        docs matching the filter (semi join), ``restrict`` drops docs
+        matching the mask (anti join).  Filters affect membership, never
+        scores — exactly the reference semantics."""
+        qn = q.normalize()
+        scored = self.score_df(qn)
+
+        def ids_of(x) -> DataFrame:
+            if isinstance(x, ast.Query):
+                return self.score_df(x.normalize()).select("docid")
+            return x.select("docid")
+
+        if allow is not None:
+            scored = scored.join(ids_of(allow), "docid", "left_semi")
+        if restrict is not None:
+            scored = scored.join(ids_of(restrict), "docid", "left_anti")
+        out = scored.orderBy(F.desc("score"), F.asc("docid"))
+        return out.limit(limit) if limit is not None else out
+
+    def search_page(self, q: ast.Query, pagenum: int, pagelen: int = 10) -> DataFrame:
+        """Pagination (searching.py:615-667): search(limit=pagenum*pagelen)
+        then slice the last page — same shape here with one extra
+        row_number so the caller gets exactly the page rows."""
+        from pyspark.sql import Window
+
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        top = self.search(q, limit=pagenum * pagelen)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            top.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") > (pagenum - 1) * pagelen)
+            .select("docid", "score", "rank")
+        )
+
+    def search_sorted_by(
+        self,
+        q: ast.Query,
+        docs_key: DataFrame,
+        key: str,
+        limit: int | None = 10,
+        reverse: bool = False,
+    ) -> DataFrame:
+        """SortingCollector (collectors.py:536-583): order matches by a
+        doc-values facet key instead of score; ties by docid asc."""
+        scored = self.score_df(q.normalize())
+        j = scored.join(docs_key.select(F.col("docid"), key), "docid")
+        order = [F.desc(key) if reverse else F.asc(key), F.asc("docid")]
+        out = j.orderBy(*order)
+        return out.limit(limit) if limit is not None else out
+
     def fetch(self, results: DataFrame, columns: list[str]) -> DataFrame:
         """Join top-k docids back to stored fields (Results.fields,
         searching.py:350-392) — broadcast the tiny result set."""
