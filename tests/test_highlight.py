@@ -1,0 +1,95 @@
+"""Highlighting parity with whoosh.highlight on identical inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from whoosh_novo_spark.functions.highlight import (
+    ContextFragmenter,
+    HtmlFormatter,
+    UppercaseFormatter,
+    WholeFragmenter,
+    highlights,
+)
+
+TEXTS = [
+    "The quick brown fox jumped over the lazy dog and the quick cat ran after the fox into the quiet night",
+    "Render pipelines shade every texture while the renderer keeps shading textures in the render farm",
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa",
+    "Short text",
+    "",
+]
+
+CASES = [
+    ({"fox", "dog"}, {}),
+    ({"render", "shade"}, {}),
+    ({"quick"}, {"top": 2}),
+    ({"alpha", "papa"}, {}),
+    ({"missing"}, {}),
+]
+
+
+def _ref_highlight(whoosh_ref, text, terms, top=3, upper=False, whole=False):
+    from whoosh.analysis import StandardAnalyzer
+    from whoosh.highlight import (
+        ContextFragmenter as RCF,
+        HtmlFormatter as RHF,
+        UppercaseFormatter as RUF,
+        WholeFragmenter as RWF,
+        highlight,
+    )
+
+    frag = RWF() if whole else RCF()
+    fmt = RUF() if upper else RHF(tagname="b")
+    return highlight(text, frozenset(terms), StandardAnalyzer(), frag, fmt, top=top)
+
+
+@pytest.mark.parametrize("text", TEXTS, ids=lambda t: t[:18] or "empty")
+@pytest.mark.parametrize("terms,kw", CASES, ids=lambda c: str(sorted(c))[:25] if isinstance(c, set) else str(c))
+def test_html_highlight_matches_reference(whoosh_ref, text, terms, kw):
+    ours = highlights(text, terms, formatter=HtmlFormatter(tagname="b"), **kw)
+    theirs = _ref_highlight(whoosh_ref, text, terms, top=kw.get("top", 3))
+    assert ours == theirs, (text[:30], terms)
+
+
+@pytest.mark.parametrize("text", TEXTS[:3], ids=lambda t: t[:18])
+def test_uppercase_highlight_matches_reference(whoosh_ref, text):
+    terms = {"fox", "render", "alpha", "quick"}
+    ours = highlights(text, terms, formatter=UppercaseFormatter())
+    theirs = _ref_highlight(whoosh_ref, text, terms, upper=True)
+    assert ours == theirs
+
+
+@pytest.mark.parametrize("text", TEXTS[:3], ids=lambda t: t[:18])
+def test_whole_fragmenter_matches_reference(whoosh_ref, text):
+    terms = {"fox", "render", "alpha"}
+    ours = highlights(
+        text, terms, fragmenter=WholeFragmenter(), formatter=UppercaseFormatter()
+    )
+    theirs = _ref_highlight(whoosh_ref, text, terms, upper=True, whole=True)
+    assert ours == theirs
+
+
+def test_highlight_hits_spark(spark, tmp_path):
+    from whoosh_novo_spark.functions.highlight import highlight_hits
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.corpus import corpus_pandas
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    pdf = corpus_pandas(80, seed=131, vocab_size=80)
+    cfg = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+    store = SegmentStore(str(tmp_path))
+    df = spark.createDataFrame(list(zip(pdf["url"], pdf["text"])), "url string, text string")
+    build_segment(spark, df, cfg, store, partitions=2)
+    ix = Index(spark, store, cfg)
+    s = Searcher(ix)
+    res = s.search(ast.Term("text", "render"), limit=5)
+    out = highlight_hits(
+        s, res, ix.docmap(columns=["docid", "text"]), {"render"}
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert "<b" in r["highlight"] and "render" in r["highlight"].lower()
