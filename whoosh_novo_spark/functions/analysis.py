@@ -184,6 +184,31 @@ def stemming_analyze_batch(texts: pd.Series) -> TokenBatch:
     return standard_analyze_batch(texts, stem=True)
 
 
+def _fold_accents(term_arr: np.ndarray) -> np.ndarray:
+    """Accent folding: NFKD-decompose and drop combining marks — the same
+    effect as the reference CharsetFilter with its accent map
+    (filters.py:450-501, support/charset.py) for Latin accents."""
+    import unicodedata
+
+    def fold(s: str) -> str:
+        return "".join(
+            c for c in unicodedata.normalize("NFKD", s) if not unicodedata.combining(c)
+        )
+
+    uniq, inv = np.unique(term_arr, return_inverse=True)
+    folded = np.array([fold(u) for u in uniq], dtype=object)
+    return folded[inv]
+
+
+def folding_analyze_batch(texts: pd.Series) -> TokenBatch:
+    """FancyAnalyzer-style accent-folding chain: standard + accent fold
+    (RegexTokenizer | Lowercase | Stop | CharsetFilter(accent_map))."""
+    tb = standard_analyze_batch(texts)
+    if len(tb.term) == 0:
+        return tb
+    return TokenBatch(tb.row, _fold_accents(tb.term), tb.pos, tb.n_rows)
+
+
 ANALYZERS = {
     "standard": standard_analyze_batch,
     "simple": simple_analyze_batch,
@@ -191,6 +216,7 @@ ANALYZERS = {
     "keyword": keyword_analyze_batch,
     "ngram": ngram_analyze_batch,
     "stemming": stemming_analyze_batch,
+    "folding": folding_analyze_batch,
 }
 
 

@@ -68,6 +68,37 @@ def delete_by_term(
     return delete_docs(spark, store, ids)
 
 
+def update_documents(
+    spark: SparkSession,
+    store: SegmentStore,
+    config,
+    docs: DataFrame,
+    unique_col: str | None = None,
+) -> Manifest:
+    """whoosh ``update_document`` semantics (writing.py: delete any doc
+    whose unique field matches, then add the new version): tombstone the
+    old versions by joining the unique column against the existing docmap,
+    then build the new batch as a fresh segment."""
+    from whoosh_novo_spark.operators.build import build_segment, read_docmap
+
+    unique_col = unique_col or config.id_col
+    manifest = store.read_manifest()
+    if manifest.segments:
+        dms = [
+            read_docmap(spark, store, s, columns=["docid", unique_col])
+            for s in manifest.segments
+        ]
+        dm = dms[0]
+        for d in dms[1:]:
+            dm = dm.unionByName(d)
+        old = dm.join(
+            docs.select(unique_col).distinct(), unique_col, "left_semi"
+        ).select("docid")
+        if old.limit(1).count() > 0:
+            delete_docs(spark, store, old)
+    return build_segment(spark, docs, config, store)
+
+
 def merge_policy_small(manifest: Manifest) -> list[str]:
     """Size-tiered selection approximating whoosh MERGE_SMALL's fibonacci
     heuristic (writing.py:74-109): sort segments by doc_count ascending and
