@@ -85,6 +85,25 @@ def main() -> None:
         s.search(q, limit=10).collect()
         latencies[name] = round(time.time() - t0, 3)
 
+    # pruned path (block-max WAND kernel)
+    from whoosh_novo_spark.operators.wand import search_wand
+
+    t0 = time.time()
+    search_wand(s, qset["q_or3"], limit=10, n_buckets=cpus).collect()
+    latencies["q_or3_wand"] = round(time.time() - t0, 3)
+
+    # batched multi-query (one job for the whole set)
+    from whoosh_novo_spark.operators.batch import search_batch
+
+    many = {}
+    for i in range(50):
+        many[f"b{i}"] = ast.Or((T("spark"), T("data"), T(f"w{i:05d}")))
+    t0 = time.time()
+    search_batch(s, many, limit=10).collect()
+    batch_sec = time.time() - t0
+    latencies["batch50_total"] = round(batch_sec, 3)
+    latencies["batch50_per_query"] = round(batch_sec / 50, 4)
+
     total = round(time.time() - t_all, 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",
