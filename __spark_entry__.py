@@ -121,15 +121,24 @@ def q_wildcard(spark, sf_dir):
 
 
 def q_term_range(spark, sf_dir):
+    """Reference-default constantscore range: matching docs score boost."""
     return _topk(
         _index_for(spark, sf_dir), ast.TermRange("text", "table", "value")
+    )
+
+
+def q_term_range_scored(spark, sf_dir):
+    """constantscore=False variant: BM25 Or-sum over expanded terms."""
+    return _topk(
+        _index_for(spark, sf_dir),
+        ast.TermRange("text", "table", "value", constantscore=False),
     )
 
 
 def q_fuzzy(spark, sf_dir):
     return _topk(
         _index_for(spark, sf_dir),
-        ast.FuzzyTerm("text", "spark", maxdist=1, prefixlength=1),
+        ast.FuzzyTerm("text", "spark", maxdist=1, prefixlength=1, constantscore=False),
     )
 
 
@@ -352,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": q_prefix,
         "wildcard_topk": q_wildcard,
         "term_range_topk": q_term_range,
+        "term_range_scored_topk": q_term_range_scored,
         "fuzzy_topk": q_fuzzy,
         "term_stats": q_term_stats,
         "doclens": q_doclens,
@@ -388,7 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "andmaybe_topk": osql.topk_andmaybe("spark", "data"),
         "prefix_topk": osql.topk_multiterm("term LIKE 'qu%'"),
         "wildcard_topk": osql.topk_multiterm("regexp_matches(term, '^s.*rk$')"),
-        "term_range_topk": osql.topk_multiterm("term >= 'table' AND term <= 'value'"),
+        "term_range_topk": osql.topk_constantscore("term >= 'table' AND term <= 'value'"),
+        "term_range_scored_topk": osql.topk_multiterm("term >= 'table' AND term <= 'value'"),
         "fuzzy_topk": osql.topk_multiterm(
             "term LIKE 's%' AND levenshtein(term, 'spark') <= 1"
         ),

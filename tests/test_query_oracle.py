@@ -117,6 +117,28 @@ def test_stats_match_reference(built, oracle):
             assert st.cf == pytest.approx(s.frequency("text", w))
 
 
+def test_constantscore_multiterm_matches_reference(built, oracle):
+    """Reference-default TermRange/FuzzyTerm: >1 expansion -> every
+    matching doc scores the constant boost (terms.py:230-239); a single
+    expansion falls through to a scored Term."""
+    _, searcher = built
+    specs = [
+        ({"type": "range", "start": "render", "end": "texture"},
+         ast.TermRange("text", "render", "texture")),
+        ({"type": "fuzzy", "text": "w00042", "maxdist": 2, "prefixlength": 1},
+         ast.FuzzyTerm("text", "w00042", maxdist=2, prefixlength=1)),
+    ]
+    for spec, q in specs:
+        ours = [
+            (int(r["docid"]), float(r["score"]))
+            for r in searcher.search(q, limit=10).collect()
+        ]
+        theirs = [(int(d), s) for d, s in oracle.query(oracle.make_query(spec), limit=10)]
+        assert [d for d, _ in ours] == [d for d, _ in theirs], spec
+        for (_, s1), (_, s2) in zip(ours, theirs):
+            assert s1 == pytest.approx(s2, rel=1e-9), spec
+
+
 def test_require_semantics(built):
     """Require(a, b): docs of a∩b scored only by a (wrappers.py:420-483).
 

@@ -376,6 +376,14 @@ class Searcher:
             p = self.index.postings().where(
                 (F.col("field") == q.fieldname) & F.col("term").isin(texts)
             )
+            constant = getattr(q, "constantscore", False) and len(expansions) > 1
+            if constant:
+                # terms.py:230-239: >1 expansion with constantscore ->
+                # weighting=None, every matching doc scores `boost`
+                return (
+                    p.select("docid").distinct()
+                    .select("docid", F.lit(float(q.boost)).alias("score"))
+                )
             score = self._terms_score_col(
                 q.fieldname, [(t, st, 1.0) for t, st in expansions]
             )

@@ -143,6 +143,15 @@ GROUP BY doc_id
 ORDER BY sum(score) DESC, doc_id ASC LIMIT {k}"""
 
 
+def topk_constantscore(where: str, k: int = 10, boost: float = 1.0) -> str:
+    """Reference-default multiterm scoring (terms.py:230-239): >1 matching
+    term -> every matching doc scores the constant boost."""
+    return f"""{_with(TOKS_CTE, POSTINGS_CTE)}
+SELECT DISTINCT doc_id, {boost} AS score
+FROM postings WHERE {where}
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
 def term_stats_top(n: int = 20) -> str:
     """Terms table parity: top-n terms by (df desc, term asc)."""
     return f"""{_with(TOKS_CTE, POSTINGS_CTE)}

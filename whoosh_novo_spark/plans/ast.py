@@ -77,18 +77,23 @@ class Regex(Query):
 @dataclass(frozen=True)
 class FuzzyTerm(Query):
     """Terms within edit distance maxdist sharing ``prefixlength`` prefix
-    (terms.py:436-519)."""
+    (terms.py:436-519).  ``constantscore=True`` (the reference default,
+    terms.py:448): when the lexicon expansion yields >1 term, matching
+    docs score a constant ``boost`` (weighting=None Or, terms.py:230-239);
+    a single expansion falls through to a normally-scored Term."""
 
     fieldname: str
     text: str
     maxdist: int = 1
     prefixlength: int = 1
     boost: float = 1.0
+    constantscore: bool = True
 
 
 @dataclass(frozen=True)
 class TermRange(Query):
-    """Lexicographic term range (ranges.py:144-242)."""
+    """Lexicographic term range (ranges.py:144-242); constantscore=True is
+    the reference default (same semantics as FuzzyTerm above)."""
 
     fieldname: str
     start: str | None
@@ -96,6 +101,7 @@ class TermRange(Query):
     startexcl: bool = False
     endexcl: bool = False
     boost: float = 1.0
+    constantscore: bool = True
 
 
 @dataclass(frozen=True)
