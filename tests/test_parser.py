@@ -1,0 +1,73 @@
+"""Query-language parser: search-result parity with whoosh QueryParser."""
+
+from __future__ import annotations
+
+import pytest
+
+from whoosh_novo_spark.operators.build import build_segment
+from whoosh_novo_spark.operators.query import Index, Searcher
+from whoosh_novo_spark.plans.parser import QueryParser
+from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+from whoosh_novo_spark.sources.corpus import corpus_pandas
+from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+CFG = IndexConfig(id_col="url", fields=(FieldConfig("text", positions=True),))
+
+QUERY_STRINGS = [
+    "render",
+    "render shade",
+    "render AND shade",
+    "render OR shade OR texture",
+    "render AND shade OR texture",
+    "render shade OR texture",
+    "render NOT shade",
+    "NOT shade render",
+    "render ANDNOT shade",
+    "render ANDMAYBE shade",
+    "(render OR shade) AND texture",
+    '"render shade"',
+    '"render shade"~4',
+    "rend*",
+    "re?der",
+    "[render TO texture]",
+    "{render TO texture}",
+    "render^3 shade",
+    "Big-Time render",
+    "the render",  # stopword dropped
+    "render AND (shade OR texture) ANDNOT spark",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = corpus_pandas(200, seed=161, vocab_size=150).sort_values("url").reset_index(drop=True)
+    store = SegmentStore(str(tmp_path_factory.mktemp("qp_ix")))
+    df = spark.createDataFrame(list(zip(pdf["url"], pdf["text"])), "url string, text string")
+    build_segment(spark, df, CFG, store, partitions=2)
+    return Index(spark, store, CFG), pdf
+
+
+@pytest.fixture(scope="module")
+def p_oracle(oracle_cls, built):
+    _, pdf = built
+    return oracle_cls([(f"{i:06d}", t) for i, t in enumerate(pdf["text"])])
+
+
+@pytest.mark.parametrize("qs", QUERY_STRINGS, ids=lambda s: s[:28])
+def test_parsed_query_results_match_reference(built, p_oracle, whoosh_ref, qs):
+    from whoosh.qparser import QueryParser as WQP
+
+    ix, _ = built
+    s = Searcher(ix)
+    qp = QueryParser("text")
+    ours = [
+        (int(r["docid"]), float(r["score"]))
+        for r in s.search(qp.parse(qs), limit=10).collect()
+    ]
+    with p_oracle.ix.searcher() as ws:
+        wq = WQP("text", p_oracle.ix.schema).parse(qs)
+        res = ws.search(wq, limit=10)
+        theirs = [(int(h["id"]), h.score) for h in res]
+    assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
+    for (_, s1), (_, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), qs

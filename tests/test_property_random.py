@@ -58,6 +58,14 @@ def _rand_query(rng: random.Random, depth: int = 0):
         ours = tuple(p[0] for p in pairs)
         theirs = [p[1] for p in pairs]
         if kind == "and":
+            if rng.random() < 0.3:  # negate one branch (And+Not semantics)
+                i = rng.randrange(n)
+                ours = tuple(
+                    ast.Not(c) if j == i else c for j, c in enumerate(ours)
+                )
+                theirs = [
+                    wq.Not(c) if j == i else c for j, c in enumerate(theirs)
+                ]
             return ast.And(ours), wq.And(theirs)
         return ast.Or(ours), wq.Or(theirs)
     (a_o, a_t), (b_o, b_t) = _rand_query(rng, depth + 1), _rand_query(rng, depth + 1)

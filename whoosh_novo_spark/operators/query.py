@@ -398,6 +398,28 @@ class Searcher:
                 d = self.index.doclens().where(F.col("field") == q.fieldname).select("docid")
             return d.select("docid", F.lit(float(q.boost)).alias("score"))
 
+        if isinstance(q, ast.And) and any(isinstance(c, ast.Not) for c in q.children):
+            # whoosh And over Not children: docs matching the positive part
+            # and none of the negated parts; each Not ADDS its boost to the
+            # score (InverseMatcher boost, wrappers.py:76-145)
+            pos = [c for c in q.children if not isinstance(c, ast.Not)]
+            nots = [c for c in q.children if isinstance(c, ast.Not)]
+            if pos:
+                base = self._compile(
+                    pos[0] if len(pos) == 1 else ast.And(tuple(pos)), stats
+                )
+            else:
+                base = self.index.docmap(columns=["docid"]).select(
+                    "docid", F.lit(0.0).alias("score")
+                )
+            for n in nots:
+                base = base.join(
+                    self._compile(n.child, stats).select("docid"), "docid", "left_anti"
+                )
+            offset = float(sum(n.boost for n in nots))
+            base = base.withColumn("score", F.col("score") + F.lit(offset))
+            return boost(base, q.boost)
+
         if isinstance(q, (ast.And, ast.Or, ast.DisjunctionMax)):
             flat = self._flat_terms_df(q, stats)
             if flat is not None:
@@ -489,10 +511,12 @@ class Searcher:
             return boost(a.join(b, "docid", "left_semi"), q.boost)
 
         if isinstance(q, ast.Not):
+            # standalone Not: complement of the child, scored by the
+            # InverseMatcher's boost (wrappers.py:76-145)
             child = self._compile(q.child, stats).select("docid")
             alldocs = self.index.docmap(columns=["docid"])
             return alldocs.join(child, "docid", "left_anti").select(
-                "docid", F.lit(0.0).alias("score")
+                "docid", F.lit(float(q.boost)).alias("score")
             )
 
         if isinstance(q, ast.Phrase):

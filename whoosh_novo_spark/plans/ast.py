@@ -133,24 +133,24 @@ class And(Query):
 
     def normalize(self) -> Query:
         kids: list[Query] = []
-        nots: list[Query] = []
         for c in _norm_children(self.children):
             if isinstance(c, NullQuery):
                 return NULL  # AND with empty relation is empty
             if isinstance(c, And):
                 kids.extend(c.children)
-            elif isinstance(c, Not):
-                nots.append(c.child)
             else:
+                # Not children stay in place: whoosh's And over a Not
+                # child ADDS the InverseMatcher's boost to the score
+                # (wrappers.py:76-145), so a plain AndNot rewrite would
+                # lose the score offset — the compiler handles Not
+                # children with an anti-join + constant offset instead
                 kids.append(c)
         kids = _dedup(kids)
         if not kids:
             return NULL
-        pos: Query = kids[0] if len(kids) == 1 else And(tuple(kids), self.boost)
-        if nots:
-            neg = nots[0] if len(nots) == 1 else Or(tuple(nots))
-            return AndNot(pos, neg)
-        return pos
+        if len(kids) == 1:
+            return kids[0]
+        return And(tuple(kids), self.boost)
 
 
 @dataclass(frozen=True)

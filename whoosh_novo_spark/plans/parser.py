@@ -1,0 +1,213 @@
+"""Query-language parser — the ``QueryParser`` surface of the reference.
+
+Covers the default plugin set's common syntax
+(``src/whoosh/qparser/default.py:95-111`` + plugins.py):
+
+- whitespace-separated items grouped with the default group (And)
+- infix operators with the reference's effective precedence: explicit
+  ``AND`` binds tighter than ``OR``, then ``ANDNOT`` / ``ANDMAYBE``;
+  prefix ``NOT``; juxtaposition is loosest ("a b OR c" == And(a, Or(b,c)))
+- ``field:term``, parenthesized groups, ``"quoted phrases"`` with
+  optional ``~slop``, trailing-``*`` prefix, ``*``/``?`` wildcards,
+  ``[a TO b]`` / ``{a TO b}`` ranges (constantscore, whoosh default),
+  ``term^boost``
+- term text is run through the field's analyzer in query mode; an input
+  word that analyzes to multiple tokens becomes a group of terms (e.g.
+  "big-time" -> And(big, time)); a word that analyzes to nothing (a
+  stopword) is dropped
+
+Output is the engine's own AST (plans/ast.py), verified against the
+reference parser by comparing search RESULTS on identical corpora
+(tests/test_parser.py) — reprs differ, semantics must not.
+"""
+
+from __future__ import annotations
+
+import re
+
+from whoosh_novo_spark.functions.analysis import analyze_query_terms
+from whoosh_novo_spark.plans import ast
+
+_TOKEN_RX = re.compile(
+    r"""
+    (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<phrase>"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?) |
+    (?P<range>[\[{][^\]}]*[\]}]) |
+    (?P<word>[^\s()]+)
+    """,
+    re.VERBOSE,
+)
+
+_OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE"}
+
+
+class QueryParser:
+    def __init__(self, default_field: str, analyzers: dict[str, str] | None = None):
+        """``analyzers`` maps fieldname -> analyzer name (default
+        'standard' for every field)."""
+        self.default_field = default_field
+        self.analyzers = analyzers or {}
+
+    def _analyzer(self, field: str) -> str:
+        return self.analyzers.get(field, "standard")
+
+    # ------------------------------------------------------------ lexing
+    def _lex(self, s: str) -> list:
+        out = []
+        for m in _TOKEN_RX.finditer(s):
+            if m.group("lparen"):
+                out.append(("(",))
+            elif m.group("rparen"):
+                out.append((")",))
+            elif m.group("phrase") is not None:
+                out.append(("phrase", m.group("phrase_body"), int(m.group("slop") or 1)))
+            elif m.group("range") is not None:
+                out.append(("range", m.group("range")))
+            else:
+                w = m.group("word")
+                if w in _OPS:
+                    out.append(("op", w))
+                else:
+                    out.append(("word", w))
+        return out
+
+    # ------------------------------------------------------------ parsing
+    def parse(self, s: str) -> ast.Query:
+        toks = self._lex(s)
+        items, _ = self._parse_group(toks, 0)
+        return self._combine(items).normalize()
+
+    def _parse_group(self, toks, i):
+        """Returns (items, next_index); items are ('q', Query) or ('op', name)."""
+        items = []
+        while i < len(toks):
+            t = toks[i]
+            if t[0] == "(":
+                inner, i = self._parse_group(toks, i + 1)
+                items.append(("q", self._combine(inner)))
+            elif t[0] == ")":
+                return items, i + 1
+            elif t[0] == "op":
+                items.append(("op", t[1]))
+                i += 1
+            elif t[0] == "phrase":
+                items.append(("q", self._phrase(t[1], t[2])))
+                i += 1
+            elif t[0] == "range":
+                items.append(("q", self._range(t[1])))
+                i += 1
+            else:
+                items.append(("q", self._word(t[1])))
+                i += 1
+        return items, i
+
+    def _combine(self, items) -> ast.Query:
+        # stopword-only words analyze to nothing: the reference parser
+        # drops the node entirely (the query still matches on the rest)
+        items = [
+            it for it in items
+            if not (it[0] == "q" and isinstance(it[1], ast.NullQuery))
+        ]
+        # 1. prefix NOT
+        out = []
+        i = 0
+        while i < len(items):
+            kind, v = items[i]
+            if kind == "op" and v == "NOT":
+                if i + 1 < len(items) and items[i + 1][0] == "q":
+                    out.append(("q", ast.Not(items[i + 1][1])))
+                    i += 2
+                    continue
+                i += 1
+                continue
+            out.append(items[i])
+            i += 1
+        # 2. infix operators in precedence order; each consumes its two
+        #    neighbors (whoosh InfixOperator), same-type neighbors merge
+        for opname, cls in (
+            ("AND", ast.And),
+            ("OR", ast.Or),
+            ("ANDNOT", ast.AndNot),
+            ("ANDMAYBE", ast.AndMaybe),
+        ):
+            j = 1
+            while j < len(out) - 0:
+                if j < len(out) and out[j] == ("op", opname):
+                    if j - 1 >= 0 and j + 1 < len(out) and out[j - 1][0] == "q" and out[j + 1][0] == "q":
+                        a, b = out[j - 1][1], out[j + 1][1]
+                        if cls in (ast.And, ast.Or):
+                            kids = (
+                                list(a.children) if isinstance(a, cls) else [a]
+                            ) + [b]
+                            merged = cls(tuple(kids))
+                        else:
+                            merged = cls(a, b)
+                        out[j - 1 : j + 2] = [("q", merged)]
+                        continue
+                    else:
+                        del out[j]
+                        continue
+                j += 1
+        qs = [v for k, v in out if k == "q"]
+        if not qs:
+            return ast.NULL
+        if len(qs) == 1:
+            return qs[0]
+        return ast.And(tuple(qs))  # default group
+
+    # ------------------------------------------------------------ leaves
+    def _word(self, w: str) -> ast.Query:
+        field = self.default_field
+        if ":" in w:
+            f, rest = w.split(":", 1)
+            if f and rest:
+                field, w = f, rest
+        boost = 1.0
+        m = re.search(r"\^(\d+(\.\d+)?)$", w)
+        if m:
+            boost = float(m.group(1))
+            w = w[: m.start()]
+        if w == "*":
+            return ast.Every(field, boost=boost)
+        if "*" in w or "?" in w:
+            if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                return ast.Prefix(field, self._qtext(field, w[:-1]), boost=boost)
+            return ast.Wildcard(field, w.lower(), boost=boost)
+        terms = analyze_query_terms(w, self._analyzer(field))
+        if not terms:
+            return ast.NULL
+        if len(terms) == 1:
+            return ast.Term(field, terms[0], boost=boost)
+        return ast.And(tuple(ast.Term(field, t, boost=boost) for t in terms))
+
+    def _qtext(self, field: str, w: str) -> str:
+        got = analyze_query_terms(w, self._analyzer(field))
+        return got[0] if got else w.lower()
+
+    def _phrase(self, body: str, slop: int) -> ast.Query:
+        field = self.default_field
+        words = analyze_query_terms(body, self._analyzer(field))
+        if not words:
+            return ast.NULL
+        return ast.Phrase(field, tuple(words), slop=slop)
+
+    def _range(self, body: str) -> ast.Query:
+        startexcl = body[0] == "{"
+        endexcl = body[-1] == "}"
+        inner = body[1:-1].strip()
+        if " TO " in inner:
+            s, e = inner.split(" TO ", 1)
+        elif inner.endswith(" TO"):
+            s, e = inner[:-3], ""
+        elif inner.startswith("TO "):
+            s, e = "", inner[3:]
+        else:
+            s, e = inner, inner
+        s = s.strip() or None
+        e = e.strip() or None
+        field = self.default_field
+        if s and ":" in s:
+            field, s = s.split(":", 1)
+        lo = self._qtext(field, s) if s else None
+        hi = self._qtext(field, e) if e else None
+        return ast.TermRange(field, lo, hi, startexcl, endexcl)
