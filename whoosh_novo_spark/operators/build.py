@@ -311,10 +311,49 @@ def build_segment(
             },
         )
 
-    # stage 3: range-sorted sink from the staged raw postings
+    raw_path = store.table_path(segment_id, "postings_raw")
+
+    # stage 3a: terms stats from the RAW staged table (grouping needs no
+    # sort; TermInfo — reading.py:61-139, whoosh3.py:1196-1210)
+    if store.read_stage_marker(segment_id, "terms") is None:
+        _widen_input_splits(spark, raw_path, sp)
+        raw = spark.read.parquet(raw_path)
+        terms = raw.groupBy("field", "term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("weight").alias("cf"),
+            F.max("weight").alias("max_weight"),
+            F.min("len_q").alias("min_len_q"),
+            F.max("len_q").alias("max_len_q"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+        )
+        terms.write.mode("overwrite").parquet(store.table_path(segment_id, "terms"))
+        store.write_stage_marker(segment_id, "terms", {})
+
+    # stage 3b: doclens + exact field-length totals, also from RAW
+    if store.read_stage_marker(segment_id, "doclens") is None:
+        raw = spark.read.parquet(raw_path)
+        doclens = raw.groupBy("field", "docid").agg(
+            F.sum("tf").alias("len"),
+            F.max("len_q").alias("len_q"),
+        )
+        doclens.write.mode("overwrite").parquet(store.table_path(segment_id, "doclens"))
+        totals = {
+            r["field"]: r["total"]
+            for r in raw.groupBy("field").agg(F.sum("_true_len").alias("total")).collect()
+        }
+        store.write_stage_marker(segment_id, "doclens", {"field_length": totals})
+    totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
+    seg.field_length = {k: int(v) for k, v in totals.items()}
+
+    # stage 3c: range-sorted sink.  tf/_true_len are stats-only — dropping
+    # them slims every shuffled/sorted/written row (the stats above came
+    # from the raw table, which is deleted after this stage).
     if store.read_stage_marker(segment_id, "postings") is None:
-        _widen_input_splits(spark, store.table_path(segment_id, "postings_raw"), sp)
-        postings_raw = spark.read.parquet(store.table_path(segment_id, "postings_raw"))
+        _widen_input_splits(spark, raw_path, sp)
+        postings_raw = spark.read.parquet(raw_path).select(
+            "field", "term", "docid", "weight", "len_q", "positions"
+        )
         sorted_postings = postings_raw.repartitionByRange(
             sp, "field", "term", "docid"
         ).sortWithinPartitions("field", "term", "docid")
@@ -333,44 +372,9 @@ def build_segment(
         )
         import shutil as _sh
 
-        _sh.rmtree(store.table_path(segment_id, "postings_raw"), ignore_errors=True)
+        _sh.rmtree(raw_path, ignore_errors=True)
 
     postings = spark.read.parquet(store.table_path(segment_id, "postings"))
-
-    # stage 4a: terms stats (TermInfo: df, cf=sum weight, max_weight,
-    # min/max len, min/max id — reading.py:61-139, whoosh3.py:1196-1210)
-    if store.read_stage_marker(segment_id, "terms") is None:
-        terms = postings.groupBy("field", "term").agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("weight").alias("cf"),
-            F.max("weight").alias("max_weight"),
-            F.min("len_q").alias("min_len_q"),
-            F.max("len_q").alias("max_len_q"),
-            F.min("docid").alias("min_docid"),
-            F.max("docid").alias("max_docid"),
-        )
-        terms.write.mode("overwrite").parquet(store.table_path(segment_id, "terms"))
-        store.write_stage_marker(segment_id, "terms", {})
-
-    # stage 4b: doclens + exact field-length totals
-    if store.read_stage_marker(segment_id, "doclens") is None:
-        doclens = postings.groupBy("field", "docid").agg(
-            F.sum("tf").alias("len"),
-            F.max("len_q").alias("len_q"),
-            F.sum("_true_len").alias("_tl"),
-        )
-        doclens.drop("_tl").write.mode("overwrite").parquet(
-            store.table_path(segment_id, "doclens")
-        )
-        totals = {
-            r["field"]: r["total"]
-            for r in postings.groupBy("field")
-            .agg(F.sum("_true_len").alias("total"))
-            .collect()
-        }
-        store.write_stage_marker(segment_id, "doclens", {"field_length": totals})
-    totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
-    seg.field_length = {k: int(v) for k, v in totals.items()}
 
     # stage 4c: posting blocks (skip pointers + block-max metadata,
     # whoosh3.py:806-824) for the WAND kernel
