@@ -1,0 +1,101 @@
+"""Multi-field indexes: per-field statistics and cross-field queries must
+match a two-TEXT-field reference schema (BM25F's per-field stats)."""
+
+from __future__ import annotations
+
+import pytest
+
+from whoosh_novo_spark.operators.build import build_segment
+from whoosh_novo_spark.operators.query import Index, Searcher
+from whoosh_novo_spark.plans import ast
+from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+from whoosh_novo_spark.sources.corpus import corpus_pandas
+from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+CFG = IndexConfig(
+    id_col="url",
+    fields=(FieldConfig("title"), FieldConfig("body")),
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = corpus_pandas(150, seed=171, vocab_size=100).sort_values("url").reset_index(drop=True)
+    # derive a short title from the first words of the text
+    pdf["title"] = pdf["text"].str.split().str[:4].str.join(" ")
+    store = SegmentStore(str(tmp_path_factory.mktemp("mf_ix")))
+    df = spark.createDataFrame(
+        list(zip(pdf["url"], pdf["title"], pdf["text"])),
+        "url string, title string, body string",
+    )
+    build_segment(spark, df, CFG, store, partitions=2)
+    return Index(spark, store, CFG), pdf
+
+
+@pytest.fixture(scope="module")
+def mf_oracle(whoosh_ref, built):
+    from whoosh import fields
+    from whoosh.analysis import StandardAnalyzer
+    from whoosh.filedb.filestore import RamStorage
+
+    _, pdf = built
+    schema = fields.Schema(
+        id=fields.ID(stored=True),
+        title=fields.TEXT(analyzer=StandardAnalyzer()),
+        body=fields.TEXT(analyzer=StandardAnalyzer()),
+    )
+    ix = RamStorage().create_index(schema)
+    w = ix.writer()
+    for i, r in pdf.iterrows():
+        w.add_document(id=f"{i:06d}", title=r["title"], body=r["text"])
+    w.commit()
+    return ix
+
+
+QUERIES = [
+    lambda wq: (ast.Term("title", "render"), wq.Term("title", "render")),
+    lambda wq: (ast.Term("body", "render"), wq.Term("body", "render")),
+    lambda wq: (
+        ast.Or((ast.Term("title", "render"), ast.Term("body", "shade"))),
+        wq.Or([wq.Term("title", "render"), wq.Term("body", "shade")]),
+    ),
+    lambda wq: (
+        ast.And((ast.Term("title", "render"), ast.Term("body", "render"))),
+        wq.And([wq.Term("title", "render"), wq.Term("body", "render")]),
+    ),
+]
+
+
+@pytest.mark.parametrize("qi", range(4))
+def test_multifield_rank_identity(built, mf_oracle, whoosh_ref, qi):
+    import whoosh.query as wq
+
+    ix, _ = built
+    s = Searcher(ix)
+    ours_q, theirs_q = QUERIES[qi](wq)
+    ours = [
+        (int(r["docid"]), float(r["score"]))
+        for r in s.search(ours_q, limit=10).collect()
+    ]
+    with mf_oracle.searcher() as ws:
+        res = ws.search(theirs_q, limit=10)
+        theirs = [(int(h["id"]), h.score) for h in res]
+    assert [d for d, _ in ours] == [d for d, _ in theirs], qi
+    for (_, s1), (_, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), qi
+    assert len(ours) > 0
+
+
+def test_per_field_stats(built, mf_oracle):
+    ix, _ = built
+    with mf_oracle.searcher() as ws:
+        assert ix.avg_field_length("title") == pytest.approx(
+            ws.avg_field_length("title")
+        )
+        assert ix.avg_field_length("body") == pytest.approx(
+            ws.avg_field_length("body")
+        )
+        st = ix.term_stats([("title", "render"), ("body", "render")])
+        for f in ("title", "body"):
+            got = st.get((f, "render"))
+            assert (got.df if got else 0) == ws.doc_frequency(f, "render")
