@@ -411,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "not_docs": osql.not_term("spark", 20),
         "every_count": osql.every_count(),
         "suggest_terms": osql.suggest_terms("spork", 2, 5),
+        "phrase_topk": osql.phrase2_topk("data", "line"),
         "range_facet_events": osql.range_facet_events(0.0, 100.0, 10.0),
         "date_facet_events": osql.date_facet_events(86400),
         "dedup_exact": osql.exact_dup_groups(),
@@ -421,6 +422,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": osql.jaccard_pairs(3, 0.02, 120),
         "cosine_topk": osql.cosine_topk_sql(0, 10),
         "embedding_dup_pairs": osql.embedding_dup_pairs_sql(0.45),
-        # phrase_topk, simhash, ann_lsh_topk: rows-only (non-SQL-expressible
-        # positional/bit-level/approximate ops)
+        # simhash, ann_lsh_topk: rows-only (bit-level/approximate ops)
     }

@@ -143,6 +143,41 @@ GROUP BY doc_id
 ORDER BY sum(score) DESC, doc_id ASC LIMIT {k}"""
 
 
+def phrase2_topk(w1: str, w2: str, k: int = 10) -> str:
+    """Two-word exact phrase (slop=1): replicates the analyzer's position
+    RENUMBERING (survivors consecutive from the first survivor's original
+    ordinal, filters.py:418-432), requires adjacent positions, scores as
+    the sum of the two words' BM25 (SpanNear2 wraps the intersection)."""
+    return f"""{_BASE},
+toks_ord AS (
+  SELECT doc_id,
+         unnest(list_transform(raw, x -> lower(x))) AS term,
+         generate_subscripts(raw, 1) AS ord
+  FROM (SELECT doc_id, regexp_extract_all(text, '[\\w*]+(\\.?[\\w*]+)*') AS raw
+        FROM documents)
+),
+surv AS (
+  SELECT doc_id, term, ord,
+         min(ord) OVER (PARTITION BY doc_id) AS first_ord,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+  FROM toks_ord
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPS_SQL})
+),
+pos AS (
+  SELECT doc_id, term, (first_ord - 1) + (rn - 1) AS pos FROM surv
+),
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{w1}' AND b.term = '{w2}'
+)
+SELECT h.doc_id, round(sum(s.score), 4) AS score
+FROM hits h JOIN scored s ON s.doc_id = h.doc_id
+WHERE s.term IN ('{w1}', '{w2}')
+GROUP BY h.doc_id
+ORDER BY sum(s.score) DESC, h.doc_id ASC LIMIT {k}"""
+
+
 def topk_constantscore(where: str, k: int = 10, boost: float = 1.0) -> str:
     """Reference-default multiterm scoring (terms.py:230-239): >1 matching
     term -> every matching doc scores the constant boost."""
