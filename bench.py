@@ -104,6 +104,22 @@ def main() -> None:
     latencies["batch50_total"] = round(batch_sec, 3)
     latencies["batch50_per_query"] = round(batch_sec / 50, 4)
 
+    # p95 single-query latency (the BASELINE.json headline metric):
+    # 40 mixed warm top-10 queries, per-query wall times
+    import numpy as _np
+
+    singles = []
+    words = ["spark", "data", "query", "line", "merge", "batch", "table", "scan"]
+    for i in range(40):
+        w1, w2 = words[i % len(words)], words[(i + 3) % len(words)]
+        q = ast.And((T(w1), T(w2))) if i % 2 else ast.Or((T(w1), T(w2)))
+        t0 = time.time()
+        s.search(q, limit=10).collect()
+        singles.append(time.time() - t0)
+    p50, p95 = _np.percentile(singles, [50, 95])
+    latencies["p50_single"] = round(float(p50), 3)
+    latencies["p95_single"] = round(float(p95), 3)
+
     total = round(time.time() - t_all, 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

@@ -125,13 +125,15 @@ def read_docmap(
         df = spark.read.parquet(store.table_path(seg.segment_id, "docmap"))
         return df.select(*columns) if columns else df
     base = seg.meta["base"]
-    off = F.create_map(
-        *[F.lit(x) for kv in marker["offsets"].items() for x in (int(kv[0]), kv[1])]
-    )
     df = spark.read.parquet(store.table_path(seg.segment_id, "docmap"))
-    df = df.withColumn(
-        "docid", (F.lit(base) + off[F.col("pid")] + F.col("local_ord")).cast("long")
-    ).drop("pid", "local_ord")
+    if marker["offsets"]:
+        off = F.create_map(
+            *[F.lit(x) for kv in marker["offsets"].items() for x in (int(kv[0]), kv[1])]
+        )
+        docid = (F.lit(base) + off[F.col("pid")] + F.col("local_ord")).cast("long")
+    else:  # empty segment
+        docid = (F.lit(base) + F.col("local_ord")).cast("long")
+    df = df.withColumn("docid", docid).drop("pid", "local_ord")
     return df.select(*columns) if columns else df
 
 
