@@ -251,6 +251,49 @@ def q_date_facet(spark, sf_dir):
     )
 
 
+def _events(spark, sf_dir):
+    ship_package(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_tumbling(spark, sf_dir):
+    from whoosh_novo_spark.operators.events import tumbling_counts
+
+    return tumbling_counts(_events(spark, sf_dir), gap_seconds=3600)
+
+
+def q_sessionize(spark, sf_dir):
+    from whoosh_novo_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800).select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("start_ep").cast("long").alias("start_ep"),
+        F.col("end_ep").cast("long").alias("end_ep"),
+        "duration",
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    from whoosh_novo_spark.operators.events import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_seconds=1800).select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "avg_events",
+        F.col("max_duration").cast("long").alias("max_duration"),
+    )
+
+
+def q_top_users(spark, sf_dir):
+    from whoosh_novo_spark.operators.events import top_users_by_value
+
+    return top_users_by_value(_events(spark, sf_dir), k=20).select(
+        "user_id", "total_value", F.col("n").cast("long").alias("n")
+    )
+
+
 # ----------------------------------------------------- training-data ops
 
 def q_exact_dup(spark, sf_dir):
@@ -374,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest,
         "range_facet_events": q_range_facet,
         "date_facet_events": q_date_facet,
+        "tumbling_counts": q_tumbling,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "top_users": q_top_users,
         "dedup_exact": q_exact_dup,
         "token_stats": q_token_stats,
         "langid_counts": q_lang_counts,
@@ -414,6 +461,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": osql.phrase2_topk("data", "line"),
         "range_facet_events": osql.range_facet_events(0.0, 100.0, 10.0),
         "date_facet_events": osql.date_facet_events(86400),
+        "tumbling_counts": osql.tumbling_counts_events(3600),
+        "sessionize": osql.sessionize_events(1800),
+        "session_stats": osql.session_stats_events(1800),
+        "top_users": osql.top_users_events(20),
         "dedup_exact": osql.exact_dup_groups(),
         "token_stats": osql.token_stats(),
         "langid_counts": osql.lang_id_counts(),

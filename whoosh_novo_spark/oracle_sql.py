@@ -261,6 +261,59 @@ SELECT (floor(epoch(ts) / {gap_seconds}) * {gap_seconds})::BIGINT AS bucket,
 FROM events GROUP BY 1 ORDER BY 1"""
 
 
+def tumbling_counts_events(gap_seconds: int = 3600) -> str:
+    return f"""
+SELECT (floor(epoch(ts) / {gap_seconds}) * {gap_seconds})::BIGINT AS bucket,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sessionize_events(gap_seconds: int = 1800) -> str:
+    """Gap-based sessions per user (lag + cumulative sum of new-session
+    flags) — mirrors operators/events.sessionize."""
+    return f"""
+WITH g AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ep,
+         lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ep,
+         CASE WHEN prev IS NULL OR ep - prev > {gap_seconds} THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+s AS (
+  SELECT user_id, ep,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ep
+                         ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM f
+)
+SELECT user_id, session_no::BIGINT AS session_no,
+       count(*)::BIGINT AS n_events,
+       min(ep)::BIGINT AS start_ep, max(ep)::BIGINT AS end_ep,
+       (max(ep) - min(ep))::BIGINT AS duration
+FROM s GROUP BY user_id, session_no
+ORDER BY user_id, session_no"""
+
+
+def session_stats_events(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH sess AS ({sessionize_events(gap_seconds)})
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       round(avg(n_events), 4) AS avg_events,
+       max(duration)::BIGINT AS max_duration
+FROM sess GROUP BY user_id ORDER BY user_id"""
+
+
+def top_users_events(k: int = 20) -> str:
+    return f"""
+SELECT user_id, round(sum(value), 4) AS total_value, count(*)::BIGINT AS n
+FROM events GROUP BY user_id
+ORDER BY sum(value) DESC, user_id ASC LIMIT {k}"""
+
+
 # ---------------------------------------------------------------- training-data ops
 
 _TOKS_EXPR = (
