@@ -70,6 +70,28 @@ def test_whole_fragmenter_matches_reference(whoosh_ref, text):
     assert ours == theirs
 
 
+def test_sentence_fragmenter_matches_reference(whoosh_ref):
+    from whoosh.analysis import StandardAnalyzer
+    from whoosh.highlight import SentenceFragmenter as RSF, UppercaseFormatter as RUF, highlight
+
+    from whoosh_novo_spark.functions.highlight import SentenceFragmenter
+
+    texts = [
+        "The fox ran. The dog slept! Was the fox quick? Indeed it was... very quick.",
+        "Render this. Shade that! And texture everything? Sure.",
+        "no punctuation here just words fox dog",
+    ]
+    for text in texts:
+        terms = {"fox", "render", "dog"}
+        ours = highlights(
+            text, terms, fragmenter=SentenceFragmenter(), formatter=UppercaseFormatter()
+        )
+        theirs = highlight(
+            text, frozenset(terms), StandardAnalyzer(), RSF(), RUF()
+        )
+        assert ours == theirs, text
+
+
 def test_highlight_hits_spark(spark, tmp_path):
     from whoosh_novo_spark.functions.highlight import highlight_hits
     from whoosh_novo_spark.operators.build import build_segment

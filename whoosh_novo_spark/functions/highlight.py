@@ -81,6 +81,44 @@ class WholeFragmenter:
         yield Fragment(text, matched, 0, len(text))
 
 
+class SentenceFragmenter:
+    """highlight.py:354-425: break on sentence-end punctuation right after
+    a token; yield sentences that contain matches and fit maxchars.  Use
+    with a stopword-keeping token stream per the reference docstring."""
+
+    def __init__(self, maxchars: int = 200, sentencechars: str = ".!?", charlimit: int = DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.sentencechars = frozenset(sentencechars)
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text, tokens):
+        textlen = len(text)
+        first = None
+        tks: list[Token] = []
+        endchar = None
+        currentlen = 0
+        for t in tokens:
+            startchar, endchar = t.startchar, t.endchar
+            if self.charlimit and endchar > self.charlimit:
+                break
+            if first is None:
+                first = startchar
+                currentlen = 0
+            currentlen += endchar - startchar
+            if t.matched:
+                tks.append(t)
+            if endchar < textlen and text[endchar] in self.sentencechars:
+                if endchar + 1 < textlen and text[endchar + 1] in self.sentencechars:
+                    continue  # "..." is not a sentence end
+                if tks and currentlen <= self.maxchars:
+                    yield Fragment(text, tks, first, endchar)
+                tks = []
+                first = None
+                currentlen = 0
+        if tks:
+            yield Fragment(text, tks, first if first is not None else 0, endchar)
+
+
 class ContextFragmenter:
     """highlight.py:428-505, replicated exactly."""
 
