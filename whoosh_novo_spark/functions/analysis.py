@@ -209,6 +209,41 @@ def folding_analyze_batch(texts: pd.Series) -> TokenBatch:
     return TokenBatch(tb.row, _fold_accents(tb.term), tb.pos, tb.n_rows)
 
 
+def fancy_analyze_batch(texts: pd.Series) -> TokenBatch:
+    """FancyAnalyzer (analyzers.py:257-295): whitespace-gap tokenize ->
+    IntraWordFilter (position-renumbering subword splits) -> lowercase ->
+    stop filter (renumbering survivors)."""
+    from whoosh_novo_spark.functions.intraword import IntraWord
+
+    iw = IntraWord()
+    tok_lists = texts.fillna("").str.split()
+    rows: list[int] = []
+    terms: list[str] = []
+    poss: list[int] = []
+    for r, words in enumerate(tok_lists):
+        if not words:
+            continue
+        expanded = iw.apply([(w, i) for i, w in enumerate(words)])
+        # lowercase + stop (renumber survivors like StopFilter)
+        pos_counter = None
+        for text, pos in expanded:
+            low = text.lower()
+            if len(low) >= MIN_WORD_SIZE and low not in STOP_WORDS:
+                if pos_counter is None:
+                    pos_counter = pos
+                else:
+                    pos_counter += 1
+                rows.append(r)
+                terms.append(low)
+                poss.append(pos_counter)
+    return TokenBatch(
+        np.asarray(rows, dtype=np.int64),
+        np.asarray(terms, dtype=object),
+        np.asarray(poss, dtype=np.int64),
+        len(texts),
+    )
+
+
 ANALYZERS = {
     "standard": standard_analyze_batch,
     "simple": simple_analyze_batch,
@@ -217,6 +252,7 @@ ANALYZERS = {
     "ngram": ngram_analyze_batch,
     "stemming": stemming_analyze_batch,
     "folding": folding_analyze_batch,
+    "fancy": fancy_analyze_batch,
 }
 
 
