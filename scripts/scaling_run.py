@@ -65,7 +65,7 @@ n_total = 0
 t0 = time.time()
 for files in shard_files:
     docs = spark.read.parquet(*files).select("url", "text")
-    m = build_segment(spark, docs, cfg, store, partitions=4 * threads)
+    m = build_segment(spark, docs, cfg, store)  # partitions auto-sized
     n_total = m.doc_count_all
 el = time.time() - t0
 print("RESULT" + json.dumps({{"tag": tag, "build_sec": round(el, 3),
