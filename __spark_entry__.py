@@ -116,6 +116,12 @@ def q_prefix(spark, sf_dir):
     return _topk(_index_for(spark, sf_dir), ast.Prefix("text", "qu"))
 
 
+def q_prefix_hot(spark, sf_dir):
+    """1-char ("hot") prefix: exercises the distributed expansion join —
+    the expansion never leaves the cluster (VERDICT r1 item 1)."""
+    return _topk(_index_for(spark, sf_dir), ast.Prefix("text", "s"))
+
+
 def q_wildcard(spark, sf_dir):
     return _topk(_index_for(spark, sf_dir), ast.Wildcard("text", "s*rk"))
 
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "andnot_topk": q_andnot,
         "andmaybe_topk": q_andmaybe,
         "prefix_topk": q_prefix,
+        "prefix_hot_topk": q_prefix_hot,
         "wildcard_topk": q_wildcard,
         "term_range_topk": q_term_range,
         "term_range_scored_topk": q_term_range_scored,
@@ -444,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "andnot_topk": osql.topk_andnot("spark", "data"),
         "andmaybe_topk": osql.topk_andmaybe("spark", "data"),
         "prefix_topk": osql.topk_multiterm("term LIKE 'qu%'"),
+        "prefix_hot_topk": osql.topk_multiterm("term LIKE 's%'"),
         "wildcard_topk": osql.topk_multiterm("regexp_matches(term, '^s.*rk$')"),
         "term_range_topk": osql.topk_constantscore("term >= 'table' AND term <= 'value'"),
         "term_range_scored_topk": osql.topk_multiterm("term >= 'table' AND term <= 'value'"),

@@ -108,9 +108,40 @@ def _stage_docmap(
         "doc_count": acc,
         "partitions": partitions,
         "file_rows": parquet_file_rows(path),
+        # input fingerprint: lets a later build of a DIFFERENT batch detect
+        # (and refuse) a stale uncommitted segment left by a crash
+        "fingerprint": _docmap_fingerprint(path, id_col, acc),
     }
     store.write_stage_marker(segment_id, "docmap", marker)
     return marker
+
+
+def _docmap_fingerprint(path: str, id_col: str, doc_count: int) -> dict:
+    """(count, min, max of id_col) straight from parquet column stats —
+    no Spark job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    mn = mx = None
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fn)).metadata
+        try:
+            idx = md.schema.names.index(id_col)
+        except ValueError:
+            return {"doc_count": doc_count}
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            if mn is None or st.min < mn:
+                mn = st.min
+            if mx is None or st.max > mx:
+                mx = st.max
+    enc = lambda v: v.decode("utf-8", "replace") if isinstance(v, bytes) else v
+    return {"doc_count": doc_count, "min_id": str(enc(mn)), "max_id": str(enc(mx))}
 
 
 def read_docmap(
@@ -229,21 +260,49 @@ def _first_of_row(rows: np.ndarray) -> np.ndarray:
     return first
 
 
-def _resumable_segment_id(store: SegmentStore, manifest: Manifest) -> str:
+def _resumable_segment_id(
+    store: SegmentStore, manifest: Manifest, spark: SparkSession, docs: DataFrame, id_col: str
+) -> str:
     """Reuse the newest *uncommitted* ingest segment dir (a previous build
     of the same batch that died before commit) so its completed stage
     markers are honored; otherwise mint a fresh id.  Crashed MERGE dirs
-    (materialized docmap markers) are never reused."""
+    (materialized docmap markers) are never reused, and a staged docmap is
+    only adopted when its input fingerprint (count + min/max id) matches
+    the incoming batch — a crashed build of batch A must not be committed
+    as batch B."""
     import os
 
     committed = {s.segment_id for s in manifest.segments}
     seg_root = os.path.join(store.path, "segments")
     os.makedirs(seg_root, exist_ok=True)
+    incoming = None  # computed lazily: only when a resume candidate exists
     for sid in sorted(os.listdir(seg_root), reverse=True):
         if sid in committed:
             continue
         marker = store.read_stage_marker(sid, "docmap")
-        if marker is None or "offsets" in marker:
+        if marker is None:
+            return sid  # crashed before stage 1 finished: safe to reuse dir
+        if "offsets" not in marker:
+            continue  # crashed merge dir
+        fp = marker.get("fingerprint")
+        if fp is None:
+            continue  # pre-fingerprint marker: don't trust it
+        if incoming is None:
+            r = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(id_col).alias("mn"),
+                F.max(id_col).alias("mx"),
+            ).collect()[0]
+            incoming = {
+                "doc_count": int(r["n"]),
+                "min_id": str(r["mn"]),
+                "max_id": str(r["mx"]),
+            }
+        if (
+            fp.get("doc_count") == incoming["doc_count"]
+            and str(fp.get("min_id")) == incoming["min_id"]
+            and str(fp.get("max_id")) == incoming["max_id"]
+        ):
             return sid
     return store.new_segment_id()
 
@@ -263,11 +322,11 @@ def build_segment(
     t0 = time.time()
     manifest = store.read_manifest()
     manifest.id_col = config.id_col
-    segment_id = _resumable_segment_id(store, manifest)
+    segment_id = _resumable_segment_id(store, manifest, spark, docs, config.id_col)
     base = manifest.next_docid
-    sp = partitions or config.shuffle_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    from whoosh_novo_spark.session import shuffle_partitions_of
+
+    sp = partitions or config.shuffle_partitions or shuffle_partitions_of(spark)
 
     # stage 1: docid assignment (staged, resumable)
     dm = _stage_docmap(spark, docs, config, store, segment_id, sp)

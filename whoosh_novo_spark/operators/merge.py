@@ -135,7 +135,9 @@ def merge_segments(
     if len(victims) < 1:
         return manifest
     keep = [s for s in manifest.segments if s.segment_id not in segment_ids]
-    sp = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from whoosh_novo_spark.session import shuffle_partitions_of
+
+    sp = partitions or shuffle_partitions_of(spark)
 
     new_id = store.new_segment_id()
     tomb = None

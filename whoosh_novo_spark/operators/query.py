@@ -141,42 +141,42 @@ class Index:
                 )
         return out
 
-    def expand_terms(self, q: ast.Query) -> list[tuple[str, TermStats]]:
-        """Multi-term expansion against the terms table
-        (terms.py:182-201: simplify -> Or of Terms)."""
-        t = self.terms().groupBy("field", "term").agg(
-            F.sum("df").alias("df"),
-            F.sum("cf").alias("cf"),
-            F.max("max_weight").alias("max_weight"),
-            F.min("min_len_q").alias("min_len_q"),
+    def expand_terms_df(self, q: ast.Query) -> DataFrame:
+        """Multi-term expansion as a DataFrame over the terms table —
+        (term, df, cf, max_weight, min_len_q), stats aggregated across
+        segments.  The expansion never leaves the cluster: the search path
+        joins this to the postings scan (terms.py:182-201's simplify ->
+        Or-of-Terms, expressed as a relational join instead of an AST
+        rewrite)."""
+        t = (
+            self.terms()
+            .where(_multiterm_cond(q))
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_weight").alias("max_weight"),
+                F.min("min_len_q").alias("min_len_q"),
+            )
         )
-        f = F.col("field") == q.fieldname
-        if isinstance(q, ast.Prefix):
-            cond = f & F.col("term").startswith(q.text)
-        elif isinstance(q, ast.Wildcard):
-            # glob -> anchored regex (automata/glob.py semantics)
-            rx = "^" + re.escape(q.text).replace(r"\*", ".*").replace(r"\?", ".") + "$"
-            cond = f & F.col("term").rlike(rx)
-        elif isinstance(q, ast.Regex):
-            cond = f & F.col("term").rlike(q.text)
-        elif isinstance(q, ast.TermRange):
-            cond = f
-            if q.start is not None:
-                cond = cond & (
-                    F.col("term") > q.start if q.startexcl else F.col("term") >= q.start
+        return t
+
+    def expand_terms(self, q: ast.Query, max_clauses: int | None = 1024) -> list[tuple[str, TermStats]]:
+        """Driver-side expansion (only for weighting models that can't
+        express their score over column stats).  Capped at the reference's
+        Or.TOO_MANY_CLAUSES = 1024 (compound.py:282) so a hot pattern can
+        never collect an unbounded term list to the driver."""
+        t = self.expand_terms_df(q)
+        if max_clauses is not None:
+            rows = t.limit(max_clauses + 1).collect()
+            if len(rows) > max_clauses:
+                raise ValueError(
+                    f"multiterm query expands to more than {max_clauses} terms; "
+                    "use a weighting model with column-stat support "
+                    "(score_col_stats) for distributed expansion"
                 )
-            if q.end is not None:
-                cond = cond & (
-                    F.col("term") < q.end if q.endexcl else F.col("term") <= q.end
-                )
-        elif isinstance(q, ast.FuzzyTerm):
-            pre = q.text[: q.prefixlength]
-            cond = f & (F.levenshtein(F.col("term"), F.lit(q.text)) <= q.maxdist)
-            if pre:
-                cond = cond & F.col("term").startswith(pre)
         else:
-            raise TypeError(type(q))
-        rows = t.where(cond).collect()
+            rows = t.collect()
         return [
             (
                 r["term"],
@@ -369,27 +369,7 @@ class Searcher:
             return boost(p.select("docid", score.alias("score")), q.boost)
 
         if isinstance(q, (ast.Prefix, ast.Wildcard, ast.Regex, ast.TermRange, ast.FuzzyTerm)):
-            expansions = self.index.expand_terms(q)
-            if not expansions:
-                return empty
-            texts = [t for t, _ in expansions]
-            p = self.index.postings().where(
-                (F.col("field") == q.fieldname) & F.col("term").isin(texts)
-            )
-            constant = getattr(q, "constantscore", False) and len(expansions) > 1
-            if constant:
-                # terms.py:230-239: >1 expansion with constantscore ->
-                # weighting=None, every matching doc scores `boost`
-                return (
-                    p.select("docid").distinct()
-                    .select("docid", F.lit(float(q.boost)).alias("score"))
-                )
-            score = self._terms_score_col(
-                q.fieldname, [(t, st, 1.0) for t, st in expansions]
-            )
-            scored = p.select("docid", score.alias("score"))
-            agg = scored.groupBy("docid").agg(F.sum("score").alias("score"))
-            return boost(agg, q.boost)
+            return self._compile_multiterm(q)
 
         if isinstance(q, ast.Every):
             if q.fieldname in (None, "*"):
@@ -524,6 +504,78 @@ class Searcher:
 
         raise TypeError(f"unsupported query node {type(q)}")
 
+    def _compile_multiterm(self, q) -> DataFrame:
+        """Prefix/Wildcard/Regex/TermRange/FuzzyTerm without collecting the
+        expansion: the postings scan (pruned by a cheap pushed-down term
+        bound) inner-joins the predicate-filtered terms table, and the
+        per-term score factor is computed FROM THE JOINED STATS COLUMNS —
+        the distributed equivalent of the reference's preloaded-array Or
+        matcher for >TOO_MANY_CLAUSES expansions (compound.py:282,330-340).
+
+        Falls back to the (1024-capped) driver expansion only for weighting
+        models that can't express their score over column stats."""
+        ix = self.index
+        spark = ix.spark
+        empty = spark.createDataFrame([], "docid long, score double")
+        fieldname = q.fieldname
+
+        tdf = ix.expand_terms_df(q)
+        p = ix.postings().where(F.col("field") == fieldname)
+        push = _multiterm_pushdown(q)
+        if push is not None:
+            p = p.where(push)
+
+        if getattr(q, "constantscore", False):
+            # terms.py:230-239: >1 expansion with constantscore ->
+            # weighting=None, every matching doc scores `boost`; exactly 1
+            # expansion scores like a plain Term.  The expansion count is a
+            # 2-row bounded action on the (tiny) terms side, not a collect.
+            n_exp = tdf.limit(2).count()
+            if n_exp == 0:
+                return empty
+            if n_exp > 1:
+                return (
+                    p.join(tdf.select("term"), "term", "left_semi")
+                    .select("docid")
+                    .distinct()
+                    .select("docid", F.lit(float(q.boost)).alias("score"))
+                )
+
+        w, flq = F.col("weight"), F.col("len_q")
+        if not ix.config.field(fieldname).scorable:
+            score = w  # WeightScorer (scoring.py:301-303)
+            joined = p.join(tdf.select("term"), "term", "left_semi")
+        else:
+            score = self.model.score_col_stats(
+                self, fieldname, w, flq, F.col("df").cast("double"), F.col("cf")
+            )
+            if score is None:
+                # model without column-stat support: bounded driver expansion
+                expansions = ix.expand_terms(q)
+                if not expansions:
+                    return empty
+                score_l = self._terms_score_col(
+                    fieldname, [(t, st, 1.0) for t, st in expansions]
+                )
+                pl = p.where(F.col("term").isin([t for t, _ in expansions]))
+                agg = (
+                    pl.select("docid", score_l.alias("score"))
+                    .groupBy("docid")
+                    .agg(F.sum("score").alias("score"))
+                )
+                return agg if q.boost == 1.0 else agg.withColumn(
+                    "score", F.col("score") * F.lit(float(q.boost))
+                )
+            joined = p.join(tdf, "term")
+        agg = (
+            joined.select("docid", score.alias("score"))
+            .groupBy("docid")
+            .agg(F.sum("score").alias("score"))
+        )
+        if q.boost != 1.0:
+            agg = agg.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        return agg
+
     def _flat_terms_df(self, q, stats):
         """Fast path for compounds whose children are all Terms: ONE
         filtered postings scan with a per-term idf/boost broadcast map,
@@ -622,3 +674,78 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d.select("docid", "score"))
     return out
+
+
+_RX_META = set(".*+?[](){}|\\^$")
+
+
+def _literal_prefix_of_regex(pattern: str) -> str:
+    """Leading literal run of an anchored regex ('^abc.*' -> 'abc')."""
+    if not pattern.startswith("^"):
+        return ""
+    out = []
+    for ch in pattern[1:]:
+        if ch in _RX_META:
+            # a quantifier after the last literal makes it optional
+            if ch in "*?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def _multiterm_cond(q: ast.Query):
+    """Exact term-membership predicate for a multiterm node, applied to the
+    (small) terms table (terms.py:310-519 expansions)."""
+    f = F.col("field") == q.fieldname
+    if isinstance(q, ast.Prefix):
+        return f & F.col("term").startswith(q.text)
+    if isinstance(q, ast.Wildcard):
+        # glob -> anchored regex (automata/glob.py semantics)
+        rx = "^" + re.escape(q.text).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+        return f & F.col("term").rlike(rx)
+    if isinstance(q, ast.Regex):
+        return f & F.col("term").rlike(q.text)
+    if isinstance(q, ast.TermRange):
+        cond = f
+        if q.start is not None:
+            cond = cond & (
+                F.col("term") > q.start if q.startexcl else F.col("term") >= q.start
+            )
+        if q.end is not None:
+            cond = cond & (
+                F.col("term") < q.end if q.endexcl else F.col("term") <= q.end
+            )
+        return cond
+    if isinstance(q, ast.FuzzyTerm):
+        pre = q.text[: q.prefixlength]
+        cond = f & (F.levenshtein(F.col("term"), F.lit(q.text)) <= q.maxdist)
+        # cheap length band prunes most of the lexicon before levenshtein
+        cond = cond & F.length("term").between(
+            len(q.text) - q.maxdist, len(q.text) + q.maxdist
+        )
+        if pre:
+            cond = cond & F.col("term").startswith(pre)
+        return cond
+    raise TypeError(type(q))
+
+
+def _multiterm_pushdown(q: ast.Query):
+    """Cheap, parquet-pushable bound for the POSTINGS scan (sorted by
+    (field, term, docid) -> row-group min/max pruning).  Membership is made
+    exact by the join against the expanded terms; this just prunes IO.
+    Returns None when no useful bound exists (e.g. unanchored regex)."""
+    if isinstance(q, ast.Prefix):
+        return F.col("term").startswith(q.text)
+    if isinstance(q, ast.TermRange):
+        return _multiterm_cond(q)  # the range IS the pushdown
+    if isinstance(q, ast.Wildcard):
+        lit = re.split(r"[*?]", q.text, maxsplit=1)[0]
+        return F.col("term").startswith(lit) if lit else None
+    if isinstance(q, ast.Regex):
+        lit = _literal_prefix_of_regex(q.text)
+        return F.col("term").startswith(lit) if lit else None
+    if isinstance(q, ast.FuzzyTerm):
+        pre = q.text[: q.prefixlength]
+        return F.col("term").startswith(pre) if pre else None
+    raise TypeError(type(q))

@@ -206,6 +206,17 @@ def search_wand(
         return searcher.search(q, limit=limit)
 
     fieldname = terms[0].fieldname
+    if (
+        any(t.boost != 1.0 for t in terms)
+        or getattr(qn, "boost", 1.0) != 1.0
+        or (isinstance(qn, ast.Or) and getattr(qn, "minmatch", 0) and qn.minmatch > 1)
+        or len({t.fieldname for t in terms}) != 1
+        or not ix.config.field(fieldname).scorable
+    ):
+        # the kernel hard-codes unboosted single-field BM25 (no Term.boost,
+        # no minmatch counting, no WeightScorer for unscorable fields) —
+        # rank-identity with Searcher.search requires the exact path here
+        return searcher.search(q, limit=limit)
     pairs = [(t.fieldname, t.text) for t in terms]
     stats = searcher._cached_stats(pairs)
     present = [t for t in terms if (t.fieldname, t.text) in stats]
@@ -229,7 +240,9 @@ def search_wand(
     }
     order = [t.text for t in sorted(present, key=lambda t: stats[(t.fieldname, t.text)].df)]
 
-    n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from whoosh_novo_spark.session import shuffle_partitions_of
+
+    n_buckets = n_buckets or shuffle_partitions_of(spark)
     max_docid = ix.manifest.next_docid
     R = max(1, math.ceil(max_docid / n_buckets))
 

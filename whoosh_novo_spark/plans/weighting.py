@@ -33,6 +33,10 @@ class WeightingModel:
     def idf(self, searcher, df: int) -> float:
         return math.log(searcher.index.doc_count_all / (df + 1)) + 1.0
 
+    def idf_col(self, searcher, df: Column) -> Column:
+        """Column twin of ``idf`` for per-term stats joined in as columns."""
+        return F.log(F.lit(float(searcher.index.doc_count_all)) / (df + 1.0)) + 1.0
+
     def separable(self) -> bool:
         return False
 
@@ -48,6 +52,17 @@ class WeightingModel:
                 self.factor(searcher, fieldname, stats)
             )
         raise NotImplementedError
+
+    def score_col_stats(
+        self, searcher, fieldname: str, w: Column, flq: Column, df: Column, cf: Column
+    ) -> Column | None:
+        """Score Column where the per-term statistics are themselves Columns
+        (the distributed multi-term expansion joins the terms table to the
+        postings scan instead of collecting expansions to the driver).
+        Returns None when the model can't express its score with column
+        stats (e.g. an arbitrary user function) — callers fall back to the
+        driver-side expansion with the reference's 1024-clause cap."""
+        return None
 
 
 @dataclass(frozen=True)
@@ -67,6 +82,9 @@ class BM25F(WeightingModel):
         denom = w + K1 * ((1 - B) + B * flq.cast("double") / F.lit(float(avgfl)))
         return (w * (K1 + 1)) / denom
 
+    def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
+        return self.base_col(searcher, fieldname, w, flq) * self.idf_col(searcher, df)
+
 
 @dataclass(frozen=True)
 class TF_IDF(WeightingModel):
@@ -79,6 +97,9 @@ class TF_IDF(WeightingModel):
     def base_col(self, searcher, fieldname, w, flq) -> Column:
         return w
 
+    def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
+        return w * self.idf_col(searcher, df)
+
 
 @dataclass(frozen=True)
 class Frequency(WeightingModel):
@@ -89,6 +110,9 @@ class Frequency(WeightingModel):
         return 1.0
 
     def base_col(self, searcher, fieldname, w, flq) -> Column:
+        return w
+
+    def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
         return w
 
 
@@ -104,6 +128,21 @@ class DFree(WeightingModel):
         prior = tf / dl
         post = (tf + 1.0) / (dl + 1.0)
         invpriorcol = F.lit(fl / cf)
+        norm = tf * F.log(post / prior)
+        return F.lit(self.qf) * norm * (
+            tf * F.log(prior * invpriorcol)
+            + (tf + 1.0) * F.log(post * invpriorcol)
+            + 0.5 * F.log(post / prior)
+        )
+
+    def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
+        # identical formula with cf as a Column (invprior = fl / cf)
+        fl = float(searcher.index.manifest.field_length(fieldname))
+        dl = flq.cast("double")
+        tf = w
+        prior = tf / dl
+        post = (tf + 1.0) / (dl + 1.0)
+        invpriorcol = F.lit(fl) / cf
         norm = tf * F.log(post / prior)
         return F.lit(self.qf) * norm * (
             tf * F.log(prior * invpriorcol)
@@ -131,6 +170,20 @@ class PL2(WeightingModel):
             + TF * (F.log(TF) - F.lit(rec_log2_e))
         )
 
+    def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
+        rec_log2_e = 1.0 / math.log(2)
+        dc = searcher.index.doc_count_all
+        avgfl = searcher.index.avg_field_length(fieldname)
+        f = cf / F.lit(float(dc))
+        TF = w * F.log(1.0 + (self.c * avgfl) / flq.cast("double"))
+        norm = 1.0 / (TF + 1.0)
+        return norm * F.lit(self.qf) * (
+            TF * (F.lit(0.0) - F.log(f))
+            + f * F.lit(rec_log2_e)
+            + 0.5 * F.log(2 * math.pi * TF)
+            + TF * (F.log(TF) - F.lit(rec_log2_e))
+        )
+
 
 @dataclass(frozen=True)
 class MultiWeighting(WeightingModel):
@@ -151,6 +204,9 @@ class MultiWeighting(WeightingModel):
     def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
         return self._for(fieldname).score_col(searcher, fieldname, stats, w, flq)
 
+    def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column | None:
+        return self._for(fieldname).score_col_stats(searcher, fieldname, w, flq, df, cf)
+
 
 @dataclass(frozen=True)
 class ReverseWeighting(WeightingModel):
@@ -163,6 +219,10 @@ class ReverseWeighting(WeightingModel):
 
     def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
         return F.lit(0.0) - self.model.score_col(searcher, fieldname, stats, w, flq)
+
+    def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column | None:
+        inner = self.model.score_col_stats(searcher, fieldname, w, flq, df, cf)
+        return None if inner is None else F.lit(0.0) - inner
 
 
 class FunctionWeighting(WeightingModel):

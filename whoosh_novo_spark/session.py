@@ -49,6 +49,16 @@ def get_spark(
     return spark
 
 
+def shuffle_partitions_of(spark: SparkSession, default: int | None = None) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the "auto"
+    value AQE deployments set — falls back to ``default`` or the cluster's
+    default parallelism when the conf is non-numeric."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return default or spark.sparkContext.defaultParallelism
+
+
 def package_zip() -> str:
     """Zip the whoosh_novo_spark package for --py-files / addPyFile.
 
