@@ -201,6 +201,21 @@ def q_collapse(spark, sf_dir):
     )
 
 
+def q_nested_parent(spark, sf_dir):
+    """NestedParent over a synthetic block layout: every 20th doc is a
+    parent; score = sum of matching children (operators/nested.py)."""
+    from whoosh_novo_spark.operators.nested import nested_parent
+
+    s = _index_for(spark, sf_dir)
+    parents = (
+        s.index.docmap(columns=["docid"]).where(F.col("docid") % 20 == 0)
+    )
+    out = nested_parent(s, parents, _T("spark"), limit=10)
+    return out.select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def q_or_minmatch(spark, sf_dir):
     return _topk(
         _index_for(spark, sf_dir),
@@ -418,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": q_facet_lang,
         "collapse_per_source": q_collapse,
         "phrase_topk": q_phrase,
+        "nested_parent_topk": q_nested_parent,
         "or_minmatch_topk": q_or_minmatch,
         "not_docs": q_not,
         "every_count": q_every,
@@ -467,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "every_count": osql.every_count(),
         "suggest_terms": osql.suggest_terms("spork", 2, 5),
         "phrase_topk": osql.phrase2_topk("data", "line"),
+        "nested_parent_topk": osql.nested_parent_topk("spark", 20, 10),
         "range_facet_events": osql.range_facet_events(0.0, 100.0, 10.0),
         "date_facet_events": osql.date_facet_events(86400),
         "tumbling_counts": osql.tumbling_counts_events(3600),

@@ -124,3 +124,55 @@ def test_nested_children(built):
     # chapter two occupies docids 3..6; children are 4,5,6
     assert [int(r["docid"]) for r in kids] == [4, 5, 6]
     assert all(r["score"] == 1.0 for r in kids)
+
+
+def test_distributed_parent_assignment_matches_kernel(built, monkeypatch):
+    """Forcing the bucketed running-max path (as if the parent set were too
+    big to broadcast) yields exactly the kernel path's results."""
+    import whoosh_novo_spark.operators.nested as nested_mod
+
+    ix, s = built
+    parents = ast.Term("type", "chap")
+    subq = ast.Term("text", "morning")
+    want = [
+        (r["docid"], round(r["score"], 6))
+        for r in nested_parent(s, parents, subq, limit=None).collect()
+    ]
+    monkeypatch.setattr(nested_mod, "BROADCAST_PARENT_LIMIT", 0)
+    got = [
+        (r["docid"], round(r["score"], 6))
+        for r in nested_parent(s, parents, subq, limit=None).collect()
+    ]
+    assert got == want
+    want_c = [
+        r["docid"]
+        for r in nested_children(s, parents, ast.Term("text", "two")).collect()
+    ]
+    got_c = [
+        r["docid"]
+        for r in nested_children(s, parents, ast.Term("text", "two")).collect()
+    ]
+    assert got_c == want_c and len(got_c) > 0
+
+
+def test_distributed_attach_parent_random(spark):
+    """Property check of the bucketed running-max against numpy searchsorted
+    on a synthetic docid universe (parents NOT aligned to bucket edges)."""
+    import numpy as np
+
+    from whoosh_novo_spark.operators.nested import _attach_parent_distributed
+
+    rng = np.random.default_rng(7)
+    parents = np.unique(rng.integers(0, 5000, 120))
+    docs = np.unique(rng.integers(0, 5200, 800))
+    pdf = spark.createDataFrame([(int(p),) for p in parents], "docid long")
+    ddf = spark.createDataFrame([(int(d),) for d in docs], "docid long")
+    out = {
+        r["docid"]: r["parent"]
+        for r in _attach_parent_distributed(spark, ddf, pdf, n_buckets=7).collect()
+    }
+    pos = np.searchsorted(parents, docs, side="right") - 1
+    want = {
+        int(d): (int(parents[p]) if p >= 0 else -1) for d, p in zip(docs, pos)
+    }
+    assert out == want

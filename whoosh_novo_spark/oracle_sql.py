@@ -462,6 +462,18 @@ SELECT doc_id,
 FROM c"""
 
 
+def nested_parent_topk(term: str, block: int = 20, k: int = 10) -> str:
+    """NestedParent with parents = every doc_id divisible by `block`:
+    the nearest preceding parent of d is d - d % block, score = sum of the
+    matching children's BM25 (query/nested.py:33-207 default sum)."""
+    return f"""{_BASE}
+SELECT (doc_id - (doc_id % {block}))::BIGINT AS doc_id,
+       round(sum(score), 4) AS score
+FROM scored WHERE term = '{term}'
+GROUP BY 1
+ORDER BY sum(score) DESC, 1 ASC LIMIT {k}"""
+
+
 def collapse_top_per_source(term: str, per: int = 1, k: int = 20) -> str:
     """CollapseCollector (collectors.py:854+): best `per` docs per source."""
     return f"""{_BASE}
