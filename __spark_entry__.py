@@ -391,7 +391,7 @@ def q_embedding_dup(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """Rows-only check (bit-level op; no SQL oracle)."""
+    """md5-derived SimHash — DuckDB recomputes the signature bit-for-bit."""
     from whoosh_novo_spark.operators.dedup import simhash64
 
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
@@ -399,7 +399,8 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Rows-only check (approximate by design)."""
+    """Multi-probe LSH ANN; the oracle re-runs the whole algorithm in
+    DuckDB from the same deterministic hyperplanes."""
     from whoosh_novo_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -498,5 +499,6 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": osql.jaccard_pairs(3, 0.02, 120),
         "cosine_topk": osql.cosine_topk_sql(0, 10),
         "embedding_dup_pairs": osql.embedding_dup_pairs_sql(0.45),
-        # simhash, ann_lsh_topk: rows-only (bit-level/approximate ops)
+        "simhash": osql.simhash_sigs(100),
+        "ann_lsh_topk": osql.lsh_ann_topk_sql(0, 10, 4, 42, 2, 64),
     }

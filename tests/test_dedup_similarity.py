@@ -177,3 +177,79 @@ def test_textstats(spark):
     assert rows[3]["lang"] == "es"
     assert rows[4]["lang"] == "und" and rows[4]["n"] == 0
     assert 0.0 <= rows[4]["q"] <= rows[0]["q"] <= 1.0
+
+
+def test_block_pair_all_pairs_is_complete(spark):
+    """The block-pair distributed all-pairs join finds exactly the pairs a
+    numpy brute force finds (no pair lost across block boundaries)."""
+    import numpy as np
+
+    from whoosh_novo_spark.operators.similarity import embedding_all_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16))
+    vecs = base[rng.integers(0, 8, 60)] + 0.05 * rng.standard_normal((60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["a"], r["b"]) for r in embedding_all_pairs(df, tau=0.9, n_blocks=5).collect()
+    }
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    nm = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    sim = nm @ nm.T
+    want = {
+        (i, j)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if sim[i, j] >= 0.9
+    }
+    assert got == want and len(want) > 50
+
+
+def test_lsh_ann_recall_on_clustered_data(spark):
+    """recall@10 >= 0.9 on clustered embeddings (the workload ANN is for:
+    true neighbors share buckets with high probability)."""
+    import numpy as np
+
+    from whoosh_novo_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 32)) * 3
+    vecs = np.concatenate(
+        [c + 0.15 * rng.standard_normal((30, 32)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    recalls = []
+    for qid in (0, 35, 70, 155, 290):
+        qv = [float(x) for x in vecs[qid]]
+        exact = {r["vec_id"] for r in cosine_topk(df, qv, 10).collect()}
+        ann = {
+            r["vec_id"]
+            for r in lsh_ann_topk(df, qv, 10, n_planes=6, probe_hamming=2).collect()
+        }
+        recalls.append(len(exact & ann) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_simhash_hamming_reflects_similarity(spark):
+    """Near-identical docs have small SimHash Hamming distance; unrelated
+    docs a large one (SimHash 60-bit md5 token hashes)."""
+    from whoosh_novo_spark.operators.dedup import simhash_near_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (2, "completely different subject matter about databases and indexing engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_hamming=10).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -189,11 +189,16 @@ def minhash_dedup_pairs(
 
 # ---------------------------------------------------------------- simhash
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over tf-weighted token hashes (vectorized pandas
-    UDF; Arrow batches, numpy bit ops — no per-row Python loops).
+SIMHASH_BITS = 60  # md5's first 15 hex chars: DuckDB-recomputable signed range
 
-    Token hash: blake2b-8byte (stdlib, deterministic, no external deps).
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash over tf-weighted token hashes (vectorized pandas UDF;
+    Arrow batches, numpy bit ops — no per-row Python loops).
+
+    Token hash: first 15 hex chars of md5 (60 bits) — the same
+    DuckDB-reproducible convention as ``functions.textstats.hash64``, so
+    the driver oracle recomputes the signature bit-for-bit in SQL.
     Returns (id, simhash long)."""
     from pyspark.sql.functions import pandas_udf
 
@@ -209,21 +214,19 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             return pd.Series(np.zeros(n, dtype=np.int64))
         uniq, inv = np.unique(tb.term, return_inverse=True)
         hs = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                for t in uniq
-            ],
+            [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in uniq],
             dtype=np.uint64,
         )
         tok_h = hs[inv]
-        bits = ((tok_h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        nb = SIMHASH_BITS
+        bits = ((tok_h[:, None] >> np.arange(nb, dtype=np.uint64)) & np.uint64(1)).astype(
             np.int64
-        )  # (n_tokens, 64) of 0/1
+        )  # (n_tokens, nb) of 0/1
         contrib = bits * 2 - 1
-        acc = np.zeros((n, 64), dtype=np.int64)
+        acc = np.zeros((n, nb), dtype=np.int64)
         np.add.at(acc, tb.row, contrib)
         out_bits = (acc > 0).astype(np.uint64)
-        vals = (out_bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        vals = (out_bits << np.arange(nb, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
         return pd.Series(vals.astype(np.int64))
 
     return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))

@@ -133,21 +133,46 @@ def embedding_all_pairs(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= tau (the correctness baseline the LSH
-    variant approximates; O(n^2) — use only on bounded inputs)."""
+    """Exact all-pairs cosine >= tau via a BLOCK-PAIR join: vectors are
+    hashed into ``n_blocks`` blocks and each of the n_blocks*(n_blocks+1)/2
+    unordered block pairs becomes one equi-join task.  Compute is still
+    O(n^2) (exactness at arbitrary tau has no cheaper general answer for
+    dense vectors), but the work distributes evenly across the cluster as
+    ordinary shuffle tasks — no crossJoin/BroadcastNestedLoopJoin, no
+    single-executor or driver bottleneck, memory per task bounded by two
+    blocks.  For near-dup thresholds (tau >= ~0.9) prefer
+    ``embedding_near_dup_pairs`` which prunes candidates with LSH buckets."""
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    spark = embeddings.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a int, blk_b int",
+    )
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("blk").alias("blk_a"))
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("blk").alias("blk_b"))
+    # each unordered block pair (i<=j) is one task; same-block pairs are
+    # de-duplicated by id order, cross-block pairs by least/greatest (the
+    # id order of a cross-block pair is independent of its block order)
+    pairs = (
+        a.join(F.broadcast(block_pairs), "blk_a")
+        .join(b, "blk_b")
+        .where((F.col("blk_a") != F.col("blk_b")) | (F.col("a") < F.col("b")))
+    )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.withColumn("_c", cos)
         .where(F.col("_c") >= tau)
-        .select("a", "b", F.round("_c", 6).alias("cos"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.round("_c", 6).alias("cos"),
+        )
     )
 
 

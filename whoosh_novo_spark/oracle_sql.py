@@ -428,6 +428,43 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
 LIMIT {k}"""
 
 
+def lsh_ann_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    probe_hamming: int = 2,
+    dim: int = 64,
+) -> str:
+    """Independent DuckDB recomputation of the ENTIRE multi-probe LSH ANN
+    algorithm (mirrors operators/similarity.lsh_ann_topk): the deterministic
+    hyperplanes are embedded as literals, buckets are sign-bit sums, the
+    probe set is Hamming<=probe_hamming around the query's bucket, and the
+    final ranking is exact cosine over the candidates."""
+    from whoosh_novo_spark.operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    lit = lambda p: "[" + ",".join(repr(float(x)) for x in p) + "]"
+    bucket_of = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, ({bucket_of}) AS bucket FROM e
+),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_cosine_similarity(b.v, q.qv), 6) AS cos
+FROM b, q
+WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= {probe_hamming}
+ORDER BY list_cosine_similarity(b.v, q.qv) DESC, vec_id ASC
+LIMIT {k}"""
+
+
 def embedding_dup_pairs_sql(tau: float = 0.9) -> str:
     """Exact all-pairs cosine >= tau (mirrors the brute-force variant)."""
     return f"""
@@ -435,6 +472,32 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {tau}"""
+
+
+def simhash_sigs(limit: int = 100) -> str:
+    """Bit-for-bit SimHash recomputation (mirrors operators/dedup.simhash64):
+    md5-derived 60-bit token hashes over the standard analysis chain
+    (with multiplicity), per-bit +/-1 majority vote."""
+    from whoosh_novo_spark.operators.dedup import SIMHASH_BITS
+
+    toks = (
+        "list_filter("
+        "list_transform(regexp_extract_all(text, '[\\w*]+(\\.?[\\w*]+)*'), x -> lower(x)),"
+        f" x -> length(x) >= 2 AND x NOT IN ({_STOPS_SQL}))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({toks},
+                        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+  FROM documents WHERE doc_id < {limit}
+)
+SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM t"""
 
 
 def quality_scores(limit: int = 100) -> str:
