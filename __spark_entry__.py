@@ -31,7 +31,16 @@ from whoosh_novo_spark.session import ship_package
 from whoosh_novo_spark.sources.segment_store import SegmentStore
 
 _CONFIG = IndexConfig(
-    id_col="doc_id", fields=(FieldConfig("text", positions=True),)
+    id_col="doc_id",
+    fields=(
+        FieldConfig("text", positions=True),
+        # typed fields: native docmap columns queried by pushed-down
+        # predicates (n_chars from the table; ts/flag derived
+        # deterministically from doc_id so the DuckDB oracle can recompute)
+        FieldConfig("n_chars", type="numeric"),
+        FieldConfig("ts", type="datetime"),
+        FieldConfig("flag", type="boolean"),
+    ),
 )
 _INDEXES: dict[str, Index] = {}
 
@@ -43,12 +52,22 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Searcher:
         ship_package(spark)
         safe = key.strip("/").replace("/", "_")
         path = os.path.join(
-            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_ix_{safe}"
+            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_ix2_{safe}"
         )
         store = SegmentStore(path)
         if store.current_generation() == 0:
             docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-            build_segment(spark, docs.select("doc_id", "text"), _CONFIG, store)
+            docs = docs.select(
+                "doc_id",
+                "text",
+                "n_chars",
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2020-01-01 00:00:00"))
+                    + F.col("doc_id") * 3600
+                ).alias("ts"),
+                (F.col("doc_id") % 3 == 0).alias("flag"),
+            )
+            build_segment(spark, docs, _CONFIG, store)
         _INDEXES[key] = Index(spark, store, _CONFIG)
     return Searcher(_INDEXES[key])
 
@@ -145,6 +164,38 @@ def q_fuzzy(spark, sf_dir):
     return _topk(
         _index_for(spark, sf_dir),
         ast.FuzzyTerm("text", "spark", maxdist=1, prefixlength=1, constantscore=False),
+    )
+
+
+def q_numeric_range(spark, sf_dir):
+    """NumericRange as a filter composed with a scored term (whoosh And
+    sums the range's constant boost into the score)."""
+    return _topk(
+        _index_for(spark, sf_dir),
+        ast.And((_T("spark"), ast.NumericRange("n_chars", 120, 400))),
+    )
+
+
+def q_date_range(spark, sf_dir):
+    """DateRange over the derived ts column (constantscore filter)."""
+    return _topk(
+        _index_for(spark, sf_dir),
+        ast.And(
+            (
+                _T("data"),
+                ast.DateRange(
+                    "ts", "2020-01-05 00:00:00", "2020-01-15 00:00:00", endexcl=True
+                ),
+            )
+        ),
+    )
+
+
+def q_bool_filter(spark, sf_dir):
+    """BOOLEAN field equality composed with a scored term."""
+    return _topk(
+        _index_for(spark, sf_dir),
+        ast.And((_T("query"), ast.Term("flag", True))),
     )
 
 
@@ -429,6 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range_topk": q_term_range,
         "term_range_scored_topk": q_term_range_scored,
         "fuzzy_topk": q_fuzzy,
+        "numeric_range_topk": q_numeric_range,
+        "date_range_topk": q_date_range,
+        "bool_filter_topk": q_bool_filter,
         "term_stats": q_term_stats,
         "doclens": q_doclens,
         "facet_lang": q_facet_lang,
@@ -475,6 +529,15 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": osql.topk_multiterm(
             "term LIKE 's%' AND levenshtein(term, 'spark') <= 1"
         ),
+        "numeric_range_topk": osql.topk_term_with_filter(
+            "spark", "n_chars >= 120 AND n_chars <= 400"
+        ),
+        "date_range_topk": osql.topk_term_with_filter(
+            "data",
+            "(TIMESTAMP '2020-01-01' + INTERVAL (doc_id) HOUR) >= TIMESTAMP '2020-01-05'"
+            " AND (TIMESTAMP '2020-01-01' + INTERVAL (doc_id) HOUR) < TIMESTAMP '2020-01-15'",
+        ),
+        "bool_filter_topk": osql.topk_term_with_filter("query", "doc_id % 3 = 0"),
         "term_stats": osql.term_stats_top(20),
         "doclens": osql.doclens_check(),
         "facet_lang": osql.facet_lang_count("spark"),

@@ -171,8 +171,10 @@ def read_docmap(
 # ---------------------------------------------------------------- stage 2+3
 
 def _analyze_partition(config: IndexConfig, want_positions: bool):
-    """Returns the mapInPandas function: doc batches -> posting rows."""
-    fields = config.fields
+    """Returns the mapInPandas function: doc batches -> posting rows.
+    Only text fields are analyzed; typed fields (numeric/datetime/boolean)
+    stay native docmap columns queried by pushed-down predicates."""
+    fields = tuple(f for f in config.fields if f.type == "text")
 
     def analyze(iterator):
         for pdf in iterator:
@@ -363,7 +365,8 @@ def build_segment(
         want_pos = seg.has_positions
         _widen_input_splits(spark, store.table_path(segment_id, "docmap"), sp)
         docmap = read_docmap(
-            spark, store, seg, columns=["docid"] + [f.name for f in config.fields]
+            spark, store, seg,
+            columns=["docid"] + [f.name for f in config.fields if f.type == "text"],
         )
         t_r = time.time()
         docmap.mapInPandas(

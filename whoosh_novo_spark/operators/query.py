@@ -271,12 +271,22 @@ class Searcher:
             out = out.limit(limit)
         return out
 
+    def _is_text_field(self, name: str) -> bool:
+        try:
+            return self.index.config.field(name).type == "text"
+        except KeyError:
+            return True
+
     def score_df(self, q: ast.Query) -> DataFrame:
         """Full scored match set (docid, score) for a normalized query."""
         if isinstance(q, ast.NullQuery):
             return self.index.spark.createDataFrame([], "docid long, score double")
         stats = self._cached_stats(
-            [(t.fieldname, t.text) for t in ast.term_leaves(q)]
+            [
+                (t.fieldname, t.text)
+                for t in ast.term_leaves(q)
+                if self._is_text_field(t.fieldname)
+            ]
         )
         return self._compile(q, stats)
 
@@ -357,6 +367,11 @@ class Searcher:
 
         if isinstance(q, ast.NullQuery):
             return empty
+
+        if isinstance(q, (ast.NumericRange, ast.DateRange)) or (
+            isinstance(q, ast.Term) and not self._is_text_field(q.fieldname)
+        ):
+            return self._compile_typed(q)
 
         if isinstance(q, ast.Term):
             st = stats.get((q.fieldname, q.text))
@@ -503,6 +518,34 @@ class Searcher:
             return boost(self._compile_phrase(q, stats), q.boost)
 
         raise TypeError(f"unsupported query node {type(q)}")
+
+    def _compile_typed(self, q) -> DataFrame:
+        """NumericRange/DateRange/typed-field Term over native docmap
+        columns (fields.py:516-997 NUMERIC/DATETIME/BOOLEAN surface):
+        compiles to a pushed-down column predicate on the docmap parquet —
+        Catalyst pushes the range into the scan, parquet row-group min/max
+        stats do the pruning the reference's tiered terms were built for.
+        Score = boost (the reference's constantscore=True default; ranges
+        "will almost always be used as a filter", ranges.py:244+)."""
+        ix = self.index
+        col = F.col(q.fieldname)
+        if isinstance(q, ast.DateRange):
+            col = col.cast("timestamp")
+            conv = lambda v: F.lit(v).cast("timestamp")
+        else:
+            conv = F.lit
+        if isinstance(q, ast.Term):
+            cond = col == conv(q.text)
+        else:
+            cond = F.lit(True)
+            if q.start is not None:
+                cond = cond & (col > conv(q.start) if q.startexcl else col >= conv(q.start))
+            if q.end is not None:
+                cond = cond & (col < conv(q.end) if q.endexcl else col <= conv(q.end))
+        d = ix.docmap(columns=["docid", q.fieldname]).where(cond)
+        if ix.manifest.has_tombstones:
+            d = d.join(ix.tombstones(), "docid", "left_anti")
+        return d.select("docid", F.lit(float(q.boost)).alias("score"))
 
     def _compile_multiterm(self, q) -> DataFrame:
         """Prefix/Wildcard/Regex/TermRange/FuzzyTerm without collecting the

@@ -133,6 +133,17 @@ LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = '{b}') m
 ORDER BY s.score + coalesce(m.score, 0) DESC, s.doc_id ASC LIMIT {k}"""
 
 
+def topk_term_with_filter(term: str, filter_sql: str, k: int = 10) -> str:
+    """And(Term, constant-score typed filter): membership intersected with
+    the filter, score = BM25 + the filter's boost of 1.0 (whoosh And sums
+    children scores; ranges.py:244+ constantscore default)."""
+    return f"""{_BASE}
+SELECT doc_id, round(score + 1.0, 4) AS score
+FROM scored WHERE term = '{term}'
+  AND doc_id IN (SELECT doc_id FROM documents WHERE {filter_sql})
+ORDER BY score + 1.0 DESC, doc_id ASC LIMIT {k}"""
+
+
 def topk_multiterm(where: str, k: int = 10) -> str:
     """Prefix/wildcard/range/fuzzy: expand matching terms, score as OR.
     ``where`` is a predicate over column ``term``."""

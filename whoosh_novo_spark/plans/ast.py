@@ -105,6 +105,36 @@ class TermRange(Query):
 
 
 @dataclass(frozen=True)
+class NumericRange(Query):
+    """Range over a NUMERIC field (ranges.py:244-394).  The reference
+    compiles this to tiered term queries; here numeric fields are native
+    columns, so the compiler emits a pushed-down column predicate.
+    constantscore=True is the reference default (score = boost)."""
+
+    fieldname: str
+    start: float | int | None
+    end: float | int | None
+    startexcl: bool = False
+    endexcl: bool = False
+    boost: float = 1.0
+    constantscore: bool = True
+
+
+@dataclass(frozen=True)
+class DateRange(Query):
+    """Range over a DATETIME field (ranges.py:397-480): NumericRange over
+    the timestamp representation.  start/end: ISO strings or datetimes."""
+
+    fieldname: str
+    start: object = None
+    end: object = None
+    startexcl: bool = False
+    endexcl: bool = False
+    boost: float = 1.0
+    constantscore: bool = True
+
+
+@dataclass(frozen=True)
 class Phrase(Query):
     """Words must appear with consecutive (renumbered) positions within
     ``slop`` (positional.py:237-271 -> SpanNear2 spans.py:530-700)."""
@@ -270,6 +300,7 @@ def _dedup(kids: list[Query]) -> list[Query]:
 
 _HASHABLE = (
     Term, Every, Prefix, Wildcard, Regex, FuzzyTerm, TermRange, Phrase, NullQuery,
+    NumericRange, DateRange,
     And, Or, DisjunctionMax, Not, AndNot, AndMaybe, Require,
 )
 

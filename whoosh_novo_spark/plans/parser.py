@@ -32,7 +32,7 @@ _TOKEN_RX = re.compile(
     r"""
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<phrase>"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?) |
-    (?P<range>[\[{][^\]}]*[\]}]) |
+    (?P<range>(?:(?P<rfield>[^\s():\[{]+):)?[\[{][^\]}]*[\]}]) |
     (?P<word>[^\s()]+)
     """,
     re.VERBOSE,
@@ -41,15 +41,57 @@ _TOKEN_RX = re.compile(
 _OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE"}
 
 
+def replace_boost(q: ast.Query, boost: float) -> ast.Query:
+    if boost == 1.0:
+        return q
+    from dataclasses import replace
+
+    return replace(q, boost=boost)
+
+
 class QueryParser:
-    def __init__(self, default_field: str, analyzers: dict[str, str] | None = None):
+    def __init__(
+        self,
+        default_field: str,
+        analyzers: dict[str, str] | None = None,
+        field_types: dict[str, str] | None = None,
+    ):
         """``analyzers`` maps fieldname -> analyzer name (default
-        'standard' for every field)."""
+        'standard' for every field); ``field_types`` maps fieldname ->
+        'numeric'/'datetime'/'boolean' for typed fields (ranges and bare
+        terms on those compile to NumericRange/DateRange/native equality,
+        like whoosh's schema-aware parsing of NUMERIC/DATETIME fields)."""
         self.default_field = default_field
         self.analyzers = analyzers or {}
+        self.field_types = field_types or {}
+
+    @classmethod
+    def for_config(cls, config, default_field: str | None = None) -> "QueryParser":
+        """Build a parser from an IndexConfig's field declarations."""
+        return cls(
+            default_field or config.default_field.name,
+            analyzers={f.name: f.analyzer for f in config.fields},
+            field_types={
+                f.name: f.type for f in config.fields if f.type != "text"
+            },
+        )
 
     def _analyzer(self, field: str) -> str:
         return self.analyzers.get(field, "standard")
+
+    def _type(self, field: str) -> str:
+        return self.field_types.get(field, "text")
+
+    def _typed_value(self, field: str, s: str):
+        t = self._type(field)
+        if t == "numeric":
+            try:
+                return int(s)
+            except ValueError:
+                return float(s)
+        if t == "boolean":
+            return s.strip().lower() in ("true", "yes", "1", "t")
+        return s  # datetime: ISO string, cast by the compiler
 
     # ------------------------------------------------------------ lexing
     def _lex(self, s: str) -> list:
@@ -62,7 +104,11 @@ class QueryParser:
             elif m.group("phrase") is not None:
                 out.append(("phrase", m.group("phrase_body"), int(m.group("slop") or 1)))
             elif m.group("range") is not None:
-                out.append(("range", m.group("range")))
+                body = m.group("range")
+                rfield = m.group("rfield")
+                if rfield:
+                    body = body[len(rfield) + 1 :]
+                out.append(("range", body, rfield))
             else:
                 w = m.group("word")
                 if w in _OPS:
@@ -94,7 +140,7 @@ class QueryParser:
                 items.append(("q", self._phrase(t[1], t[2])))
                 i += 1
             elif t[0] == "range":
-                items.append(("q", self._range(t[1])))
+                items.append(("q", self._range(t[1], t[2])))
                 i += 1
             else:
                 items.append(("q", self._word(t[1])))
@@ -167,8 +213,32 @@ class QueryParser:
         if m:
             boost = float(m.group(1))
             w = w[: m.start()]
+        # GtLtPlugin (qparser/plugins.py GtLtPlugin): field:>x field:>=x ...
+        gm = re.match(r"^(>=|<=|>|<)(.+)$", w)
+        if gm:
+            op, val = gm.group(1), gm.group(2)
+            rng = {
+                ">": (val, None, True, False),
+                ">=": (val, None, False, False),
+                "<": (None, val, False, True),
+                "<=": (None, val, False, False),
+            }[op]
+            q = self._make_range(field, rng[0], rng[1], rng[2], rng[3])
+            return replace_boost(q, boost)
+        # FuzzyTermPlugin: word~ word~n word~n/p
+        fm = re.match(r"^(.+?)~(\d*)(?:/(\d+))?$", w)
+        if fm and self._type(field) == "text":
+            text = self._qtext(field, fm.group(1))
+            kw = {}
+            if fm.group(2):
+                kw["maxdist"] = int(fm.group(2))
+            if fm.group(3):
+                kw["prefixlength"] = int(fm.group(3))
+            return ast.FuzzyTerm(field, text, boost=boost, **kw)
         if w == "*":
             return ast.Every(field, boost=boost)
+        if self._type(field) != "text":
+            return ast.Term(field, self._typed_value(field, w), boost=boost)
         if "*" in w or "?" in w:
             if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
                 return ast.Prefix(field, self._qtext(field, w[:-1]), boost=boost)
@@ -191,7 +261,7 @@ class QueryParser:
             return ast.NULL
         return ast.Phrase(field, tuple(words), slop=slop)
 
-    def _range(self, body: str) -> ast.Query:
+    def _range(self, body: str, rfield: str | None = None) -> ast.Query:
         startexcl = body[0] == "{"
         endexcl = body[-1] == "}"
         inner = body[1:-1].strip()
@@ -205,9 +275,23 @@ class QueryParser:
             s, e = inner, inner
         s = s.strip() or None
         e = e.strip() or None
-        field = self.default_field
-        if s and ":" in s:
+        field = rfield or self.default_field
+        if rfield is None and s and ":" in s:
             field, s = s.split(":", 1)
+        return self._make_range(field, s, e, startexcl, endexcl)
+
+    def _make_range(self, field, s, e, startexcl, endexcl) -> ast.Query:
+        t = self._type(field)
+        if t == "numeric":
+            return ast.NumericRange(
+                field,
+                self._typed_value(field, s) if s else None,
+                self._typed_value(field, e) if e else None,
+                startexcl,
+                endexcl,
+            )
+        if t == "datetime":
+            return ast.DateRange(field, s, e, startexcl, endexcl)
         lo = self._qtext(field, s) if s else None
         hi = self._qtext(field, e) if e else None
         return ast.TermRange(field, lo, hi, startexcl, endexcl)

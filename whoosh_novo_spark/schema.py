@@ -30,6 +30,12 @@ class FieldConfig:
     scorable: bool = True
     positions: bool = False
     boost: float = 1.0
+    # "text" fields are analyzed into postings; "numeric"/"datetime"/
+    # "boolean" fields stay native docmap columns (the reference encodes
+    # them as tiered sortable terms, fields.py:516-997 — Parquet column
+    # min/max pruning makes that machinery unnecessary, SURVEY §2.9) and
+    # range/equality queries compile to pushed-down column predicates.
+    type: str = "text"
 
 
 @dataclass(frozen=True)
