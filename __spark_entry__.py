@@ -233,6 +233,26 @@ def q_facet_lang(spark, sf_dir):
     )
 
 
+def q_multi_facet(spark, sf_dir):
+    """MultiFacet(lang, source) + Count over matching docs
+    (sorting.py:743 + 1028)."""
+    from whoosh_novo_spark.operators.facets import (
+        FieldFacet,
+        MultiFacet,
+        attach_facet,
+        facet_count,
+    )
+
+    s = _index_for(spark, sf_dir)
+    scored = s.score_df(_T("spark"))
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "lang", "source")
+    fac = attach_facet(scored, MultiFacet([FieldFacet("lang"), FieldFacet("source")]), docs=d)
+    out = facet_count(fac)
+    return out.select(
+        F.col("facet.k0").alias("lang"), F.col("facet.k1").alias("source"), "n"
+    ).orderBy("lang", "source")
+
+
 def q_collapse(spark, sf_dir):
     """CollapseCollector: best doc per source facet (collectors.py:854+)."""
     from pyspark.sql import Window
@@ -486,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "doclens": q_doclens,
         "facet_lang": q_facet_lang,
+        "multi_facet_count": q_multi_facet,
         "collapse_per_source": q_collapse,
         "phrase_topk": q_phrase,
         "nested_parent_topk": q_nested_parent,
@@ -541,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": osql.term_stats_top(20),
         "doclens": osql.doclens_check(),
         "facet_lang": osql.facet_lang_count("spark"),
+        "multi_facet_count": osql.multi_facet_count("spark"),
         "collapse_per_source": osql.collapse_top_per_source("spark"),
         "or_minmatch_topk": osql.or_minmatch(["spark", "data", "query"], 2),
         "not_docs": osql.not_term("spark", 20),

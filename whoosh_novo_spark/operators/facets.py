@@ -14,6 +14,8 @@ Best -> max_by, collapse -> row_number window.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,164 @@ def date_range_facet(col: Column, start, end, gap_seconds: int) -> Column:
     x = col.cast("timestamp").cast("double")
     bucket = s + F.lit(gap_seconds) * F.floor((x - s) / F.lit(gap_seconds))
     return F.when((x >= s) & (x < e), bucket.cast("timestamp"))
+
+
+# --- facet specs (sorting.py:158-785) -------------------------------
+#
+# A facet spec turns the (results ⋈ stored-fields) DataFrame into one or
+# more key columns.  ``attach_facet`` is the FacetColumn/Categorizer
+# equivalent: it joins stored fields when needed and adds a ``facet``
+# column (exploded for allow_overlap), after which the facet maps below
+# (count / ordered list / best) are plain groupBy aggregates.
+
+
+class FieldFacet:
+    """sorting.py:158: key = the doc's field value; ``reverse`` flips the
+    sort direction when used in sortedby."""
+
+    def __init__(self, fieldname: str, reverse: bool = False):
+        self.fieldname = fieldname
+        self.reverse = reverse
+
+    needs_docs = True
+    overlap = False
+
+    def key_col(self) -> Column:
+        return F.col(self.fieldname)
+
+    def sort_exprs(self) -> list:
+        k = self.key_col()
+        return [F.desc(k) if self.reverse else F.asc(k)]
+
+
+class ScoreFacet:
+    """sorting.py:555: key = 0 - score (higher scores sort first)."""
+
+    needs_docs = False
+    overlap = False
+    reverse = False
+
+    def key_col(self) -> Column:
+        return F.lit(0.0) - F.col("score")
+
+    def sort_exprs(self) -> list:
+        return [F.asc(self.key_col())]
+
+
+class FunctionFacet:
+    """sorting.py:588: arbitrary key function.  The reference calls
+    ``fn(searcher, docid)`` per hit; the vectorized equivalent is a
+    Column-builder ``fn(df) -> Column`` over the results+stored-fields
+    frame (docid, score and every stored column are in scope)."""
+
+    def __init__(self, fn, reverse: bool = False):
+        self.fn = fn
+        self.reverse = reverse
+
+    needs_docs = True
+    overlap = False
+
+    def key_col(self) -> Column:
+        return self.fn() if callable(self.fn) else self.fn
+
+    def sort_exprs(self) -> list:
+        k = self.key_col()
+        return [F.desc(k) if self.reverse else F.asc(k)]
+
+
+class StoredFieldFacet:
+    """sorting.py:683: key(s) from a stored field; ``allow_overlap``
+    splits the value (default whitespace) and a doc lands in every group
+    (keys_for), exactly what an explode models."""
+
+    def __init__(self, fieldname: str, allow_overlap: bool = False, sep: str = " "):
+        self.fieldname = fieldname
+        self.allow_overlap = allow_overlap
+        self.sep = sep
+        self.reverse = False
+
+    needs_docs = True
+
+    @property
+    def overlap(self) -> bool:
+        return self.allow_overlap
+
+    def key_col(self) -> Column:
+        if self.allow_overlap:
+            # exploded by attach_facet; element column
+            return F.explode(F.split(F.col(self.fieldname), re.escape(self.sep)))
+        return F.col(self.fieldname)
+
+    def sort_exprs(self) -> list:
+        return [F.asc(F.col(self.fieldname))]
+
+
+class MultiFacet:
+    """sorting.py:743: composite key = tuple of sub-facets (struct column);
+    sortedby uses each component's own direction."""
+
+    def __init__(self, items: list):
+        self.facets = [
+            FieldFacet(it) if isinstance(it, str) else it for it in items
+        ]
+        self.reverse = False
+
+    @property
+    def needs_docs(self) -> bool:
+        return any(f.needs_docs for f in self.facets)
+
+    overlap = False
+
+    def key_col(self) -> Column:
+        return F.struct(
+            *[f.key_col().alias(f"k{i}") for i, f in enumerate(self.facets)]
+        )
+
+    def sort_exprs(self) -> list:
+        return [e for f in self.facets for e in f.sort_exprs()]
+
+
+def attach_facet(
+    results: DataFrame,
+    spec,
+    docs: DataFrame | None = None,
+    id_col: str = "docid",
+    out: str = "facet",
+) -> DataFrame:
+    """Join stored fields if the spec needs them and add the key column
+    (one row per (doc, key) — overlap facets explode)."""
+    df = results
+    if spec.needs_docs:
+        if docs is None:
+            raise ValueError("facet spec needs a stored-fields DataFrame")
+        df = results.join(
+            docs.withColumnRenamed(id_col, "docid") if id_col != "docid" else docs,
+            "docid",
+        )
+    return df.select("docid", "score", spec.key_col().alias(out))
+
+
+def sort_by_facet(
+    searcher,
+    q: ast.Query,
+    spec,
+    docs: DataFrame | None = None,
+    limit: int | None = 10,
+    id_col: str = "docid",
+) -> DataFrame:
+    """search(sortedby=facet): order hits by the facet key(s) (each with
+    its own direction), ties by docid asc (collectors.py:536-583)."""
+    scored = searcher.score_df(q.normalize())
+    df = scored
+    if spec.needs_docs:
+        if docs is None:
+            raise ValueError("facet spec needs a stored-fields DataFrame")
+        df = scored.join(
+            docs.withColumnRenamed(id_col, "docid") if id_col != "docid" else docs,
+            "docid",
+        )
+    out = df.orderBy(*spec.sort_exprs(), F.asc("docid")).select("docid", "score")
+    return out.limit(limit) if limit is not None else out
 
 
 def query_facet(searcher, facets: dict[str, ast.Query]) -> DataFrame:

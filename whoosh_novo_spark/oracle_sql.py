@@ -222,6 +222,15 @@ WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = '{term}')
 GROUP BY d.lang ORDER BY d.lang"""
 
 
+def multi_facet_count(term: str) -> str:
+    """MultiFacet(lang, source) + Count over matching docs."""
+    return f"""{_with(TOKS_CTE, POSTINGS_CTE)}
+SELECT d.lang AS lang, d.source AS source, count(*)::BIGINT AS n
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = '{term}')
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source"""
+
+
 def or_minmatch(terms: list[str], minmatch: int, k: int = 10) -> str:
     return f"""{_BASE}
 SELECT doc_id, round(sum(score), 4) AS score
