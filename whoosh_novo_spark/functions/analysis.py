@@ -161,22 +161,246 @@ def keyword_analyze_batch(texts: pd.Series, lowercase: bool = False) -> TokenBat
 def ngram_analyze_batch(texts: pd.Series, minsize: int = 2, maxsize: int = 4) -> TokenBatch:
     """NgramWordAnalyzer-style: tokenize+lower then char n-grams per token
     (ngrams.py:42-247). Position = source-token ordinal (all grams of one
-    word share its position, NgramFilter ngrams.py:169-186)."""
+    word share its position, NgramFilter ngrams.py:169-186).
+
+    Vectorized: grams are generated once per UNIQUE token (vocabulary-
+    bounded Python, like the reference's per-term automata) and expanded
+    back to the token stream with numpy repeat/gather."""
     base = simple_analyze_batch(texts)
-    rows, terms, poss = [], [], []
-    for r, t, p in zip(base.row, base.term, base.pos):
-        L = len(t)
-        for size in range(minsize, maxsize + 1):
-            for i in range(0, L - size + 1):
-                rows.append(r)
-                terms.append(t[i : i + size])
-                poss.append(p)
+    if len(base.term) == 0:
+        return base
+    uniq, inv = np.unique(base.term, return_inverse=True)
+    gram_chunks: list[np.ndarray] = []
+    counts = np.empty(len(uniq), dtype=np.int64)
+    for u_i, u in enumerate(uniq):
+        L = len(u)
+        gs = [
+            u[i : i + size]
+            for size in range(minsize, maxsize + 1)
+            for i in range(0, L - size + 1)
+        ]
+        counts[u_i] = len(gs)
+        gram_chunks.append(np.asarray(gs, dtype=object))
+    flat = (
+        np.concatenate([g for g in gram_chunks if len(g)])
+        if counts.sum()
+        else np.array([], dtype=object)
+    )
+    starts = np.cumsum(counts) - counts
+    rep = counts[inv]
+    total = int(rep.sum())
+    if total == 0:
+        e = np.array([], dtype=np.int64)
+        return TokenBatch(e, np.array([], dtype=object), e.copy(), base.n_rows)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rep) - rep, rep)
+    idx = np.repeat(starts[inv], rep) + offs
     return TokenBatch(
-        np.asarray(rows, dtype=np.int64),
-        np.asarray(terms, dtype=object),
-        np.asarray(poss, dtype=np.int64),
+        np.repeat(base.row, rep),
+        flat[idx],
+        np.repeat(base.pos, rep),
         base.n_rows,
     )
+
+
+def ngram_aggregate_batch(
+    texts: pd.Series, minsize: int = 2, maxsize: int = 4
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """tf-aggregated ngram postings for one batch WITHOUT materializing the
+    per-occurrence gram stream: token tf per doc is computed on integer
+    codes, gram expansion happens at the (doc, unique-token) level with
+    per-token gram multiplicities, and the final (doc, gram) aggregation is
+    a bincount over integer keys.  5-10x the generic analyze+groupby path
+    on ngram fields (VERDICT r1 item 6).
+
+    Returns (DataFrame[row, term, tf], doc_lengths) where doc_lengths is
+    the post-filter gram count per row (the scorable field length)."""
+    base = simple_analyze_batch(texts)
+    n_rows = len(texts)
+    empty = pd.DataFrame({"row": np.array([], dtype=np.int64), "term": [], "tf": []})
+    if len(base.term) == 0:
+        return empty, np.zeros(n_rows, dtype=np.int64)
+    codes, uniques = pd.factorize(base.term)
+    U = len(uniques)
+    # per-(doc, token) tf on integer keys
+    key = base.row * U + codes
+    uk, tf_tok = np.unique(key, return_counts=True)
+    dt_row, dt_code = uk // U, uk % U
+
+    # per-UNIQUE-token gram lists with multiplicity (vocabulary-bounded)
+    gram_strs: list[str] = []
+    gram_mult: list[int] = []
+    g_per_tok = np.zeros(U, dtype=np.int64)
+    for u_i, u in enumerate(uniques):
+        L = len(u)
+        cnt: dict[str, int] = {}
+        for size in range(minsize, maxsize + 1):
+            for i in range(0, L - size + 1):
+                g = u[i : i + size]
+                cnt[g] = cnt.get(g, 0) + 1
+        g_per_tok[u_i] = len(cnt)
+        gram_strs.extend(cnt.keys())
+        gram_mult.extend(cnt.values())
+    if not gram_strs:
+        return empty, np.zeros(n_rows, dtype=np.int64)
+    gcodes, guniq = pd.factorize(np.asarray(gram_strs, dtype=object))
+    gmult = np.asarray(gram_mult, dtype=np.int64)
+    G = len(guniq)
+    starts = np.cumsum(g_per_tok) - g_per_tok
+
+    # expand (doc, token, tf) x token-grams -> (doc, gram, tf*mult)
+    rep = g_per_tok[dt_code]
+    total = int(rep.sum())
+    offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rep) - rep, rep)
+    idx = np.repeat(starts[dt_code], rep) + offs
+    out_row = np.repeat(dt_row, rep)
+    out_g = gcodes[idx]
+    out_tf = np.repeat(tf_tok, rep) * gmult[idx]
+
+    # aggregate per (doc, gram) with one integer-key unique + bincount
+    key2 = out_row * G + out_g
+    uk2, inv2 = np.unique(key2, return_inverse=True)
+    tf2 = np.bincount(inv2, weights=out_tf).astype(np.int64)
+    rows2, g2 = uk2 // G, uk2 % G
+    out = pd.DataFrame(
+        {"row": rows2, "term": np.asarray(guniq, dtype=object)[g2], "tf": tf2}
+    )
+    lens = np.bincount(out_row, weights=out_tf, minlength=n_rows).astype(np.int64)
+    return out, lens
+
+
+#: analyzers with a tf-aggregated fast path (used by the build when the
+#: field doesn't need positions)
+AGGREGATE_ANALYZERS = {
+    "ngram": ngram_aggregate_batch,
+}
+
+
+# --- multi-token combination filters (analysis/intraword.py:113-235) -----
+
+def biword_filter(tb: TokenBatch, sep: str = "-") -> TokenBatch:
+    """BiWordFilter (intraword.py:113-178): adjacent tokens merge into
+    "a<sep>b" tokens carrying the FIRST token's position; a single-token
+    document emits its token unchanged."""
+    n = len(tb.term)
+    if n == 0:
+        return tb
+    same = np.zeros(n, dtype=bool)
+    same[1:] = tb.row[1:] == tb.row[:-1]
+    a = pd.Series(tb.term, dtype=object)
+    bi = (a.shift(1) + sep + a).to_numpy(dtype=object)
+    rows_bi = tb.row[same]
+    terms_bi = bi[same]
+    pos_bi = np.concatenate(([0], tb.pos[:-1]))[same]
+    # single-token docs: emit the lone token (intraword.py:175-178)
+    cnt = np.bincount(tb.row, minlength=tb.n_rows)
+    single = cnt[tb.row] == 1
+    out_row = np.concatenate([rows_bi, tb.row[single]])
+    out_term = np.concatenate([terms_bi, tb.term[single]])
+    out_pos = np.concatenate([pos_bi, tb.pos[single]])
+    order = np.argsort(out_row, kind="stable")
+    return TokenBatch(out_row[order], out_term[order], out_pos[order], tb.n_rows)
+
+
+def shingle_filter(tb: TokenBatch, size: int = 2, sep: str = "-") -> TokenBatch:
+    """ShingleFilter (intraword.py:181-235): sliding window of ``size``
+    tokens joined with ``sep``, position = first token's; documents with
+    fewer than ``size`` tokens emit ONE token joining what there is."""
+    n = len(tb.term)
+    if n == 0 or size <= 1:
+        return tb
+    terms = pd.Series(tb.term, dtype=object)
+    joined = terms.copy()
+    for k in range(1, size):
+        joined = joined + sep + terms.shift(-k)
+    valid = np.zeros(n, dtype=bool)
+    if n >= size:
+        valid[: n - size + 1] = tb.row[: n - size + 1] == tb.row[size - 1 :]
+    rows_s = tb.row[valid]
+    terms_s = joined.to_numpy(dtype=object)[valid]
+    pos_s = tb.pos[valid]
+    # short docs (0 < count < size): one joined token of all their tokens
+    cnt = np.bincount(tb.row, minlength=tb.n_rows)
+    short_rows = np.nonzero((cnt > 0) & (cnt < size))[0]
+    if len(short_rows):
+        short_mask = np.isin(tb.row, short_rows)
+        sdf = pd.DataFrame(
+            {"row": tb.row[short_mask], "term": tb.term[short_mask], "pos": tb.pos[short_mask]}
+        )
+        agg = sdf.groupby("row", sort=True).agg(
+            term=("term", lambda s: sep.join(s)), pos=("pos", "first")
+        )
+        rows_s = np.concatenate([rows_s, agg.index.to_numpy(dtype=np.int64)])
+        terms_s = np.concatenate([terms_s, agg["term"].to_numpy(dtype=object)])
+        pos_s = np.concatenate([pos_s, agg["pos"].to_numpy(dtype=np.int64)])
+        order = np.argsort(rows_s, kind="stable")
+        rows_s, terms_s, pos_s = rows_s[order], terms_s[order], pos_s[order]
+    return TokenBatch(rows_s, terms_s, pos_s, tb.n_rows)
+
+
+def compound_word_filter(
+    tb: TokenBatch, wordset, keep_compound: bool = True
+) -> TokenBatch:
+    """CompoundWordFilter (intraword.py:42-110): split run-together words
+    into parts found in ``wordset`` (greedy-prefix recursion, memoized);
+    subwords inherit the compound's position.  Splitting runs once per
+    UNIQUE token (vocabulary-bounded), then expands with numpy."""
+    n = len(tb.term)
+    if n == 0:
+        return tb
+
+    memo: dict[str, list[str] | None] = {}
+
+    def subwords(s: str):
+        if s in wordset:
+            return [s]
+        if s in memo:
+            return memo[s]
+        for i in range(1, len(s)):
+            if s[:i] in wordset:
+                rest = subwords(s[i:])
+                if rest:
+                    memo[s] = [s[:i]] + rest
+                    return memo[s]
+        memo[s] = None
+        return None
+
+    uniq, inv = np.unique(tb.term, return_inverse=True)
+    expansions: list[np.ndarray] = []
+    counts = np.empty(len(uniq), dtype=np.int64)
+    for u_i, u in enumerate(uniq):
+        subs = subwords(u)
+        if subs is None or (len(subs) == 1 and subs[0] == u):
+            exp = [u]
+        elif len(subs) > 1 and keep_compound:
+            exp = [u] + subs
+        else:
+            exp = subs
+        counts[u_i] = len(exp)
+        expansions.append(np.asarray(exp, dtype=object))
+    flat = np.concatenate(expansions)
+    starts = np.cumsum(counts) - counts
+    rep = counts[inv]
+    total = int(rep.sum())
+    offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rep) - rep, rep)
+    idx = np.repeat(starts[inv], rep) + offs
+    return TokenBatch(
+        np.repeat(tb.row, rep), flat[idx], np.repeat(tb.pos, rep), tb.n_rows
+    )
+
+
+def make_chain_analyzer(base: str = "simple", *filters) -> "callable":
+    """Compose a base analyzer with TokenBatch filters, e.g.
+    ``make_chain_analyzer("simple", lambda tb: biword_filter(tb, "-"))``.
+    Register the result in ANALYZERS to use it as a field analyzer."""
+    base_fn = ANALYZERS[base] if isinstance(base, str) else base
+
+    def run(texts: pd.Series) -> TokenBatch:
+        tb = base_fn(texts)
+        for f in filters:
+            tb = f(tb)
+        return tb
+
+    return run
 
 
 def stemming_analyze_batch(texts: pd.Series) -> TokenBatch:

@@ -176,11 +176,41 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
     stay native docmap columns queried by pushed-down predicates."""
     fields = tuple(f for f in config.fields if f.type == "text")
 
+    from whoosh_novo_spark.functions.analysis import AGGREGATE_ANALYZERS
+
     def analyze(iterator):
         for pdf in iterator:
             docids = pdf["docid"].to_numpy(dtype=np.int64)
             outs = []
             for fc in fields:
+                # tf-aggregated fast path (no per-occurrence token stream)
+                # for analyzers that provide it, when positions aren't kept
+                if fc.analyzer in AGGREGATE_ANALYZERS and not (
+                    want_positions and fc.positions
+                ):
+                    aggdf, lens = AGGREGATE_ANALYZERS[fc.analyzer](pdf[fc.name])
+                    if len(aggdf) == 0:
+                        continue
+                    len_q = quantized_length_np(np.maximum(lens, 0))
+                    rows = aggdf["row"].to_numpy(dtype=np.int64)
+                    tf = aggdf["tf"].to_numpy(dtype=np.int64)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "field": fc.name,
+                                "term": aggdf["term"],
+                                "docid": docids[rows],
+                                "weight": tf.astype(np.float64) * fc.boost,
+                                "tf": tf.astype(np.int32),
+                                "len_q": len_q[rows].astype(np.int32),
+                                "positions": None,
+                                "_true_len": np.where(
+                                    _first_of_row(rows), lens[rows], 0
+                                ).astype(np.int64),
+                            }
+                        )
+                    )
+                    continue
                 fn = ANALYZERS[fc.analyzer]
                 tb = fn(pdf[fc.name])
                 if len(tb.term) == 0:
