@@ -30,26 +30,28 @@ from whoosh_novo_spark.sources.segment_store import Manifest, SegmentInfo, Segme
 
 
 def delete_docs(spark: SparkSession, store: SegmentStore, docids: DataFrame) -> Manifest:
-    """Add docids (column ``docid``) to the tombstone table and commit."""
+    """Add docids (column ``docid``) to the tombstone table and commit.
+
+    Tombstones are VERSIONED like segments (tombstones-<gen>): the new
+    table is fully written before the manifest referencing it is
+    published, so a crash mid-delete leaves the previous generation
+    intact and concurrent readers never see a missing/partial dir."""
     import os
 
     manifest = store.read_manifest()
-    path = store.tombstones_path()
     new = docids.select(F.col("docid").cast("long")).distinct()
-    if manifest.has_tombstones and os.path.exists(path):
-        old = spark.read.parquet(path).select("docid")
+    old_dir = store.tombstones_dir(manifest)
+    if old_dir is not None:
+        old = spark.read.parquet(old_dir).select("docid")
         merged = old.unionByName(new).distinct()
     else:
         merged = new
-    tmp = path + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    count = spark.read.parquet(tmp).count()
-    import shutil
-
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    rel = store.new_tombstones_rel()
+    path = os.path.join(store.path, rel)
+    merged.coalesce(1).write.mode("overwrite").parquet(path)
+    count = spark.read.parquet(path).count()
     manifest.has_tombstones = True
+    manifest.tombstones_rel = rel
     manifest.deleted_count = int(count)
     return store.commit(manifest)
 
@@ -141,8 +143,9 @@ def merge_segments(
 
     new_id = store.new_segment_id()
     tomb = None
-    if manifest.has_tombstones and os.path.exists(store.tombstones_path()):
-        tomb = spark.read.parquet(store.tombstones_path()).select("docid")
+    tomb_dir = store.tombstones_dir(manifest)
+    if tomb_dir is not None:
+        tomb = spark.read.parquet(tomb_dir).select("docid")
 
     # --- postings: union, purge, re-sort, write (no re-analysis) ---
     postings = spark.read.parquet(
@@ -185,19 +188,22 @@ def merge_segments(
     terms.write.mode("overwrite").parquet(store.table_path(new_id, "terms"))
     store.write_stage_marker(new_id, "terms", {})
 
-    # whoosh add_reader copies the QUANTIZED length into the new segment
-    # (writing.py:713-714: length = reader.doc_field_length(...)), so the
-    # merged segment's doc lengths and field-length totals are sums of
-    # quantized lengths — replicate exactly for score parity
-    doclens = postings_new.groupBy("field", "docid").agg(
-        F.max("len_q").alias("len_q")
+    # doclens: union the SOURCE doclens tables (minus tombstones) so the
+    # true post-filter `len` survives compaction for doclens/text-stats
+    # consumers.  The manifest field_length TOTALS still sum the quantized
+    # len_q — whoosh add_reader copies the quantized length
+    # (writing.py:713-714) and its merged totals are quantized sums; score
+    # parity depends on the totals, not the per-doc len column.
+    doclens = spark.read.parquet(
+        *[store.table_path(s.segment_id, "doclens") for s in victims]
     )
-    doclens.select(
-        "field", "docid", F.col("len_q").cast("long").alias("len"), "len_q"
-    ).write.mode("overwrite").parquet(store.table_path(new_id, "doclens"))
+    if tomb is not None:
+        doclens = doclens.join(tomb, "docid", "left_anti")
+    doclens.write.mode("overwrite").parquet(store.table_path(new_id, "doclens"))
+    doclens_new = spark.read.parquet(store.table_path(new_id, "doclens"))
     totals = {
         r["field"]: int(r["total"])
-        for r in doclens.groupBy("field").agg(F.sum("len_q").alias("total")).collect()
+        for r in doclens_new.groupBy("field").agg(F.sum("len_q").alias("total")).collect()
     }
     store.write_stage_marker(new_id, "doclens", {"field_length": totals})
 
@@ -228,11 +234,10 @@ def merge_segments(
 
     manifest.segments = keep + [seg]
     if not keep:
-        # full optimize: all deletes purged -> clear tombstones
+        # full optimize: all deletes purged -> the new manifest simply
+        # stops referencing the tombstone table (old generations keep
+        # working; superseded tombstone dirs are garbage, not hazards)
         manifest.has_tombstones = False
         manifest.deleted_count = 0
-        import shutil
-
-        if os.path.exists(store.tombstones_path()):
-            shutil.rmtree(store.tombstones_path())
+        manifest.tombstones_rel = None
     return store.commit(manifest)

@@ -87,10 +87,8 @@ class Index:
         return df
 
     def tombstones(self) -> DataFrame:
-        import os
-
-        p = self.store.tombstones_path()
-        if os.path.exists(p):
+        p = self.store.tombstones_dir(self.manifest)
+        if p is not None:
             return self.spark.read.parquet(p).select("docid")
         return self.spark.createDataFrame([], "docid long")
 

@@ -74,6 +74,11 @@ class Manifest:
     id_col: str
     deleted_count: int = 0
     has_tombstones: bool = False
+    # versioned tombstone table (tombstones-<n>), referenced from the
+    # committed manifest so readers resolve it through the atomic LATEST
+    # pointer — a crash between writes can never leave a manifest pointing
+    # at a missing/partial tombstone dir (ADVICE r1)
+    tombstones_rel: str | None = None
 
     @property
     def doc_count_all(self) -> int:
@@ -110,7 +115,19 @@ class SegmentStore:
         return out
 
     def tombstones_path(self) -> str:
+        """Legacy unversioned location (pre-r2 stores only)."""
         return os.path.join(self.path, "tombstones")
+
+    def tombstones_dir(self, manifest: Manifest) -> str | None:
+        """The tombstone table the given manifest references, or None."""
+        if manifest.tombstones_rel:
+            return os.path.join(self.path, manifest.tombstones_rel)
+        if manifest.has_tombstones and os.path.exists(self.tombstones_path()):
+            return self.tombstones_path()
+        return None
+
+    def new_tombstones_rel(self) -> str:
+        return f"tombstones-{self.current_generation() + 1}"
 
     def staging_path(self, name: str) -> str:
         return os.path.join(self.path, "_staging", name)
@@ -139,6 +156,7 @@ class SegmentStore:
             d.get("id_col", "url"),
             d.get("deleted_count", 0),
             d.get("has_tombstones", False),
+            d.get("tombstones_rel"),
         )
 
     def commit(self, manifest: Manifest) -> Manifest:
@@ -152,6 +170,7 @@ class SegmentStore:
             "id_col": manifest.id_col,
             "deleted_count": manifest.deleted_count,
             "has_tombstones": manifest.has_tombstones,
+            "tombstones_rel": manifest.tombstones_rel,
             "committed_at": time.time(),
         }
         with open(os.path.join(self.path, f"manifest-{gen}.json"), "w") as f:
