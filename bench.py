@@ -6,10 +6,12 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     WNS_BENCH_SYNTH_DOCS (extra synthetic corpus size for the build-
-     throughput leg; default 20000 — the testdata documents table is small,
-     so build throughput is measured on the deterministic synthetic
-     Common-Crawl-style corpus from sources/corpus.py).
+     WNS_BENCH_SYNTH_DOCS (synthetic corpus size for the build-throughput
+     leg; default 1_000_000 — the testdata documents table is tiny, so the
+     HEADLINE build-throughput and 1M-index query numbers come from the
+     deterministic synthetic Common-Crawl-style corpus from
+     sources/corpus.py, making rounds comparable at a scale where session
+     startup doesn't dominate).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    synth_docs = int(os.environ.get("WNS_BENCH_SYNTH_DOCS", "20000"))
+    synth_docs = int(os.environ.get("WNS_BENCH_SYNTH_DOCS", "1000000"))
 
     from whoosh_novo_spark.operators.build import build_segment
     from whoosh_novo_spark.operators.query import Index, Searcher
@@ -57,9 +59,9 @@ def main() -> None:
     cfg2 = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
     corpus = synthesize_corpus(spark, n_docs=synth_docs, n_partitions=cpus, seed=42)
     t0 = time.time()
-    m2 = build_segment(
-        spark, corpus, cfg2, SegmentStore(ix2_path), partitions=max(8, cpus // 2)
-    )
+    # partitions=None -> the build auto-sizes the posting shuffle (~4k
+    # docs/partition), the measured big lever at 1M docs (build.py:276-283)
+    m2 = build_segment(spark, corpus, cfg2, SegmentStore(ix2_path), partitions=None)
     t_build_synth = time.time() - t0
     docs_per_sec = round(m2.doc_count_all / t_build_synth, 1)
 
@@ -119,6 +121,36 @@ def main() -> None:
     p50, p95 = _np.percentile(singles, [50, 95])
     latencies["p50_single"] = round(float(p50), 3)
     latencies["p95_single"] = round(float(p95), 3)
+
+    # --- leg 4: queries on the 1M-doc synthetic index (headline scale):
+    # exact vs block-max WAND on the same disjunction, and p95 over mixed
+    # head/tail queries — the round-over-round comparable numbers
+    s2 = Searcher(Index(spark, SegmentStore(ix2_path), cfg2))
+    or3 = ast.Or((T("render"), T("shade"), T("texture")))
+    s2.search(T("warm"), limit=10).collect()
+    t0 = time.time()
+    s2.search(or3, limit=10).collect()
+    latencies["q1m_or3_exact"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    search_wand(s2, or3, limit=10, n_buckets=cpus).collect()
+    latencies["q1m_or3_wand"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    s2.search(ast.And((T("spark"), T("index"))), limit=10).collect()
+    latencies["q1m_and2"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    s2.search(ast.Prefix("text", "w0002"), limit=10).collect()
+    latencies["q1m_prefix"] = round(time.time() - t0, 3)
+    singles2 = []
+    w1m = ["render", "spark", "query", "merge", "block", "score", "w00042", "w00500"]
+    for i in range(20):
+        a, b = w1m[i % len(w1m)], w1m[(i + 3) % len(w1m)]
+        q = ast.And((T(a), T(b))) if i % 2 else ast.Or((T(a), T(b)))
+        t0 = time.time()
+        s2.search(q, limit=10).collect()
+        singles2.append(time.time() - t0)
+    p50_2, p95_2 = _np.percentile(singles2, [50, 95])
+    latencies["q1m_p50_single"] = round(float(p50_2), 3)
+    latencies["q1m_p95_single"] = round(float(p95_2), 3)
 
     total = round(time.time() - t_all, 3)
     out = {

@@ -71,3 +71,44 @@ def test_parsed_query_results_match_reference(built, p_oracle, whoosh_ref, qs):
     assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
     for (_, s1), (_, s2) in zip(ours, theirs):
         assert s1 == pytest.approx(s2, rel=1e-9), qs
+
+
+# --- plugin syntax: FuzzyTermPlugin + GtLtPlugin (qparser/plugins.py) ---
+
+PLUGIN_QUERY_STRINGS = [
+    "render~",
+    "render~1",
+    "rendre~2",
+    "render~2/2",
+    "text:>render",
+    "text:>=render",
+    "text:<shade",
+    "text:<=shade",
+    "text:>render text:<texture",
+    "render~1 AND shade",
+    "render OR shade~1",
+]
+
+
+@pytest.mark.parametrize("qs", PLUGIN_QUERY_STRINGS, ids=lambda s: s[:28])
+def test_plugin_syntax_results_match_reference(built, p_oracle, whoosh_ref, qs):
+    from whoosh.qparser import FuzzyTermPlugin, GtLtPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    ix, _ = built
+    s = Searcher(ix)
+    qp = QueryParser("text")
+    ours = [
+        (int(r["docid"]), float(r["score"]))
+        for r in s.search(qp.parse(qs), limit=10).collect()
+    ]
+    with p_oracle.ix.searcher() as ws:
+        wqp = WQP("text", p_oracle.ix.schema)
+        wqp.add_plugin(FuzzyTermPlugin())
+        wqp.add_plugin(GtLtPlugin())
+        wq = wqp.parse(qs)
+        res = ws.search(wq, limit=10)
+        theirs = [(int(h["id"]), h.score) for h in res]
+    assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
+    for (_, s1), (_, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), qs

@@ -381,6 +381,30 @@ class Searcher:
             score = self._terms_score_col(q.fieldname, [(q.text, st, 1.0)])
             return boost(p.select("docid", score.alias("score")), q.boost)
 
+        if isinstance(q, ast.Variations):
+            # terms.py:522-570: Or of the lexicon-present variants, scored
+            # normally; the variant set is tiny so a stats-map single scan
+            # (the flat-compound plan shape) is the right physical plan
+            from whoosh_novo_spark.functions.variations import variations as _vars
+
+            words = sorted(q.variants) if q.variants is not None else sorted(_vars(q.text))
+            vstats = self._cached_stats([(q.fieldname, w) for w in words])
+            present = [w for w in words if (q.fieldname, w) in vstats]
+            if not present:
+                return empty
+            p = self.index.postings().where(
+                (F.col("field") == q.fieldname) & F.col("term").isin(present)
+            )
+            score = self._terms_score_col(
+                q.fieldname, [(w, vstats[(q.fieldname, w)], 1.0) for w in present]
+            )
+            agg = (
+                p.select("docid", score.alias("score"))
+                .groupBy("docid")
+                .agg(F.sum("score").alias("score"))
+            )
+            return boost(agg, q.boost)
+
         if isinstance(q, (ast.Prefix, ast.Wildcard, ast.Regex, ast.TermRange, ast.FuzzyTerm)):
             return self._compile_multiterm(q)
 

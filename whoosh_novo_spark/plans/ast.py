@@ -105,6 +105,19 @@ class TermRange(Query):
 
 
 @dataclass(frozen=True)
+class Variations(Query):
+    """Morphological variations of a word in the field (terms.py:522-570):
+    search every lexicon-present variant, scored like an Or of Terms.
+    ``variants`` overrides the built-in English inflector
+    (functions/variations.py) with an explicit set."""
+
+    fieldname: str
+    text: str
+    boost: float = 1.0
+    variants: tuple[str, ...] | None = None
+
+
+@dataclass(frozen=True)
 class NumericRange(Query):
     """Range over a NUMERIC field (ranges.py:244-394).  The reference
     compiles this to tiered term queries; here numeric fields are native
@@ -300,7 +313,7 @@ def _dedup(kids: list[Query]) -> list[Query]:
 
 _HASHABLE = (
     Term, Every, Prefix, Wildcard, Regex, FuzzyTerm, TermRange, Phrase, NullQuery,
-    NumericRange, DateRange,
+    NumericRange, DateRange, Variations,
     And, Or, DisjunctionMax, Not, AndNot, AndMaybe, Require,
 )
 
