@@ -275,17 +275,55 @@ class Searcher:
         except KeyError:
             return True
 
+    def _supports_joined_stats(self, fieldname: str) -> bool:
+        """True when this model can score with per-term stats joined in as
+        columns — Term/flat-compound plans then need NO driver-side stats
+        lookup job (the idf factors come from a broadcast join against the
+        terms table inside the ONE query job)."""
+        key = ("_joincap", fieldname)
+        got = self._stats_cache.get(key)
+        if got is None:
+            try:
+                got = (
+                    self.model.score_col_stats(
+                        self,
+                        fieldname,
+                        F.col("weight"),
+                        F.col("len_q"),
+                        F.col("df").cast("double"),
+                        F.col("cf"),
+                    )
+                    is not None
+                )
+            except Exception:
+                got = False
+            self._stats_cache[key] = got
+        return bool(got)
+
+    def _term_stats_agg(self, fieldname: str, texts: list[str]) -> DataFrame:
+        """Cross-segment (term, df, cf) aggregate for a tiny term set —
+        the broadcast side of the joined-stats plans."""
+        return (
+            self.index.terms()
+            .where((F.col("field") == fieldname) & F.col("term").isin(texts))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+
     def score_df(self, q: ast.Query) -> DataFrame:
         """Full scored match set (docid, score) for a normalized query."""
         if isinstance(q, ast.NullQuery):
             return self.index.spark.createDataFrame([], "docid long, score double")
-        stats = self._cached_stats(
-            [
-                (t.fieldname, t.text)
-                for t in ast.term_leaves(q)
-                if self._is_text_field(t.fieldname)
-            ]
-        )
+        # Prefetch driver-side stats only for leaves whose field/model
+        # combination can't use the joined-stats plan (Phrase fetches its
+        # own; everything else joins stats in-plan when the model allows)
+        pairs = [
+            (t.fieldname, t.text)
+            for t in ast.term_leaves(q)
+            if self._is_text_field(t.fieldname)
+            and not self._supports_joined_stats(t.fieldname)
+        ]
+        stats = self._cached_stats(pairs) if pairs else {}
         return self._compile(q, stats)
 
     def search_filtered(
@@ -372,12 +410,27 @@ class Searcher:
             return self._compile_typed(q)
 
         if isinstance(q, ast.Term):
-            st = stats.get((q.fieldname, q.text))
-            if st is None:
-                return empty
             p = self.index.postings().where(
                 (F.col("field") == q.fieldname) & (F.col("term") == q.text)
             )
+            if not self.index.config.field(q.fieldname).scorable:
+                # WeightScorer: raw weight, no stats job at all
+                return boost(p.select("docid", F.col("weight").alias("score")), q.boost)
+            if self._supports_joined_stats(q.fieldname):
+                # single-job plan: idf from a 1-row broadcast join, no
+                # driver stats lookup (searching.py's idf cache subsumed)
+                tagg = self._term_stats_agg(q.fieldname, [q.text])
+                joined = p.join(F.broadcast(tagg), "term")
+                score = self.model.score_col_stats(
+                    self, q.fieldname, F.col("weight"), F.col("len_q"),
+                    F.col("df").cast("double"), F.col("cf"),
+                )
+                return boost(joined.select("docid", score.alias("score")), q.boost)
+            st = stats.get((q.fieldname, q.text)) or self._cached_stats(
+                [(q.fieldname, q.text)]
+            ).get((q.fieldname, q.text))
+            if st is None:
+                return empty
             score = self._terms_score_col(q.fieldname, [(q.text, st, 1.0)])
             return boost(p.select("docid", score.alias("score")), q.boost)
 
@@ -442,7 +495,7 @@ class Searcher:
             if flat is not None:
                 u, n_present, n_children = flat
                 if isinstance(q, ast.And):
-                    if n_present < n_children:
+                    if n_present is not None and n_present < n_children:
                         return empty  # a required term is absent from index
                     agg = (
                         u.groupBy("docid")
@@ -658,6 +711,32 @@ class Searcher:
         if len(fields) != 1:
             return None
         fieldname = next(iter(fields))
+        scorable = self.index.config.field(fieldname).scorable
+
+        if not scorable or self._supports_joined_stats(fieldname):
+            # single-job plan: no driver stats lookup.  Membership/absence
+            # falls out of the scan itself (an absent term matches nothing,
+            # so an And's count == n_children filter rejects every doc).
+            texts = sorted({c.text for c in kids})
+            p = self.index.postings().where(
+                (F.col("field") == fieldname) & F.col("term").isin(texts)
+            )
+            w, flq = F.col("weight"), F.col("len_q")
+            if not scorable:
+                base_score = w
+            else:
+                tagg = self._term_stats_agg(fieldname, texts)
+                p = p.join(F.broadcast(tagg), "term")
+                base_score = self.model.score_col_stats(
+                    self, fieldname, w, flq, F.col("df").cast("double"), F.col("cf")
+                )
+            if any(c.boost != 1.0 for c in kids):
+                boost_map = F.create_map(
+                    *[F.lit(x) for c in kids for x in (c.text, float(c.boost))]
+                )
+                base_score = base_score * boost_map[F.col("term")]
+            return p.select("docid", base_score.alias("score")), None, len(kids)
+
         present = [c for c in kids if (c.fieldname, c.text) in stats]
         if not present:
             return None
@@ -684,6 +763,11 @@ class Searcher:
         spark = self.index.spark
         empty = spark.createDataFrame([], "docid long, score double")
         words = list(q.words)
+        # positional scoring needs concrete per-word stats (the span kernel
+        # and shifted-intersection both score via the stats map); fetch the
+        # phrase words here — flat boolean plans no longer prefetch
+        stats = dict(stats)
+        stats.update(self._cached_stats([(q.fieldname, w) for w in words]))
         if q.slop != 1 or len(set(words)) != len(words):
             # wider slop or duplicate phrase words need the full span
             # kernel (per-occurrence span combination)
