@@ -154,7 +154,10 @@ def main() -> None:
 
     total = round(time.time() - t_all, 3)
     out = {
-        "metric": "index-build + top-k BM25 query wall time",
+        # r1's bench built a 20k-doc synthetic corpus (value was 43.9s);
+        # from r2 the headline leg is 1M docs so rounds compare on
+        # build_docs_per_sec and the q1m_* latencies, not total wall
+        "metric": f"{synth_docs}-doc index build + top-k BM25 query wall time",
         "value": total,
         "unit": "sec",
         "queries": latencies,

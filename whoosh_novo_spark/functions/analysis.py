@@ -436,36 +436,70 @@ def folding_analyze_batch(texts: pd.Series) -> TokenBatch:
 def fancy_analyze_batch(texts: pd.Series) -> TokenBatch:
     """FancyAnalyzer (analyzers.py:257-295): whitespace-gap tokenize ->
     IntraWordFilter (position-renumbering subword splits) -> lowercase ->
-    stop filter (renumbering survivors)."""
+    stop filter (renumbering survivors).
+
+    Vectorized: a word's IntraWord expansion is context-free except for
+    its starting position, so each UNIQUE word is split once
+    (vocabulary-bounded Python) into (subtexts, relative positions,
+    position advance); the stream-wide renumbering is a per-document
+    cumulative sum of advances, and the stop filter + survivor renumber
+    reuse the standard vectorized kernels."""
     from whoosh_novo_spark.functions.intraword import IntraWord
 
     iw = IntraWord()
-    tok_lists = texts.fillna("").str.split()
-    rows: list[int] = []
-    terms: list[str] = []
-    poss: list[int] = []
-    for r, words in enumerate(tok_lists):
-        if not words:
-            continue
-        expanded = iw.apply([(w, i) for i, w in enumerate(words)])
-        # lowercase + stop (renumber survivors like StopFilter)
-        pos_counter = None
-        for text, pos in expanded:
-            low = text.lower()
-            if len(low) >= MIN_WORD_SIZE and low not in STOP_WORDS:
-                if pos_counter is None:
-                    pos_counter = pos
-                else:
-                    pos_counter += 1
-                rows.append(r)
-                terms.append(low)
-                poss.append(pos_counter)
-    return TokenBatch(
-        np.asarray(rows, dtype=np.int64),
-        np.asarray(terms, dtype=object),
-        np.asarray(poss, dtype=np.int64),
-        len(texts),
+    base = keyword_analyze_batch(texts)
+    n_rows = base.n_rows
+    if len(base.term) == 0:
+        return TokenBatch(base.row, base.term, base.pos, n_rows)
+
+    codes, uniques = pd.factorize(base.term)
+    sub_texts: list[str] = []
+    sub_rel: list[int] = []
+    counts = np.empty(len(uniques), dtype=np.int64)
+    advance = np.empty(len(uniques), dtype=np.int64)
+    for u_i, u in enumerate(uniques):
+        # a fresh stream starting at pos 0 yields the word's expansion
+        # relative to its own starting position
+        exp = iw.apply([(u, 0)])
+        counts[u_i] = len(exp)
+        advance[u_i] = (exp[-1][1] + 1) if exp else 0
+        for t2, p2 in exp:
+            sub_texts.append(t2)
+            sub_rel.append(p2)
+    flat_txt = np.asarray(sub_texts, dtype=object)
+    flat_rel = np.asarray(sub_rel, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+
+    # per-token starting position = cumulative advance of the document's
+    # previous tokens (the stream-wide renumbering; first token = pos 0)
+    adv = advance[codes]
+    cum = np.cumsum(adv) - adv
+    first_mask = np.empty(len(base.row), dtype=bool)
+    first_mask[0] = True
+    np.not_equal(base.row[1:], base.row[:-1], out=first_mask[1:])
+    row_start = np.maximum.accumulate(
+        np.where(first_mask, np.arange(len(base.row)), 0)
     )
+    tok_base = cum - cum[row_start]
+
+    rep = counts[codes]
+    total = int(rep.sum())
+    if total == 0:
+        e = np.array([], dtype=np.int64)
+        return TokenBatch(e, np.array([], dtype=object), e.copy(), n_rows)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rep) - rep, rep)
+    idx = np.repeat(starts[codes], rep) + offs
+    out_row = np.repeat(base.row, rep)
+    out_txt = flat_txt[idx]
+    out_pos = np.repeat(tok_base, rep) + flat_rel[idx]
+
+    # lowercase + stop filter + survivor renumbering (StopFilter semantics)
+    lowered = pd.Series(out_txt, dtype=object).str.lower()
+    lens = lowered.str.len().to_numpy()
+    keep = (lens >= MIN_WORD_SIZE) & ~lowered.isin(STOP_WORDS).to_numpy()
+    row_k = out_row[keep]
+    pos_k = _renumber(row_k, out_pos[keep], n_rows)
+    return TokenBatch(row_k, lowered.to_numpy()[keep], pos_k, n_rows)
 
 
 ANALYZERS = {
