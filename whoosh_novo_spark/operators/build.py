@@ -430,7 +430,16 @@ def build_segment(
             F.min("docid").alias("min_docid"),
             F.max("docid").alias("max_docid"),
         )
-        terms.write.mode("overwrite").parquet(store.table_path(segment_id, "terms"))
+        # range-sorted by (field, term) so term-dictionary lookups (query
+        # stats, multiterm expansion joins, suggest) prune by parquet
+        # row-group min/max — the OrderedHashWriter's sorted-keys property.
+        # The terms table is tiny next to postings; the extra exchange is
+        # noise at build time and pays on every query.
+        terms.repartitionByRange(
+            max(1, sp // 8), "field", "term"
+        ).sortWithinPartitions("field", "term").write.mode("overwrite").parquet(
+            store.table_path(segment_id, "terms")
+        )
         store.write_stage_marker(segment_id, "terms", {})
 
     # stage 3b: doclens + exact field-length totals, also from RAW

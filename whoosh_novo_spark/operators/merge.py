@@ -185,7 +185,9 @@ def merge_segments(
         F.min("docid").alias("min_docid"),
         F.max("docid").alias("max_docid"),
     )
-    terms.write.mode("overwrite").parquet(store.table_path(new_id, "terms"))
+    terms.repartitionByRange(max(1, sp // 8), "field", "term").sortWithinPartitions(
+        "field", "term"
+    ).write.mode("overwrite").parquet(store.table_path(new_id, "terms"))
     store.write_stage_marker(new_id, "terms", {})
 
     # doclens: union the SOURCE doclens tables (minus tombstones) so the
