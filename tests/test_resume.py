@@ -73,3 +73,36 @@ def test_lineage_metrics_recorded(spark, tmp_path):
     p = os.path.join(store.segment_dir("seg-00000"), "_stage_docmap.json")
     with open(p) as f:
         json.load(f)
+
+
+def test_writer_lock_excludes_second_writer(spark, tmp_path):
+    """whoosh index.LockError parity: a second writer raises while the
+    first holds the index; release lets it in; stale dead-pid locks are
+    broken automatically."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from whoosh_novo_spark.sources.segment_store import LockError, SegmentStore
+
+    store = SegmentStore(str(tmp_path / "lock_ix"))
+    store.acquire_writer_lock()
+    other = SegmentStore(str(tmp_path / "lock_ix"))
+    with _pytest.raises(LockError):
+        other.acquire_writer_lock()
+    # reentrant within the owning instance (update = delete + build)
+    store.acquire_writer_lock()
+    store.release_writer_lock()
+    other2 = SegmentStore(str(tmp_path / "lock_ix"))
+    with _pytest.raises(LockError):
+        other2.acquire_writer_lock()
+    store.release_writer_lock()
+    other2.acquire_writer_lock()
+    other2.release_writer_lock()
+    # stale lock from a dead pid is broken
+    with open(os.path.join(str(tmp_path / "lock_ix"), "WRITE_LOCK"), "w") as f:
+        json.dump({"pid": 99999999, "ts": 0}, f)
+    store2 = SegmentStore(str(tmp_path / "lock_ix"))
+    store2.acquire_writer_lock()
+    store2.release_writer_lock()

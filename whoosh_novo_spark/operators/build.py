@@ -352,6 +352,23 @@ def build_segment(
     (writing.py:748-822, 854-941).  Returns the committed manifest.
     """
     t0 = time.time()
+    # whoosh writer-lock parity: one writer per index (index.LockError);
+    # reentrant within a process so update_documents can nest
+    store.acquire_writer_lock()
+    try:
+        return _build_segment_locked(spark, docs, config, store, partitions, t0)
+    finally:
+        store.release_writer_lock()
+
+
+def _build_segment_locked(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: IndexConfig,
+    store: SegmentStore,
+    partitions: int | None,
+    t0: float,
+) -> Manifest:
     manifest = store.read_manifest()
     manifest.id_col = config.id_col
     segment_id = _resumable_segment_id(store, manifest, spark, docs, config.id_col)

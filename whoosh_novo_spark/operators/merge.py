@@ -38,6 +38,14 @@ def delete_docs(spark: SparkSession, store: SegmentStore, docids: DataFrame) -> 
     intact and concurrent readers never see a missing/partial dir."""
     import os
 
+    store.acquire_writer_lock()
+    try:
+        return _delete_docs_locked(spark, store, docids, os)
+    finally:
+        store.release_writer_lock()
+
+
+def _delete_docs_locked(spark, store, docids, os):
     manifest = store.read_manifest()
     new = docids.select(F.col("docid").cast("long")).distinct()
     old_dir = store.tombstones_dir(manifest)
@@ -130,6 +138,14 @@ def merge_segments(
     import os
 
     t0 = time.time()
+    store.acquire_writer_lock()
+    try:
+        return _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0)
+    finally:
+        store.release_writer_lock()
+
+
+def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0):
     manifest = store.read_manifest()
     if segment_ids is None:
         segment_ids = [s.segment_id for s in manifest.segments]

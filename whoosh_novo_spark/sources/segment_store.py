@@ -94,10 +94,88 @@ class Manifest:
         return self.field_length(fld) / (self.doc_count_all or 1)
 
 
+class LockError(Exception):
+    """Another writer holds the index (whoosh index.LockError parity)."""
+
+
 class SegmentStore:
     def __init__(self, path: str):
         self.path = path
+        self._lock_depth = 0  # instance-level reentrancy (update = delete+build)
         os.makedirs(os.path.join(path, "segments"), exist_ok=True)
+
+    # --- writer lock (whoosh's index write lock, writing.py/index.py) ---
+    # Single-host advisory lock: O_EXCL lockfile with pid + timestamp;
+    # stale locks (dead pid or too old) are broken.  On a real multi-host
+    # deployment the manifest commit would be an Iceberg/catalog
+    # transaction and this file is unnecessary — the swap-in point is
+    # commit(), same as the rest of this module.
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, "WRITE_LOCK")
+
+    def acquire_writer_lock(self, timeout_sec: float = 0.0, stale_sec: float = 3600.0) -> None:
+        if self._lock_depth > 0:
+            self._lock_depth += 1
+            return
+        deadline = time.time() + timeout_sec
+        while True:
+            try:
+                fd = os.open(self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(
+                    fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode()
+                )
+                os.close(fd)
+                self._lock_depth = 1
+                return
+            except FileExistsError:
+                try:
+                    with open(self._lock_path()) as f:
+                        meta = json.load(f)
+                except Exception:
+                    meta = {}
+                pid = meta.get("pid")
+                dead = False
+                if pid is not None:
+                    try:
+                        os.kill(int(pid), 0)
+                    except (ProcessLookupError, ValueError):
+                        dead = True
+                    except PermissionError:
+                        pass
+                if dead or time.time() - meta.get("ts", 0) > stale_sec:
+                    try:
+                        os.unlink(self._lock_path())
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.time() >= deadline:
+                    raise LockError(
+                        f"index at {self.path} is locked by writer pid={pid}"
+                    ) from None
+                time.sleep(0.2)
+
+    def release_writer_lock(self) -> None:
+        if self._lock_depth > 1:
+            self._lock_depth -= 1
+            return
+        self._lock_depth = 0
+        try:
+            os.unlink(self._lock_path())
+        except FileNotFoundError:
+            pass
+
+    def writer_lock(self, timeout_sec: float = 0.0):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            self.acquire_writer_lock(timeout_sec)
+            try:
+                yield self
+            finally:
+                self.release_writer_lock()
+
+        return _cm()
 
     # --- paths ---
     def segment_dir(self, segment_id: str) -> str:
