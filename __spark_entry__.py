@@ -253,6 +253,17 @@ def q_multi_facet(spark, sf_dir):
     ).orderBy("lang", "source")
 
 
+def q_sorted_by_field(spark, sf_dir):
+    """SortingCollector / sortedby=FieldFacet: matches ordered by a stored
+    field (asc), ties by docid (collectors.py:536-583)."""
+    from whoosh_novo_spark.operators.facets import FieldFacet, sort_by_facet
+
+    s = _index_for(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "lang")
+    out = sort_by_facet(s, _T("spark"), FieldFacet("lang"), docs=d, limit=20)
+    return out.select(F.col("docid").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def q_collapse(spark, sf_dir):
     """CollapseCollector: best doc per source facet (collectors.py:854+)."""
     from pyspark.sql import Window
@@ -507,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclens": q_doclens,
         "facet_lang": q_facet_lang,
         "multi_facet_count": q_multi_facet,
+        "sorted_by_lang_topk": q_sorted_by_field,
         "collapse_per_source": q_collapse,
         "phrase_topk": q_phrase,
         "nested_parent_topk": q_nested_parent,
@@ -563,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "doclens": osql.doclens_check(),
         "facet_lang": osql.facet_lang_count("spark"),
         "multi_facet_count": osql.multi_facet_count("spark"),
+        "sorted_by_lang_topk": osql.sorted_by_field_topk("spark", "lang", 20),
         "collapse_per_source": osql.collapse_top_per_source("spark"),
         "or_minmatch_topk": osql.or_minmatch(["spark", "data", "query"], 2),
         "not_docs": osql.not_term("spark", 20),

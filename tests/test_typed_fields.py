@@ -131,3 +131,37 @@ def test_parser_fuzzy_and_gtlt_text(built):
     assert q == ast.FuzzyTerm("text", "alpha", maxdist=2, prefixlength=3)
     q = p.parse("text:>beta")
     assert q == ast.TermRange("text", "beta", None, True, False)
+
+
+def test_dateparse_lite_periods():
+    """Truncated dates name whole periods (dateparse.py semantics subset)."""
+    from whoosh_novo_spark.plans.parser import date_period
+
+    assert date_period("2021") == ("2021-01-01 00:00:00", "2022-01-01 00:00:00")
+    assert date_period("2021-02") == ("2021-02-01 00:00:00", "2021-03-01 00:00:00")
+    assert date_period("2021-12") == ("2021-12-01 00:00:00", "2022-01-01 00:00:00")
+    assert date_period("2021-01-05") == ("2021-01-05 00:00:00", "2021-01-06 00:00:00")
+    assert date_period("2021-01-05 07") == ("2021-01-05 07:00:00", "2021-01-05 08:00:00")
+    assert date_period("2021-01-05 07:30") == ("2021-01-05 07:30:00", "2021-01-05 07:31:00")
+    assert date_period("not-a-date") is None
+    assert date_period("2021-13") is None
+
+
+def test_dateparse_lite_queries(built):
+    """Bare/truncated date terms and ranges on a DATETIME field resolve to
+    the whole named period; GtLt uses period edges."""
+    ix, s = built
+    p = QueryParser.for_config(CFG, default_field="text")
+    # fixture: created = 2021-01-01 + i hours for i in 0..59
+    q = p.parse("created:2021-01-01")
+    assert ids(s.search(q, limit=None)) == list(range(0, 24))
+    q = p.parse("created:[2021-01-02 TO 2021-01-03]")  # both whole days
+    assert ids(s.search(q, limit=None)) == list(range(24, 60))
+    q = p.parse("created:>2021-01-01")  # after the whole first day
+    assert ids(s.search(q, limit=None)) == list(range(24, 60))
+    q = p.parse("created:<=2021-01-01")  # through the first day
+    assert ids(s.search(q, limit=None)) == list(range(0, 24))
+    q = p.parse('created:"2021-01-01 05"')
+    # quoted form goes through phrase lexing; use unquoted hour syntax
+    q = p.parse("created:2021-01-01T05")
+    assert ids(s.search(q, limit=None)) == [5]

@@ -222,6 +222,15 @@ WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = '{term}')
 GROUP BY d.lang ORDER BY d.lang"""
 
 
+def sorted_by_field_topk(term: str, key: str = "lang", k: int = 20) -> str:
+    """SortingCollector: matches ordered by a stored field asc, docid ties."""
+    return f"""{_BASE}
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.term = '{term}'
+ORDER BY d.{key} ASC, s.doc_id ASC LIMIT {k}"""
+
+
 def multi_facet_count(term: str) -> str:
     """MultiFacet(lang, source) + Count over matching docs."""
     return f"""{_with(TOKS_CTE, POSTINGS_CTE)}

@@ -49,6 +49,44 @@ def replace_boost(q: ast.Query, boost: float) -> ast.Query:
     return replace(q, boost=boost)
 
 
+_DATE_RX = re.compile(
+    r"^(\d{4})(?:-(\d{2}))?(?:-(\d{2}))?(?:[ T](\d{2}))?(?::(\d{2}))?(?::(\d{2}))?$"
+)
+
+
+def date_period(s: str) -> tuple[str, str] | None:
+    """Truncated-date semantics (qparser/dateparse.py's 'a partial date is
+    the whole period'): '2021' -> the year, '2021-03' -> the month,
+    '2021-03-05' -> the day, down to the second.  Returns (start_iso,
+    end_iso_EXCLUSIVE) or None if not date-shaped."""
+    import datetime as dt
+
+    m = _DATE_RX.match(s.strip())
+    if not m:
+        return None
+    y, mo, d, h, mi, se = (int(g) if g else None for g in m.groups())
+    try:
+        if mo is None:
+            start, end = dt.datetime(y, 1, 1), dt.datetime(y + 1, 1, 1)
+        elif d is None:
+            start = dt.datetime(y, mo, 1)
+            end = dt.datetime(y + (mo == 12), mo % 12 + 1, 1)
+        else:
+            start = dt.datetime(y, mo, d, h or 0, mi or 0, se or 0)
+            if h is None:
+                end = start + dt.timedelta(days=1)
+            elif mi is None:
+                end = start + dt.timedelta(hours=1)
+            elif se is None:
+                end = start + dt.timedelta(minutes=1)
+            else:
+                end = start + dt.timedelta(seconds=1)
+    except ValueError:
+        return None
+    fmt = "%Y-%m-%d %H:%M:%S"
+    return start.strftime(fmt), end.strftime(fmt)
+
+
 class QueryParser:
     def __init__(
         self,
@@ -269,6 +307,12 @@ class QueryParser:
             return ast.FuzzyTerm(field, text, boost=boost, **kw)
         if w == "*":
             return ast.Every(field, boost=boost)
+        if self._type(field) == "datetime":
+            # a bare (possibly truncated) date matches its whole period
+            p = date_period(w)
+            if p:
+                return ast.DateRange(field, p[0], p[1], False, True, boost=boost)
+            return ast.Term(field, w, boost=boost)
         if self._type(field) != "text":
             return ast.Term(field, self._typed_value(field, w), boost=boost)
         if "*" in w or "?" in w:
@@ -323,7 +367,22 @@ class QueryParser:
                 endexcl,
             )
         if t == "datetime":
-            return ast.DateRange(field, s, e, startexcl, endexcl)
+            # dateparse semantics: each endpoint names a whole period —
+            # [2021-01 TO 2021-03] covers Jan 1 through end of March
+            lo = hi = None
+            hi_excl = endexcl
+            if s:
+                ps = date_period(s)
+                lo = (ps[1] if startexcl else ps[0]) if ps else s
+                startexcl = False if ps else startexcl
+            if e:
+                pe = date_period(e)
+                if pe:
+                    hi = pe[0] if endexcl else pe[1]
+                    hi_excl = True
+                else:
+                    hi = e
+            return ast.DateRange(field, lo, hi, startexcl, hi_excl)
         lo = self._qtext(field, s) if s else None
         hi = self._qtext(field, e) if e else None
         return ast.TermRange(field, lo, hi, startexcl, endexcl)
