@@ -11,8 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _write_batch(spark, path, rows, n):
-    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+def _write_batch(spark, path, rows, n, schema="user_id string, ts timestamp, value double"):
+    df = spark.createDataFrame(rows, schema)
     df.coalesce(1).write.mode("append").parquet(path)
 
 
@@ -81,3 +81,43 @@ def test_stream_sessions_match_batch_closed_prefix(spark, tmp_path, event_rows):
             (r["user_id"], r["start_ep"], r["end_ep"], r["n_events"], round(total, 6))
         )
     assert got == want and len(want) == 3
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """Watermarked tumbling windows over a file stream == the batch
+    tumbling_counts operator on the same rows (complete set via two
+    triggers + final watermark flush)."""
+    from whoosh_novo_spark.operators.events import tumbling_counts
+    from whoosh_novo_spark.streaming.sessions import windowed_counts_stream
+
+    base = dt.datetime(2023, 5, 1, 8, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (f"u{i % 3}", base + dt.timedelta(minutes=7 * i), "click" if i % 2 else "view", float(i))
+        )
+    src = str(tmp_path / "wsrc")
+    schema = "user_id string, ts timestamp, event_type string, value double"
+    _write_batch(spark, src, rows[:25], 1, schema)
+    _write_batch(spark, src, rows[25:], 2, schema)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_counts_stream(stream, window_seconds=3600, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_counts(batch_df, gap_seconds=3600).collect()
+    }
+    assert got == want and len(want) > 4

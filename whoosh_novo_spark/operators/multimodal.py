@@ -5,14 +5,16 @@ Design for image/audio/video in a 100 TB corpus: media stays an opaque
 resize / frame-sample run as Arrow-batched kernels over ``mapInPandas``
 (bounded batch size keeps executor memory flat regardless of blob size).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are STUBS behind ``WNS_FAKE_DECODE``:
+Decode support is tiered:
 
-- default: raise ``NotImplementedError`` naming the needed dependency
-- ``fake=True``: a deterministic, content-derived fake (blake2b-seeded)
-  with the REAL schema/batching/partitioning — so the Spark-side plumbing
-  (UDF signatures, Arrow batch shapes, metadata propagation) is fully
-  exercised and tested.
+- **real**: header-only formats decodable with pure numpy — PPM (P6),
+  PGM (P5) and uncompressed 24-bit BMP (``decode_image``,
+  ``resize_image``).  Features/dims from these are actual pixel data.
+- **stub**: codec formats (PNG/JPEG/video) need Pillow/ffmpeg, which are
+  NOT in this container; those raise ``NotImplementedError`` naming the
+  dependency, or produce a deterministic content-derived fake under
+  ``fake=True`` with the REAL schema/batching/partitioning — so the
+  Spark-side plumbing is fully exercised and tested either way.
 """
 
 from __future__ import annotations
@@ -23,6 +25,103 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- decode
+
+def _parse_pnm_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """(magic, width, height, maxval, data_offset) for P5/P6; handles
+    whitespace and '#' comments per the netpbm spec."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a P5/P6 netpbm payload")
+    magic = payload[:2].decode()
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace after maxval
+    if len(fields) != 3:
+        raise ValueError("truncated netpbm header")
+    w, h, maxval = fields
+    return magic, w, h, maxval, i
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Pure-numpy image decode -> uint8 array (H, W, C).
+
+    Supports PPM (P6, RGB), PGM (P5, grayscale) and uncompressed 24-bit
+    bottom-up BMP.  Codec formats raise NotImplementedError (no
+    Pillow/libjpeg in this environment)."""
+    payload = bytes(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        magic, w, h, maxval, off = _parse_pnm_header(payload)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        ch = 3 if magic == "P6" else 1
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+        return arr.reshape(h, w, ch)
+    if payload[:2] == b"BM":
+        data_off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if hdr_size < 40 or bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP supported")
+        flip = h > 0  # positive height = bottom-up rows
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR -> RGB
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "PNG/JPEG decoding needs a codec (Pillow/libjpeg), not installed here"
+        )
+    raise NotImplementedError("unrecognized image format")
+
+
+def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index gather)."""
+    h, w = arr.shape[:2]
+    yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[yi][:, xi]
+
+
+def _real_features(arr: np.ndarray, feature_dim: int) -> np.ndarray:
+    """Deterministic pixel features: per-channel mean/std + a coarse
+    grid of gray means, truncated/padded to feature_dim."""
+    a = arr.astype(np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+    feats = []
+    for c in range(a.shape[2]):
+        feats.extend([a[..., c].mean() / 255.0, a[..., c].std() / 255.0])
+    gray = a.mean(axis=2)
+    g = max(1, int(np.sqrt(max(feature_dim - len(feats), 1))))
+    small = resize_image(gray, g, g).reshape(-1) / 255.0
+    feats.extend(small.tolist())
+    out = np.asarray(feats[:feature_dim], dtype=np.float32)
+    if len(out) < feature_dim:
+        out = np.pad(out, (0, feature_dim - len(out)))
+    return out
 
 MEDIA_META_SCHEMA = (
     "media_type string, byte_len long, content_hash string"
@@ -70,8 +169,8 @@ def image_features(
     """Decode images and emit (dims, feature vector) per row.
 
     Real pipeline shape: mapInPandas, bounded Arrow batches, feature as
-    array<float>.  STUB decode (see module docstring)."""
-    _require_decoder("image", fake)
+    array<float>.  REAL decode for numpy-decodable formats (PPM/PGM/BMP);
+    codec formats raise unless ``fake=True`` (deterministic stub)."""
 
     def kernel(batches):
         for pdf in batches:
@@ -79,7 +178,18 @@ def image_features(
                 chunk = pdf.iloc[start : start + batch_size]
                 ids, ws, hs, cs, feats = [], [], [], [], []
                 for rid, payload in zip(chunk[id_col], chunk[bin_col]):
-                    rng = _fake_rng(bytes(payload))
+                    payload = bytes(payload)
+                    try:
+                        arr = decode_image(payload)
+                        ids.append(rid)
+                        hs.append(int(arr.shape[0]))
+                        ws.append(int(arr.shape[1]))
+                        cs.append(int(arr.shape[2] if arr.ndim == 3 else 1))
+                        feats.append(_real_features(arr, feature_dim))
+                        continue
+                    except NotImplementedError:
+                        _require_decoder("image", fake)
+                    rng = _fake_rng(payload)
                     ids.append(rid)
                     ws.append(int(rng.integers(16, 4096)))
                     hs.append(int(rng.integers(16, 4096)))

@@ -71,6 +71,33 @@ def _session_fn(gap_seconds: int, timeout_ms: int):
     return fn
 
 
+def windowed_counts_stream(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    operators/events.tumbling_counts.  Late rows older than ``watermark``
+    are dropped and finalized windows emit exactly once in append mode."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{window_seconds} seconds").alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("bucket"),
+            key_col,
+            "n",
+            F.round("total", 4).alias("total"),
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
