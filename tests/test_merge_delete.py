@@ -170,3 +170,26 @@ def test_merge_policy_small(spark, tmp_path_factory):
     m2 = merge_segments(spark, store, CFG, segment_ids=chosen)
     assert len(m2.segments) == len(m.segments) - len(chosen) + 1
     assert m2.doc_count_all == m.doc_count_all
+
+
+def test_not_and_every_exclude_deleted(spark, tmp_path):
+    """Not/Every match only LIVE docs after deletes (whoosh matchers skip
+    per-segment deleted sets)."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.merge import delete_docs
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    cfg = IndexConfig(id_col="rid", fields=(FieldConfig("text"),))
+    store = SegmentStore(str(tmp_path / "del_ix"))
+    rows = [(f"{i:03d}", "alpha beta" if i % 2 else "alpha gamma") for i in range(10)]
+    df = spark.createDataFrame(rows, "rid string, text string")
+    build_segment(spark, df, cfg, store, partitions=1)
+    delete_docs(spark, store, spark.createDataFrame([(2,), (3,)], "docid long"))
+    s = Searcher(Index(spark, store, cfg))
+    not_ids = sorted(r["docid"] for r in s.search(ast.Not(ast.Term("text", "beta")), limit=None).collect())
+    assert not_ids == [0, 4, 6, 8]  # evens (gamma docs) minus deleted 2
+    every_ids = sorted(r["docid"] for r in s.search(ast.Every("*"), limit=None).collect())
+    assert every_ids == [0, 1, 4, 5, 6, 7, 8, 9]

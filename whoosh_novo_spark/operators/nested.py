@@ -194,7 +194,7 @@ def nested_children(
     wanted = searcher.score_df(wanted_parents.normalize()).select(
         F.col("docid").alias("parent")
     )
-    alldocs = searcher.index.docmap(columns=["docid"])
+    alldocs = searcher.index.live_docids()
     withp = _attach_parent(searcher, alldocs, pdf, n_parents)
     out = (
         withp.where((F.col("parent") >= 0) & (F.col("docid") != F.col("parent")))

@@ -92,7 +92,9 @@ class Index:
             return self.spark.read.parquet(p).select("docid")
         return self.spark.createDataFrame([], "docid long")
 
-    def docmap(self, columns: list[str] | None = None) -> DataFrame:
+    def docmap(
+        self, columns: list[str] | None = None, apply_deletes: bool = False
+    ) -> DataFrame:
         from whoosh_novo_spark.operators.build import read_docmap
 
         dfs = [
@@ -102,7 +104,14 @@ class Index:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if apply_deletes and self.manifest.has_tombstones:
+            out = out.join(self.tombstones(), "docid", "left_anti")
         return out.select(*columns) if columns else out
+
+    def live_docids(self) -> DataFrame:
+        """All non-deleted docids (the universe for Not/Every matchers —
+        whoosh matchers skip per-segment deleted sets)."""
+        return self.docmap(columns=["docid"], apply_deletes=True)
 
     # --- global statistics (scoring.py:50-56, searching.py:275-278) ---
     @property
@@ -463,7 +472,7 @@ class Searcher:
 
         if isinstance(q, ast.Every):
             if q.fieldname in (None, "*"):
-                d = self.index.docmap(columns=["docid"])
+                d = self.index.live_docids()
             else:
                 d = self.index.doclens().where(F.col("field") == q.fieldname).select("docid")
             return d.select("docid", F.lit(float(q.boost)).alias("score"))
@@ -479,7 +488,7 @@ class Searcher:
                     pos[0] if len(pos) == 1 else ast.And(tuple(pos)), stats
                 )
             else:
-                base = self.index.docmap(columns=["docid"]).select(
+                base = self.index.live_docids().select(
                     "docid", F.lit(0.0).alias("score")
                 )
             for n in nots:
@@ -584,7 +593,7 @@ class Searcher:
             # standalone Not: complement of the child, scored by the
             # InverseMatcher's boost (wrappers.py:76-145)
             child = self._compile(q.child, stats).select("docid")
-            alldocs = self.index.docmap(columns=["docid"])
+            alldocs = self.index.live_docids()
             return alldocs.join(child, "docid", "left_anti").select(
                 "docid", F.lit(float(q.boost)).alias("score")
             )
