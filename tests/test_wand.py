@@ -98,3 +98,37 @@ def test_blocks_metadata(built):
     w = np.frombuffer(row["weights"], dtype=np.float32)
     assert ids[0] == row["min_docid"] and ids[-1] == row["max_docid"]
     assert len(ids) == row["n"] and w.max() == pytest.approx(row["max_weight"])
+
+
+def test_wand_equals_exact_with_deletes(spark, built, tmp_path):
+    """Tombstoned indexes run the PRUNED path (cogrouped per-bucket
+    tombstone filtering), rank/score-identical to the exact path's
+    anti-join — including the top docs being the deleted ones."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.merge import delete_docs
+    from whoosh_novo_spark.sources.corpus import corpus_pandas
+
+    pdf = corpus_pandas(400, seed=33, vocab_size=300).sort_values("url").reset_index(drop=True)
+    store = SegmentStore(str(tmp_path / "wand_del_ix"))
+    config = IndexConfig(id_col="url", fields=(FieldConfig("text"),), block_limit=32)
+    df = spark.createDataFrame(list(zip(pdf["url"], pdf["text"])), "url string, text string")
+    build_segment(spark, df, config, store, partitions=4)
+
+    # delete the exact current top-3 of the test query, plus a spread
+    ix0 = Index(spark, store, config)
+    q = ast.Or((ast.Term("text", "render"), ast.Term("text", "shade")))
+    top = [r["docid"] for r in Searcher(ix0).search(q, limit=3).collect()]
+    victims = top + [7, 77, 177, 277, 377]
+    delete_docs(spark, store, spark.createDataFrame([(int(d),) for d in victims], "docid long"))
+
+    ix = Index(spark, store, config)
+    searcher = Searcher(ix)
+    assert ix.manifest.has_tombstones
+    for qq, k in [(q, 10), (ast.And((ast.Term("text", "render"), ast.Term("text", "shade"))), 10),
+                  (ast.Term("text", "render"), 15)]:
+        exact = searcher.search(qq, limit=k).collect()
+        pruned = search_wand(searcher, qq, limit=k, n_buckets=6).collect()
+        assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
+        assert not (set(r["docid"] for r in pruned) & set(victims))
+        for p, e in zip(pruned, exact):
+            assert p["score"] == pytest.approx(e["score"], rel=1e-12)

@@ -21,7 +21,9 @@ Exactness: a block is skipped only when every not-yet-candidate doc in it
 has upper bound STRICTLY below the kth fully-scored score, so skipped docs
 can never enter the true top-k even via docid tie-break — the pruned path
 is rank-identical to the exact aggregation path (which remains the test
-oracle, tests/test_wand.py).
+oracle, tests/test_wand.py).  Tombstoned indexes stay on the pruned path:
+deleted docids are cogrouped into their buckets and filtered at candidate
+introduction (statistics keep counting deletes, like the exact path).
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ class _TermBlocks:
         return w_out, l_out
 
 
-def _bucket_kernel(pdf, params) -> pd.DataFrame:
+def _bucket_kernel(pdf, params, deleted: np.ndarray | None = None) -> pd.DataFrame:
     k = params["k"]
     mode = params["mode"]
     B, K1, avgfl = params["B"], params["K1"], params["avgfl"]
@@ -132,6 +134,12 @@ def _bucket_kernel(pdf, params) -> pd.DataFrame:
                 continue  # block-max skip (strict: preserves ties)
             ids, w, lq = T.decode(b)
             m = (ids >= lo) & (ids < hi)
+            if deleted is not None and len(deleted):
+                # tombstoned docs never become candidates; block-max
+                # bounds stay valid upper bounds after deletions
+                pos = np.searchsorted(deleted, ids)
+                pos = np.minimum(pos, len(deleted) - 1)
+                m &= deleted[pos] != ids
             if not m.all():
                 ids, w, lq = ids[m], w[m], lq[m]
             if len(ids) == 0:
@@ -199,12 +207,6 @@ def search_wand(
         # use the exact path (pruning is an optimization, not semantics)
         return searcher.search(q, limit=limit)
 
-    if ix.manifest.has_tombstones:
-        # deleted docs would inflate the pruning threshold inside the
-        # kernel; correct handling needs the tombstone set per bucket —
-        # until then the exact path (which anti-joins) is authoritative
-        return searcher.search(q, limit=limit)
-
     fieldname = terms[0].fieldname
     if (
         any(t.boost != 1.0 for t in terms)
@@ -263,6 +265,34 @@ def search_wand(
         "k": limit, "mode": mode, "B": B, "K1": K1, "avgfl": float(avgfl),
         "idf": idf, "mq": mq, "order": order,
     }
+
+    if ix.manifest.has_tombstones:
+        # tombstones are routed to their docid bucket and filtered inside
+        # the kernel at candidate introduction (a deleted doc can never
+        # enter the heap; block-max bounds remain valid upper bounds, and
+        # statistics keep counting deletes exactly like the exact path)
+        tomb = ix.tombstones().withColumn(
+            "bucket", (F.col("docid") / R).cast("long")
+        )
+
+        def run_cg(key, left, right):
+            bucket = int(key[0])
+            p = dict(params_base)
+            p["lo"] = bucket * R
+            p["hi"] = (bucket + 1) * R
+            deleted = (
+                np.sort(right["docid"].to_numpy(dtype=np.int64))
+                if len(right)
+                else None
+            )
+            return _bucket_kernel(left, p, deleted)
+
+        cand = (
+            spanned.groupBy("bucket")
+            .cogroup(tomb.groupBy("bucket"))
+            .applyInPandas(run_cg, "docid long, score double")
+        )
+        return cand.orderBy(F.desc("score"), F.asc("docid")).limit(limit)
 
     def run(key, pdf):
         bucket = int(key[0])
