@@ -199,6 +199,39 @@ def q_bool_filter(spark, sf_dir):
     )
 
 
+_BIWORD_CONFIG = IndexConfig(
+    id_col="doc_id", fields=(FieldConfig("text", analyzer="biword_standard"),)
+)
+_BIWORD_INDEXES: dict[str, Index] = {}
+
+
+def _biword_index_for(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index over the BiWordFilter chain (pseudo-phrase field)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _BIWORD_INDEXES:
+        ship_package(spark)
+        safe = key.strip("/").replace("/", "_")
+        path = os.path.join(os.environ.get("TMPDIR", "/tmp"), f"wns_entry_bw_{safe}")
+        store = SegmentStore(path)
+        if store.current_generation() == 0:
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            build_segment(spark, docs.select("doc_id", "text"), _BIWORD_CONFIG, store)
+        _BIWORD_INDEXES[key] = Index(spark, store, _BIWORD_CONFIG)
+    return Searcher(_BIWORD_INDEXES[key])
+
+
+def q_biword(spark, sf_dir):
+    """BiWordFilter field end-to-end: BM25 over pairwise-joined standard
+    survivors (analysis/intraword.py:113-178)."""
+    return _topk(_biword_index_for(spark, sf_dir), _T("table-hash"))
+
+
+def q_variations(spark, sf_dir):
+    """Variations: morphological variants of an inflected word intersected
+    with the lexicon, scored as Or (terms.py:522-570)."""
+    return _topk(_index_for(spark, sf_dir), ast.Variations("text", "queries"))
+
+
 def q_term_stats(spark, sf_dir):
     """Terms-table stats: top 20 terms by df (TermInfo parity)."""
     s = _index_for(spark, sf_dir)
@@ -514,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_range_topk": q_numeric_range,
         "date_range_topk": q_date_range,
         "bool_filter_topk": q_bool_filter,
+        "biword_topk": q_biword,
+        "variations_topk": q_variations,
         "term_stats": q_term_stats,
         "doclens": q_doclens,
         "facet_lang": q_facet_lang,
@@ -571,6 +606,12 @@ def oracle_sql() -> dict[str, str]:
             " AND (TIMESTAMP '2020-01-01' + INTERVAL (doc_id) HOUR) < TIMESTAMP '2020-01-15'",
         ),
         "bool_filter_topk": osql.topk_term_with_filter("query", "doc_id % 3 = 0"),
+        "biword_topk": osql.biword_topk("table-hash"),
+        "variations_topk": osql.topk_or(
+            sorted(__import__(
+                "whoosh_novo_spark.functions.variations", fromlist=["variations"]
+            ).variations("queries"))
+        ),
         "term_stats": osql.term_stats_top(20),
         "doclens": osql.doclens_check(),
         "facet_lang": osql.facet_lang_count("spark"),

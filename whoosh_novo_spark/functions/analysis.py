@@ -502,6 +502,12 @@ def fancy_analyze_batch(texts: pd.Series) -> TokenBatch:
     return TokenBatch(row_k, lowered.to_numpy()[keep], pos_k, n_rows)
 
 
+def biword_standard_analyze_batch(texts: pd.Series) -> TokenBatch:
+    """standard chain -> BiWordFilter('-') (pseudo-phrase field,
+    intraword.py:113-178 over StandardAnalyzer survivors)."""
+    return biword_filter(standard_analyze_batch(texts), sep="-")
+
+
 ANALYZERS = {
     "standard": standard_analyze_batch,
     "simple": simple_analyze_batch,
@@ -511,6 +517,7 @@ ANALYZERS = {
     "stemming": stemming_analyze_batch,
     "folding": folding_analyze_batch,
     "fancy": fancy_analyze_batch,
+    "biword_standard": biword_standard_analyze_batch,
 }
 
 

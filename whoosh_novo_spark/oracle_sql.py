@@ -154,6 +154,37 @@ GROUP BY doc_id
 ORDER BY sum(score) DESC, doc_id ASC LIMIT {k}"""
 
 
+_FILTERED_TERMS = (
+    "list_filter("
+    "list_transform(regexp_extract_all(text, '[\\w*]+(\\.?[\\w*]+)*'), x -> lower(x)),"
+    f" x -> length(x) >= 2 AND x NOT IN ({_STOPS_SQL}))"
+)
+
+BIWORD_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(bts) AS term FROM (
+    SELECT doc_id,
+      CASE WHEN len(terms) = 1 THEN terms
+           WHEN len(terms) >= 2 THEN
+             list_transform(range(1, len(terms)), i -> terms[i] || '-' || terms[i+1])
+           ELSE [] END AS bts
+    FROM (SELECT doc_id, {_FILTERED_TERMS} AS terms FROM documents)
+  )
+)"""
+
+
+def biword_topk(biword: str, k: int = 10) -> str:
+    """BM25 over a BiWordFilter field: the biword token stream (standard
+    chain survivors joined pairwise, lone survivor kept) re-derived in SQL,
+    then the normal BM25 pipeline on top."""
+    base = _with(BIWORD_TOKS_CTE, POSTINGS_CTE, DOCLENS_CTE, CONSTS_CTE, _scored_cte())
+    return f"""{base}
+SELECT doc_id, round(sum(score), 4) AS score
+FROM scored WHERE term = '{biword}'
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id ASC LIMIT {k}"""
+
+
 def phrase2_topk(w1: str, w2: str, k: int = 10) -> str:
     """Two-word exact phrase (slop=1): replicates the analyzer's position
     RENUMBERING (survivors consecutive from the first survivor's original
