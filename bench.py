@@ -56,7 +56,9 @@ def main() -> None:
     # --- leg 2: build throughput on the synthetic CC-style corpus ---
     ix2_path = "/tmp/wns_bench_ix_synth"
     shutil.rmtree(ix2_path, ignore_errors=True)
-    cfg2 = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+    # stored_cols=(): don't drag the raw html binary through the docid
+    # range-shuffle — a real pipeline stores the fields it serves
+    cfg2 = IndexConfig(id_col="url", fields=(FieldConfig("text"),), stored_cols=())
     corpus = synthesize_corpus(spark, n_docs=synth_docs, n_partitions=cpus, seed=42)
     t0 = time.time()
     # partitions=None -> the build auto-sizes the posting shuffle (~4k

@@ -106,3 +106,25 @@ def test_writer_lock_excludes_second_writer(spark, tmp_path):
     store2 = SegmentStore(str(tmp_path / "lock_ix"))
     store2.acquire_writer_lock()
     store2.release_writer_lock()
+
+
+def test_stored_cols_projection(spark, tmp_path):
+    """stored_cols=() keeps only id + indexed fields in the docmap;
+    named extras survive for fetch."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    rows = [(f"{i:03d}", f"alpha w{i}", "keepme", bytearray(b"\x00" * 64)) for i in range(20)]
+    df = spark.createDataFrame(rows, "rid string, text string, tag string, blob binary")
+    st1 = SegmentStore(str(tmp_path / "ix_lean"))
+    cfg1 = IndexConfig(id_col="rid", fields=(FieldConfig("text"),), stored_cols=())
+    build_segment(spark, df, cfg1, st1, partitions=1)
+    cols1 = set(Index(spark, st1, cfg1).docmap().columns)
+    assert cols1 == {"rid", "text", "docid"}
+    st2 = SegmentStore(str(tmp_path / "ix_tag"))
+    cfg2 = IndexConfig(id_col="rid", fields=(FieldConfig("text"),), stored_cols=("tag",))
+    build_segment(spark, df, cfg2, st2, partitions=1)
+    cols2 = set(Index(spark, st2, cfg2).docmap().columns)
+    assert cols2 == {"rid", "text", "tag", "docid"}

@@ -70,6 +70,12 @@ def _stage_docmap(
         return marker
 
     id_col = config.id_col
+    if config.stored_cols is not None:
+        keep = [id_col] + [f.name for f in config.fields] + [
+            c for c in config.stored_cols
+            if c != id_col and c not in {f.name for f in config.fields}
+        ]
+        docs = docs.select(*[c for c in keep if c in docs.columns])
     sorted_docs = docs.repartitionByRange(partitions, id_col).sortWithinPartitions(id_col)
 
     def add_ordinals(iterator):

@@ -50,6 +50,12 @@ class IndexConfig:
 
     id_col: str = "url"
     fields: tuple[FieldConfig, ...] = (FieldConfig("text"),)
+    # whoosh `stored=True` analogue: which non-indexed source columns the
+    # docmap keeps for Results.fields/fetch.  None = keep every column
+    # (backward-compatible); () = only id + indexed fields.  Projecting
+    # away heavy payload columns (e.g. raw html binary) before the docid
+    # range-shuffle is a large build-throughput lever.
+    stored_cols: tuple[str, ...] | None = None
     # build knobs
     shuffle_partitions: int | None = None  # None -> leave session setting
     block_limit: int = 128  # postings per block, mirrors W3Codec blocklimit=128 (whoosh3.py:85)
