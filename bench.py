@@ -59,7 +59,22 @@ def main() -> None:
     # stored_cols=(): don't drag the raw html binary through the docid
     # range-shuffle — a real pipeline stores the fields it serves
     cfg2 = IndexConfig(id_col="url", fields=(FieldConfig("text"),), stored_cols=())
-    corpus = synthesize_corpus(spark, n_docs=synth_docs, n_partitions=cpus, seed=42)
+    # stage the corpus to parquet FIRST (same methodology as
+    # scripts/scaling_run.py): build throughput measures indexing a
+    # CC-style parquet table, not synthesizing it
+    corpus_path = "/tmp/wns_bench_corpus"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")) or (
+        os.environ.get("WNS_BENCH_REGEN") == "1"
+    ):
+        synthesize_corpus(
+            spark, n_docs=synth_docs, n_partitions=cpus, seed=42
+        ).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    if corpus.count() != synth_docs:  # stale cache from another size
+        synthesize_corpus(
+            spark, n_docs=synth_docs, n_partitions=cpus, seed=42
+        ).write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
     t0 = time.time()
     # partitions=None -> the build auto-sizes the posting shuffle (~4k
     # docs/partition), the measured big lever at 1M docs (build.py:276-283)

@@ -34,11 +34,11 @@ BLOCKS_SCHEMA = (
 
 # ---------------------------------------------------------------- codec
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def _vb_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode -> (byte array, bytes-per-value array)."""
     vals = np.asarray(values, dtype=np.uint64)
     if len(vals) == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     nb = np.ones(len(vals), dtype=np.int64)
     v = vals >> np.uint64(7)
     while v.any():
@@ -59,6 +59,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         idx[m] += 1
         v[m] >>= np.uint64(7)
         remaining[m] -= 1
+    return out, nb
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    out, _nb = _vb_encode_arr(values)
     return out.tobytes()
 
 
@@ -132,43 +138,64 @@ def build_blocks(
 
 
 def _fold_runs(pdf: pd.DataFrame, block_limit: int) -> pd.DataFrame:
-    out = {k: [] for k in (
-        "field", "term", "block_no", "n", "min_docid", "max_docid",
-        "max_weight", "min_len_q", "ids", "weights", "lens",
-    )}
+    """Fold sorted postings into block rows — fully vectorized: per-block
+    stats via reduceat, ONE varbyte encode over every delta, byte streams
+    sliced per block."""
+    n = len(pdf)
     fields = pdf["field"].to_numpy()
     terms = pdf["term"].to_numpy()
     docids = pdf["docid"].to_numpy(dtype=np.int64)
     weights = pdf["weight"].to_numpy(dtype=np.float64)
     lens_q = pdf["len_q"].to_numpy(dtype=np.int64)
     # run boundaries where (field, term) changes
-    change = np.ones(len(pdf), dtype=bool)
-    if len(pdf) > 1:
+    change = np.ones(n, dtype=bool)
+    if n > 1:
         change[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
-    starts = np.nonzero(change)[0]
-    ends = np.append(starts[1:], len(pdf))
-    for s, e in zip(starts, ends):
-        bno = 0
-        for bs in range(s, e, block_limit):
-            be = min(bs + block_limit, e)
-            ids = docids[bs:be]
-            w = weights[bs:be]
-            lq = lens_q[bs:be]
-            out["field"].append(fields[s])
-            out["term"].append(terms[s])
-            out["block_no"].append(bno)
-            out["n"].append(be - bs)
-            out["min_docid"].append(int(ids[0]))
-            out["max_docid"].append(int(ids[-1]))  # skip pointer (last_id)
-            out["max_weight"].append(float(w.max()))
-            out["min_len_q"].append(int(lq.min()))
-            out["ids"].append(encode_ids(ids))
-            out["weights"].append(w.astype(np.float32).tobytes())
-            # store the 8-bit length CODE (numeric.py:635-641), not the
-            # dequantized length (which can exceed a byte)
-            out["lens"].append(length_to_byte_np(lq).astype(np.uint8).tobytes())
-            bno += 1
-    return pd.DataFrame(out)
+    run_start_idx = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+    pos_in_run = np.arange(n) - run_start_idx
+    bstart = change | (pos_in_run % block_limit == 0)
+    bstarts = np.nonzero(bstart)[0]
+    bends = np.append(bstarts[1:], n)
+
+    # per-block stats (skip pointers + block-max metadata)
+    max_weight = np.maximum.reduceat(weights, bstarts)
+    min_len_q = np.minimum.reduceat(lens_q, bstarts)
+    min_docid = docids[bstarts]
+    max_docid = docids[bends - 1]  # skip pointer (last_id)
+    block_no = (pos_in_run[bstarts] // block_limit).astype(np.int32)
+
+    # delta gaps: absolute at block starts, then in-block gaps
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = docids[0]
+    gaps[1:] = (docids[1:] - docids[:-1]).astype(np.uint64)
+    gaps[bstarts] = docids[bstarts].astype(np.uint64)
+    enc, nb = _vb_encode_arr(gaps)
+    byte_ends = np.cumsum(nb)
+    blk_b_end = byte_ends[bends - 1]
+    blk_b_start = np.concatenate(([0], blk_b_end[:-1]))
+    enc_bytes = enc.tobytes()
+    w32 = weights.astype(np.float32).tobytes()
+    lcodes = length_to_byte_np(lens_q).astype(np.uint8).tobytes()
+
+    # store the 8-bit length CODE (numeric.py:635-641), not the
+    # dequantized length (which can exceed a byte)
+    return pd.DataFrame(
+        {
+            "field": fields[bstarts],
+            "term": terms[bstarts],
+            "block_no": block_no,
+            "n": (bends - bstarts).astype(np.int32),
+            "min_docid": min_docid,
+            "max_docid": max_docid,
+            "max_weight": max_weight,
+            "min_len_q": min_len_q,
+            "ids": [
+                enc_bytes[s:e] for s, e in zip(blk_b_start.tolist(), blk_b_end.tolist())
+            ],
+            "weights": [w32[s * 4 : e * 4] for s, e in zip(bstarts.tolist(), bends.tolist())],
+            "lens": [lcodes[s:e] for s, e in zip(bstarts.tolist(), bends.tolist())],
+        }
+    )
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

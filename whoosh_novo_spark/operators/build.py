@@ -69,6 +69,7 @@ def _stage_docmap(
     if marker is not None:
         return marker
 
+    t_s = time.time()
     id_col = config.id_col
     if config.stored_cols is not None:
         keep = [id_col] + [f.name for f in config.fields] + [
@@ -113,6 +114,7 @@ def _stage_docmap(
         "offsets": offsets,
         "doc_count": acc,
         "partitions": partitions,
+        "seconds": round(time.time() - t_s, 3),
         "file_rows": parquet_file_rows(path),
         # input fingerprint: lets a later build of a DIFFERENT batch detect
         # (and refuse) a stale uncommitted segment left by a crash
@@ -442,6 +444,7 @@ def _build_segment_locked(
     # stage 3a: terms stats from the RAW staged table (grouping needs no
     # sort; TermInfo — reading.py:61-139, whoosh3.py:1196-1210)
     if store.read_stage_marker(segment_id, "terms") is None:
+        t_t = time.time()
         _widen_input_splits(spark, raw_path, sp)
         raw = spark.read.parquet(raw_path)
         terms = raw.groupBy("field", "term").agg(
@@ -463,10 +466,13 @@ def _build_segment_locked(
         ).sortWithinPartitions("field", "term").write.mode("overwrite").parquet(
             store.table_path(segment_id, "terms")
         )
-        store.write_stage_marker(segment_id, "terms", {})
+        store.write_stage_marker(
+            segment_id, "terms", {"seconds": round(time.time() - t_t, 3)}
+        )
 
     # stage 3b: doclens + exact field-length totals, also from RAW
     if store.read_stage_marker(segment_id, "doclens") is None:
+        t_d = time.time()
         raw = spark.read.parquet(raw_path)
         doclens = raw.groupBy("field", "docid").agg(
             F.sum("tf").alias("len"),
@@ -477,7 +483,11 @@ def _build_segment_locked(
             r["field"]: r["total"]
             for r in raw.groupBy("field").agg(F.sum("_true_len").alias("total")).collect()
         }
-        store.write_stage_marker(segment_id, "doclens", {"field_length": totals})
+        store.write_stage_marker(
+            segment_id,
+            "doclens",
+            {"field_length": totals, "seconds": round(time.time() - t_d, 3)},
+        )
     totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
     seg.field_length = {k: int(v) for k, v in totals.items()}
 
@@ -516,10 +526,15 @@ def _build_segment_locked(
     if store.read_stage_marker(segment_id, "blocks") is None:
         from whoosh_novo_spark.operators.blocks import build_blocks
 
+        t_b = time.time()
         build_blocks(spark, postings, config.block_limit).write.mode(
             "overwrite"
         ).parquet(store.table_path(segment_id, "blocks"))
-        store.write_stage_marker(segment_id, "blocks", {"block_limit": config.block_limit})
+        store.write_stage_marker(
+            segment_id,
+            "blocks",
+            {"block_limit": config.block_limit, "seconds": round(time.time() - t_b, 3)},
+        )
     seg.has_blocks = True
 
     seg.meta["build_seconds"] = round(time.time() - t0, 3)
