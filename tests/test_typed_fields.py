@@ -165,3 +165,47 @@ def test_dateparse_lite_queries(built):
     # quoted form goes through phrase lexing; use unquoted hour syntax
     q = p.parse("created:2021-01-01T05")
     assert ids(s.search(q, limit=None)) == [5]
+
+
+def test_numeric_range_property_random(built):
+    """Random numeric ranges against a Python-computed expected set."""
+    import random
+
+    ix, s = built
+    rng = random.Random(17)
+    prices = {i: 10 * i for i in range(60)}
+    for _ in range(15):
+        lo = rng.randint(-50, 650)
+        hi = lo + rng.randint(0, 400)
+        sx, ex = rng.random() < 0.5, rng.random() < 0.5
+        got = ids(s.search(ast.NumericRange("price", lo, hi, sx, ex), limit=None))
+        want = sorted(
+            d for d, p in prices.items()
+            if (p > lo if sx else p >= lo) and (p < hi if ex else p <= hi)
+        )
+        assert got == want, (lo, hi, sx, ex)
+
+
+def test_date_period_property_random():
+    """date_period invariants: start < end, start parses back to the
+    input prefix, and periods tile (end of month m == start of m+1)."""
+    import datetime as dtm
+    import random
+
+    from whoosh_novo_spark.plans.parser import date_period
+
+    rng = random.Random(23)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for _ in range(50):
+        y = rng.randint(1970, 2100)
+        mo = rng.randint(1, 12)
+        d = rng.randint(1, 28)
+        h = rng.randint(0, 23)
+        for s in (f"{y}", f"{y}-{mo:02d}", f"{y}-{mo:02d}-{d:02d}",
+                  f"{y}-{mo:02d}-{d:02d} {h:02d}"):
+            lo, hi = date_period(s)
+            a, b = dtm.datetime.strptime(lo, fmt), dtm.datetime.strptime(hi, fmt)
+            assert a < b
+        me = date_period(f"{y}-{mo:02d}")[1]
+        nxt = (y + 1, 1) if mo == 12 else (y, mo + 1)
+        assert me == date_period(f"{nxt[0]}-{nxt[1]:02d}")[0]
