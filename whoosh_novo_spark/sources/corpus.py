@@ -3,12 +3,12 @@
 Input shape mandated by BASELINE.json input_hint:
 ``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
 
-Generation is fully seeded (numpy PCG64) and *distributed*: each Spark
-partition derives its own child seed from (seed, partition_id), so the same
-(seed, n_docs, n_partitions) triple produces byte-identical rows at any
+Generation is fully seeded (numpy PCG64) and *distributed*: content is
+seeded per fixed GLOBAL chunk of row ids (not per partition), so the same
+(seed, n_docs) produces byte-identical rows at ANY partition count and
 cluster size — the per-row invariant "byte-identical text per url" holds
 across runs and parallelism levels, which is what the scaling benchmark
-compares.
+compares (tests/test_corpus_determinism.py).
 
 Text is Zipf-distributed words over a fixed vocabulary plus tokenizer edge
 cases (stopwords, 1-char tokens, mixed case, accents, under_score and
@@ -55,10 +55,34 @@ def _vocab(size: int) -> list[str]:
     return (head + base)[:size]
 
 
+#: generation granularity: content is seeded per fixed GLOBAL chunk of
+#: row ids, so the same (seed, n_docs) produces byte-identical rows at
+#: ANY partition count — the per-row invariant the two-cluster-size
+#: scaling comparison relies on (BASELINE.json input_hint)
+_CHUNK = 4096
+
+
 def _partition_pdf(
-    part_id: int, start: int, count: int, seed: int, vocab: np.ndarray, zipf_s: float
+    start: int, count: int, seed: int, vocab: np.ndarray, zipf_s: float
 ) -> pd.DataFrame:
-    rng = np.random.default_rng(np.random.SeedSequence([seed, part_id]))
+    """Rows [start, start+count) assembled from global chunks."""
+    parts = []
+    c0 = start // _CHUNK
+    c1 = (start + count - 1) // _CHUNK
+    for c in range(c0, c1 + 1):
+        cs = c * _CHUNK
+        pdf = _chunk_pdf(c, seed, vocab, zipf_s)
+        lo = max(start, cs) - cs
+        hi = min(start + count, cs + _CHUNK) - cs
+        parts.append(pdf.iloc[lo:hi])
+    return pd.concat(parts, ignore_index=True)
+
+
+def _chunk_pdf(
+    chunk_id: int, seed: int, vocab: np.ndarray, zipf_s: float
+) -> pd.DataFrame:
+    start, count = chunk_id * _CHUNK, _CHUNK
+    rng = np.random.default_rng(np.random.SeedSequence([seed, chunk_id]))
     n_vocab = len(vocab)
     ranks = np.arange(1, n_vocab + 1, dtype=np.float64)
     probs = ranks**-zipf_s
@@ -111,9 +135,7 @@ def synthesize_corpus(
     def gen(batches):
         for pdf in batches:
             for _, r in pdf.iterrows():
-                yield _partition_pdf(
-                    int(r.part_id), int(r.start), int(r.cnt), seed, vocab, zipf_s
-                )
+                yield _partition_pdf(int(r.start), int(r.cnt), seed, vocab, zipf_s)
 
     return spec_df.mapInPandas(gen, CORPUS_SCHEMA)
 
@@ -122,4 +144,4 @@ def corpus_pandas(n_docs: int, seed: int = 42, vocab_size: int = 2_000, zipf_s: 
     """Driver-side single-partition variant for small unit tests — identical
     rows to synthesize_corpus(n_partitions=1)."""
     vocab = np.asarray(_vocab(vocab_size), dtype=object)
-    return _partition_pdf(0, 0, n_docs, seed, vocab, zipf_s)
+    return _partition_pdf(0, n_docs, seed, vocab, zipf_s)
