@@ -580,6 +580,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Pinned expansion of Variations("text", "queries") for the oracle — kept
+# as a literal so the DuckDB gate verifies variant GENERATION as well as
+# ranking (importing the engine's own inflector here would be circular).
+_VARIATIONS_QUERIES_PINNED = [
+    "quer", "quered", "querer", "querest", "queri", "querie", "queried",
+    "queriely", "querier", "queries", "queriesed", "querieser", "querieses",
+    "queriesest", "queriesing", "queriesly", "queriest", "queriing",
+    "querily", "quering", "queris", "querly", "quers", "query", "queryed",
+    "queryer", "queryest", "querying", "queryly", "querys",
+]
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_bm25_topk": osql.topk_term("spark"),
@@ -607,11 +619,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bool_filter_topk": osql.topk_term_with_filter("query", "doc_id % 3 = 0"),
         "biword_topk": osql.biword_topk("table-hash"),
-        "variations_topk": osql.topk_or(
-            sorted(__import__(
-                "whoosh_novo_spark.functions.variations", fromlist=["variations"]
-            ).variations("queries"))
-        ),
+        # variant set pinned as a LITERAL (generator-independent oracle):
+        # tests/test_variations.py::test_driver_variant_set_pinned asserts
+        # the built-in inflector still produces exactly this set
+        "variations_topk": osql.topk_or(_VARIATIONS_QUERIES_PINNED),
         "term_stats": osql.term_stats_top(20),
         "doclens": osql.doclens_check(),
         "facet_lang": osql.facet_lang_count("spark"),

@@ -187,3 +187,30 @@ def test_multifacet_count(built, f_oracle):
             key = (tag, tags.split()[0])
             want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_function_facet_callable_df_builder(built):
+    """ADVICE r2: FunctionFacet's documented Column-builder signature
+    fn(df) -> Column actually works — same ordering as the plain-Column
+    form."""
+    ix, s = built
+    dm = s.index.docmap(columns=["docid", "rid", "tags"])
+    want = [
+        r["docid"]
+        for r in sort_by_facet(
+            s, ast.Term("text", "shade"),
+            MultiFacet([FunctionFacet(F.length("tags")), FieldFacet("rid")]),
+            docs=dm, limit=None,
+        ).collect()
+    ]
+    got = [
+        r["docid"]
+        for r in sort_by_facet(
+            s, ast.Term("text", "shade"),
+            MultiFacet(
+                [FunctionFacet(lambda df: F.length(df["tags"])), FieldFacet("rid")]
+            ),
+            docs=dm, limit=None,
+        ).collect()
+    ]
+    assert got == want

@@ -87,6 +87,13 @@ PLUGIN_QUERY_STRINGS = [
     "text:>render text:<texture",
     "render~1 AND shade",
     "render OR shade~1",
+    # overlapping-range merge happens at normalize time, AFTER the NOT
+    # structure exists (ADVICE r2) — these must match whoosh's And([Not,
+    # range]) / Or-union-merge behavior
+    "NOT text:>render text:<shade",
+    "render NOT text:>shade",
+    "text:>render OR text:<shade",
+    "text:<render text:>shade",
 ]
 
 

@@ -128,3 +128,23 @@ def test_stored_cols_projection(spark, tmp_path):
     build_segment(spark, df, cfg2, st2, partitions=1)
     cols2 = set(Index(spark, st2, cfg2).docmap().columns)
     assert cols2 == {"rid", "text", "tag", "docid"}
+
+
+def test_crashed_merge_dir_not_adopted(spark, tmp_path):
+    """ADVICE r2: an uncommitted dir with a postings marker but NO docmap
+    marker (a merge that died between stages) must never be adopted by the
+    next build — adopting it would skip the analysis stage and then fail
+    reading raw postings that don't exist, forever."""
+    store = SegmentStore(str(tmp_path))
+    # simulate the crashed merge: stage markers exist, docmap marker doesn't
+    crashed = store.new_segment_id()
+    store.write_stage_marker(crashed, "postings", {"merged_from": ["x"]})
+    assert store.read_stage_marker(crashed, "docmap") is None
+
+    pdf = corpus_pandas(60, seed=54, vocab_size=80)
+    m = build_segment(spark, _df(spark, pdf), CFG, store, partitions=2)
+    assert m.generation == 1
+    built_ids = [s.segment_id for s in m.segments]
+    assert crashed not in built_ids  # minted a fresh dir instead
+    s = Searcher(Index(spark, store, CFG))
+    assert s.search(ast.Term("text", "render"), limit=5).count() > 0

@@ -209,3 +209,31 @@ def test_date_period_property_random():
         me = date_period(f"{y}-{mo:02d}")[1]
         nxt = (y + 1, 1) if mo == 12 else (y, mo + 1)
         assert me == date_period(f"{nxt[0]}-{nxt[1]:02d}")[0]
+
+def test_every_typed_field(built):
+    """Every(typed field) matches every live doc with a value in the
+    native column (qcore.py:650-760) — typed fields have no doclens rows,
+    so this goes through the docmap isNotNull path."""
+    ix, s = built
+    for fld in ("price", "created", "active"):
+        out = s.search(ast.Every(fld), limit=None)
+        assert ids(out) == list(range(60)), fld
+        assert all(r["score"] == 1.0 for r in out.collect())
+
+
+def test_adjacent_gtlt_ranges_with_not(built):
+    """ADVICE r2: 'NOT f:>a f:<b' must stay And([Not(f>a), f<b]) — the
+    reference only merges overlapping ranges AFTER the NOT structure is
+    built (CompoundQuery.normalize), and never merges NumericRanges at
+    all (RangeMixin.overlaps is TermRange-only)."""
+    ix, s = built
+    p = QueryParser.for_config(CFG, default_field="text")
+    q = p.parse("NOT price:>100 price:<200")
+    # membership: NOT(price>100) AND (price<200)  ->  price <= 100
+    assert ids(s.search(q, limit=None)) == list(range(0, 11))
+    # two separate constant-score ranges in an And keep their summed
+    # boost contribution (2.0), unlike a single merged range (1.0)
+    q2 = p.parse("price:>=100 price:<200")
+    out = s.search(q2, limit=None)
+    assert ids(out) == list(range(10, 20))
+    assert all(r["score"] == pytest.approx(2.0) for r in out.collect())

@@ -79,3 +79,11 @@ def test_variations_default_set_searches_lexicon(built):
     ix, s = built
     got = s.search(ast.Variations("text", "rendering"), limit=10).collect()
     assert len(got) >= 4  # every doc containing any render* form
+
+def test_driver_variant_set_pinned():
+    """The driver oracle pins Variations('queries')'s expansion as a SQL
+    literal (generator-independent oracle, VERDICT r2 item 8); this gate
+    fails if the built-in inflector drifts from the pinned set."""
+    import __spark_entry__ as entry
+
+    assert sorted(variations("queries")) == entry._VARIATIONS_QUERIES_PINNED

@@ -321,6 +321,15 @@ def _resumable_segment_id(
             continue
         marker = store.read_stage_marker(sid, "docmap")
         if marker is None:
+            # only safe to reuse when NO later stage marker exists either:
+            # a merge that crashed after its postings marker but before its
+            # docmap marker must not be adopted (its markers would make the
+            # build skip stages whose inputs don't exist)
+            if any(
+                store.read_stage_marker(sid, st) is not None
+                for st in ("postings", "terms", "doclens", "blocks")
+            ):
+                continue
             return sid  # crashed before stage 1 finished: safe to reuse dir
         if "offsets" not in marker:
             continue  # crashed merge dir

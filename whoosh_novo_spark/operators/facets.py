@@ -63,11 +63,11 @@ class FieldFacet:
     needs_docs = True
     overlap = False
 
-    def key_col(self) -> Column:
+    def key_col(self, df: DataFrame | None = None) -> Column:
         return F.col(self.fieldname)
 
-    def sort_exprs(self) -> list:
-        k = self.key_col()
+    def sort_exprs(self, df: DataFrame | None = None) -> list:
+        k = self.key_col(df)
         return [F.desc(k) if self.reverse else F.asc(k)]
 
 
@@ -78,18 +78,19 @@ class ScoreFacet:
     overlap = False
     reverse = False
 
-    def key_col(self) -> Column:
+    def key_col(self, df: DataFrame | None = None) -> Column:
         return F.lit(0.0) - F.col("score")
 
-    def sort_exprs(self) -> list:
-        return [F.asc(self.key_col())]
+    def sort_exprs(self, df: DataFrame | None = None) -> list:
+        return [F.asc(self.key_col(df))]
 
 
 class FunctionFacet:
     """sorting.py:588: arbitrary key function.  The reference calls
-    ``fn(searcher, docid)`` per hit; the vectorized equivalent is a
-    Column-builder ``fn(df) -> Column`` over the results+stored-fields
-    frame (docid, score and every stored column are in scope)."""
+    ``fn(searcher, docid)`` per hit; the vectorized equivalent is either
+    a plain Column or a Column-builder ``fn(df) -> Column`` over the
+    results+stored-fields frame (docid, score and every stored column are
+    in scope; ``df`` is that joined DataFrame)."""
 
     def __init__(self, fn, reverse: bool = False):
         self.fn = fn
@@ -98,11 +99,11 @@ class FunctionFacet:
     needs_docs = True
     overlap = False
 
-    def key_col(self) -> Column:
-        return self.fn() if callable(self.fn) else self.fn
+    def key_col(self, df: DataFrame | None = None) -> Column:
+        return self.fn(df) if callable(self.fn) else self.fn
 
-    def sort_exprs(self) -> list:
-        k = self.key_col()
+    def sort_exprs(self, df: DataFrame | None = None) -> list:
+        k = self.key_col(df)
         return [F.desc(k) if self.reverse else F.asc(k)]
 
 
@@ -123,13 +124,13 @@ class StoredFieldFacet:
     def overlap(self) -> bool:
         return self.allow_overlap
 
-    def key_col(self) -> Column:
+    def key_col(self, df: DataFrame | None = None) -> Column:
         if self.allow_overlap:
             # exploded by attach_facet; element column
             return F.explode(F.split(F.col(self.fieldname), re.escape(self.sep)))
         return F.col(self.fieldname)
 
-    def sort_exprs(self) -> list:
+    def sort_exprs(self, df: DataFrame | None = None) -> list:
         return [F.asc(F.col(self.fieldname))]
 
 
@@ -149,13 +150,13 @@ class MultiFacet:
 
     overlap = False
 
-    def key_col(self) -> Column:
+    def key_col(self, df: DataFrame | None = None) -> Column:
         return F.struct(
-            *[f.key_col().alias(f"k{i}") for i, f in enumerate(self.facets)]
+            *[f.key_col(df).alias(f"k{i}") for i, f in enumerate(self.facets)]
         )
 
-    def sort_exprs(self) -> list:
-        return [e for f in self.facets for e in f.sort_exprs()]
+    def sort_exprs(self, df: DataFrame | None = None) -> list:
+        return [e for f in self.facets for e in f.sort_exprs(df)]
 
 
 def attach_facet(
@@ -175,7 +176,7 @@ def attach_facet(
             docs.withColumnRenamed(id_col, "docid") if id_col != "docid" else docs,
             "docid",
         )
-    return df.select("docid", "score", spec.key_col().alias(out))
+    return df.select("docid", "score", spec.key_col(df).alias(out))
 
 
 def sort_by_facet(
@@ -197,7 +198,7 @@ def sort_by_facet(
             docs.withColumnRenamed(id_col, "docid") if id_col != "docid" else docs,
             "docid",
         )
-    out = df.orderBy(*spec.sort_exprs(), F.asc("docid")).select("docid", "score")
+    out = df.orderBy(*spec.sort_exprs(df), F.asc("docid")).select("docid", "score")
     return out.limit(limit) if limit is not None else out
 
 

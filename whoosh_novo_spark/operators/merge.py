@@ -45,6 +45,12 @@ def delete_docs(spark: SparkSession, store: SegmentStore, docids: DataFrame) -> 
         store.release_writer_lock()
 
 
+# target rows per tombstone parquet file: ~80 MB of long docids — small
+# enough for one writer task, large enough that a 10^9-row delete set is
+# ~100 files, never a single-writer bottleneck
+TOMBSTONE_ROWS_PER_FILE = 10_000_000
+
+
 def _delete_docs_locked(spark, store, docids, os):
     manifest = store.read_manifest()
     new = docids.select(F.col("docid").cast("long")).distinct()
@@ -56,8 +62,21 @@ def _delete_docs_locked(spark, store, docids, os):
         merged = new
     rel = store.new_tombstones_rel()
     path = os.path.join(store.path, rel)
-    merged.coalesce(1).write.mode("overwrite").parquet(path)
-    count = spark.read.parquet(path).count()
+    # partitioned, range-sorted write: each file holds a docid range (file
+    # min/max footers prune reader-side anti-joins); file count scales with
+    # the delete set instead of funneling through one task
+    merged = merged.persist()
+    try:
+        count = merged.count()
+        n_files = max(1, -(-count // TOMBSTONE_ROWS_PER_FILE))
+        (
+            merged.repartitionByRange(n_files, "docid")
+            .sortWithinPartitions("docid")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        merged.unpersist()
     manifest.has_tombstones = True
     manifest.tombstones_rel = rel
     manifest.deleted_count = int(count)

@@ -473,6 +473,17 @@ class Searcher:
         if isinstance(q, ast.Every):
             if q.fieldname in (None, "*"):
                 d = self.index.live_docids()
+            elif not self._is_text_field(q.fieldname):
+                # typed fields have no doclens rows: Every(field) = every
+                # live doc with a value in the native docmap column
+                # (qcore.py:650-760), mirroring _compile_typed's scan
+                d = (
+                    self.index.docmap(
+                        columns=["docid", q.fieldname], apply_deletes=True
+                    )
+                    .where(F.col(q.fieldname).isNotNull())
+                    .select("docid")
+                )
             else:
                 d = self.index.doclens().where(F.col("field") == q.fieldname).select("docid")
             return d.select("docid", F.lit(float(q.boost)).alias("score"))

@@ -169,6 +169,84 @@ def _norm_children(children) -> list[Query]:
     return [c.normalize() for c in children]
 
 
+# --- overlapping-range merge (compound.py:137-158 + ranges.py:88-143) ---
+#
+# The reference merges OVERLAPPING TermRanges on the same field during
+# CompoundQuery.normalize (intersect for And, union for Or) — after the
+# NOT/operator structure exists, so a Not(range) is never merged with a
+# sibling range (it isn't a range node).  RangeMixin.overlaps returns
+# False for anything that is not a TermRange, so NumericRange/DateRange
+# never merge — replicated here for parity.
+
+def _cstart(r):
+    # (rank, value, tie): rank 0 = unbounded-low, 2 = unbounded-high;
+    # tie +1 models startexcl (ranges.py:_comparable_start)
+    if r.start is None:
+        return (0, "", 0)
+    return (1, r.start, 1 if r.startexcl else 0)
+
+
+def _cend(r):
+    if r.end is None:
+        return (2, "", 0)
+    return (1, r.end, -1 if r.endexcl else 0)
+
+
+def _ranges_overlap(a: "TermRange", b: "TermRange") -> bool:
+    s1, e1, s2, e2 = _cstart(a), _cend(a), _cstart(b), _cend(b)
+    return (
+        (s2 <= s1 <= e2)
+        or (s2 <= e1 <= e2)
+        or (s1 <= s2 <= e1)
+        or (s1 <= e2 <= e1)
+    )
+
+
+def _merge_two_ranges(a: "TermRange", b: "TermRange", intersect: bool) -> "TermRange":
+    s1, e1, s2, e2 = _cstart(a), _cend(a), _cstart(b), _cend(b)
+    if s1 >= s2 and e1 <= e2:
+        s, e = s2, e2
+    elif s2 >= s1 and e2 <= e1:
+        s, e = s1, e1
+    elif intersect:
+        s, e = max(s1, s2), min(e1, e2)
+    else:
+        s, e = min(s1, s2), max(e1, e2)
+    return TermRange(
+        a.fieldname,
+        None if s[0] == 0 else s[1],
+        None if e[0] == 2 else e[1],
+        startexcl=s[2] == 1,
+        endexcl=e[2] == -1,
+        boost=max(a.boost, b.boost),
+        constantscore=a.constantscore or b.constantscore,
+    )
+
+
+def _merge_ranges(kids: list[Query], intersect: bool) -> list[Query]:
+    out: list[Query] = []
+    i = 0
+    kids = list(kids)
+    while i < len(kids):
+        q = kids[i]
+        if isinstance(q, TermRange) and type(q) is TermRange:
+            j = i + 1
+            while j < len(kids):
+                o = kids[j]
+                if (
+                    isinstance(o, TermRange)
+                    and type(o) is TermRange
+                    and o.fieldname == q.fieldname
+                    and _ranges_overlap(q, o)
+                ):
+                    q = _merge_two_ranges(q, kids.pop(j), intersect)
+                else:
+                    j += 1
+        out.append(q)
+        i += 1
+    return out
+
+
 @dataclass(frozen=True)
 class And(Query):
     children: tuple[Query, ...]
@@ -188,7 +266,7 @@ class And(Query):
                 # lose the score offset — the compiler handles Not
                 # children with an anti-join + constant offset instead
                 kids.append(c)
-        kids = _dedup(kids)
+        kids = _merge_ranges(_dedup(kids), intersect=True)
         if not kids:
             return NULL
         if len(kids) == 1:
@@ -211,7 +289,7 @@ class Or(Query):
                 kids.extend(c.children)
             else:
                 kids.append(c)
-        kids = _dedup(kids)
+        kids = _merge_ranges(_dedup(kids), intersect=False)
         if not kids:
             return NULL
         if len(kids) == 1 and self.minmatch <= 1:

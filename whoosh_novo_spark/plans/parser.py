@@ -192,20 +192,11 @@ class QueryParser:
             it for it in items
             if not (it[0] == "q" and isinstance(it[1], ast.NullQuery))
         ]
-        # 0. GtLtPlugin behavior: adjacent open-ended ranges on the same
-        #    field merge into ONE range ("f:>a f:<b" -> TermRange(a, b))
-        merged_items = []
-        for it in items:
-            if (
-                merged_items
-                and it[0] == "q"
-                and merged_items[-1][0] == "q"
-                and self._mergeable_ranges(merged_items[-1][1], it[1])
-            ):
-                merged_items[-1] = ("q", self._merge_ranges(merged_items[-1][1], it[1]))
-            else:
-                merged_items.append(it)
-        items = merged_items
+        # NOTE: adjacent GtLt ranges are NOT merged here — the reference's
+        # GtLtPlugin emits separate RangeNodes, and the merge of OVERLAPPING
+        # TermRanges happens later in CompoundQuery.normalize (replicated in
+        # ast.And/Or.normalize), after NOT structure is resolved, so
+        # "NOT f:>a f:<b" stays And([Not(f>a), f<b]) like the reference
         # 1. prefix NOT
         out = []
         i = 0
@@ -252,24 +243,6 @@ class QueryParser:
         if len(qs) == 1:
             return qs[0]
         return ast.And(tuple(qs))  # default group
-
-    _RANGE_TYPES = (ast.TermRange, ast.NumericRange, ast.DateRange)
-
-    def _mergeable_ranges(self, a, b) -> bool:
-        return (
-            isinstance(a, self._RANGE_TYPES)
-            and type(a) is type(b)
-            and a.fieldname == b.fieldname
-            and a.start is not None
-            and a.end is None
-            and b.start is None
-            and b.end is not None
-        )
-
-    def _merge_ranges(self, a, b):
-        from dataclasses import replace
-
-        return replace(a, end=b.end, endexcl=b.endexcl)
 
     # ------------------------------------------------------------ leaves
     def _word(self, w: str) -> ast.Query:
