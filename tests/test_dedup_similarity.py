@@ -253,3 +253,35 @@ def test_simhash_hamming_reflects_similarity(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_lsh_near_dup_equals_exact_on_planted_parallels(spark):
+    """The LSH same-bucket near-dup path finds EVERY pair the exact
+    all-pairs scan finds when the near-dups are direction-preserving
+    (positively scaled) copies — scaling cannot flip a sign bit, so the
+    planted pairs provably share buckets (driver row
+    embedding_near_dup_lsh relies on exactly this)."""
+    import numpy as np
+
+    from whoosh_novo_spark.operators.similarity import (
+        embedding_all_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 16)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    rows += [(i + 1000, [float(x) * 1.5 for x in base[i]]) for i in range(30)]
+    rows += [(i + 2000, [float(x) * 2.0 for x in base[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lsh = {
+        (r["a"], r["b"], r["cos"])
+        for r in embedding_near_dup_pairs(emb, tau=0.9, n_planes=8, seed=42).collect()
+    }
+    exact = {
+        (r["a"], r["b"], r["cos"])
+        for r in embedding_all_pairs(emb, tau=0.9).collect()
+    }
+    assert lsh == exact
+    assert len(exact) == 90  # 3 pairs per planted triple

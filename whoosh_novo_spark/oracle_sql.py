@@ -534,6 +534,28 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {tau}"""
 
 
+def embedding_near_dup_planted_sql(tau: float = 0.9, n: int = 40) -> str:
+    """Exact all-pairs oracle for the LSH near-dup SCALE path over the
+    planted union (mirrors __spark_entry__.q_embedding_near_dup_lsh: two
+    positively-scaled copies of the first ``n`` vectors).  The LSH result
+    must equal the exact result because scaling preserves every sign-bit
+    (planted pairs always share a bucket) and the raw data has no pairs
+    above cos 0.51 < tau."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {n}
+),
+u AS (
+  SELECT vec_id, v FROM base
+  UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x * 1.5) FROM base
+  UNION ALL SELECT vec_id + 200000, list_transform(v, x -> x * 2.0) FROM base
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {tau}"""
+
+
 def simhash_sigs(limit: int = 100) -> str:
     """Bit-for-bit SimHash recomputation (mirrors operators/dedup.simhash64):
     md5-derived 60-bit token hashes over the standard analysis chain
