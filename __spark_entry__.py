@@ -33,7 +33,7 @@ from whoosh_novo_spark.sources.segment_store import SegmentStore
 _CONFIG = IndexConfig(
     id_col="doc_id",
     fields=(
-        FieldConfig("text", positions=True),
+        FieldConfig("text", positions=True, vector=True),
         # typed fields: native docmap columns queried by pushed-down
         # predicates (n_chars from the table; ts/flag derived
         # deterministically from doc_id so the DuckDB oracle can recompute)
@@ -52,7 +52,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Searcher:
         ship_package(spark)
         safe = key.strip("/").replace("/", "_")
         path = os.path.join(
-            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_ix2_{safe}"
+            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_ix3_{safe}"
         )
         store = SegmentStore(path)
         if store.current_generation() == 0:
@@ -197,6 +197,34 @@ def q_bool_filter(spark, sf_dir):
         _index_for(spark, sf_dir),
         ast.And((_T("query"), ast.Term("flag", True))),
     )
+
+
+def q_more_like(spark, sf_dir):
+    """Searcher.more_like (searching.py:559-613) on the vectored text
+    field: Bo1 key terms of doc 7's term vector (served from the
+    docid-sorted vectors table), boosted BM25 Or, source doc masked."""
+    s = _index_for(spark, sf_dir)
+    out = s.more_like(7, "text", top=10)
+    return out.select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_date_query(spark, sf_dir):
+    """Natural-language date query through the FULL parser surface
+    (qparser/dateparse.py semantics): relative dates anchored at a fixed
+    basedate so the DuckDB oracle can recompute the window.  ts is
+    2020-01-01 + doc_id hours, so '-1week to now' at 2020-01-20 12:00
+    selects doc_id 300..468 inclusive."""
+    import datetime as dt
+
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    s = _index_for(spark, sf_dir)
+    p = QueryParser.for_config(
+        _CONFIG, default_field="text", basedate=dt.datetime(2020, 1, 20, 12, 0, 0)
+    )
+    return _topk(s, p.parse("data ts:'-1week to now'"))
 
 
 _BIWORD_CONFIG = IndexConfig(
@@ -576,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_range_topk": q_numeric_range,
         "date_range_topk": q_date_range,
         "bool_filter_topk": q_bool_filter,
+        "date_query_topk": q_date_query,
+        "more_like_topk": q_more_like,
         "biword_topk": q_biword,
         "variations_topk": q_variations,
         "term_stats": q_term_stats,
@@ -648,6 +678,14 @@ def oracle_sql() -> dict[str, str]:
             " AND (TIMESTAMP '2020-01-01' + INTERVAL (doc_id) HOUR) < TIMESTAMP '2020-01-15'",
         ),
         "bool_filter_topk": osql.topk_term_with_filter("query", "doc_id % 3 = 0"),
+        "date_query_topk": osql.topk_term_with_filter(
+            "data",
+            "(TIMESTAMP '2020-01-01' + INTERVAL (doc_id) HOUR)"
+            " >= TIMESTAMP '2020-01-13 12:00:00'"
+            " AND (TIMESTAMP '2020-01-01' + INTERVAL (doc_id) HOUR)"
+            " <= TIMESTAMP '2020-01-20 12:00:00'",
+        ),
+        "more_like_topk": osql.more_like_topk(7, 5, 10),
         "biword_topk": osql.biword_topk("table-hash"),
         # variant set pinned as a LITERAL (generator-independent oracle):
         # tests/test_variations.py::test_driver_variant_set_pinned asserts

@@ -546,6 +546,27 @@ def _build_segment_locked(
         )
     seg.has_blocks = True
 
+    # stage 4d: term vectors (forward index) for vector=True fields —
+    # whoosh's vector postings (.vps files, whoosh3.py W3PerDocWriter
+    # add_vector_items), re-expressed as a docid-range-sorted projection
+    # of the postings so a per-doc lookup is a one-row-group pruned scan
+    vec_fields = sorted(f.name for f in config.fields if f.vector)
+    if vec_fields and store.read_stage_marker(segment_id, "vectors") is None:
+        t_v = time.time()
+        vecs = postings.where(F.col("field").isin(vec_fields)).select(
+            "docid", "field", "term", "weight"
+        )
+        vecs.repartitionByRange(max(1, sp // 8), "docid").sortWithinPartitions(
+            "docid", "field", "term"
+        ).write.mode("overwrite").parquet(store.table_path(segment_id, "vectors"))
+        store.write_stage_marker(
+            segment_id,
+            "vectors",
+            {"fields": vec_fields, "seconds": round(time.time() - t_v, 3)},
+        )
+    if vec_fields:
+        seg.meta["vector_fields"] = vec_fields
+
     seg.meta["build_seconds"] = round(time.time() - t0, 3)
     manifest.segments.append(seg)
     manifest.next_docid = base + doc_count

@@ -62,24 +62,39 @@ def _normalizer(model: str, maxscore: float, top_total: float, N: int, coll_tota
 
 def expanded_terms(
     searcher,
-    top_docids: DataFrame,
+    top_docids: DataFrame | None,
     fieldname: str,
     number: int = 5,
     model: str = "bo1",
     normalize: bool = True,
+    docnums: list[int] | None = None,
 ) -> list[tuple[str, float]]:
     """The N most important terms of the given top documents
     (Expander.expanded_terms, classify.py:167-200).
 
     ``top_docids``: DataFrame with a ``docid`` column (e.g. from
-    ``Searcher.search``)."""
+    ``Searcher.search``).  ``docnums``: alternatively, a driver-side docid
+    list — compiled to an IN-list predicate that parquet row-group pruning
+    can use, and served from the docid-sorted vectors table when the field
+    is vector=True (one row group instead of a postings scan)."""
     ix = searcher.index
     N = ix.doc_count_all
     coll_total = ix.manifest.field_length(fieldname)
 
-    p = ix.postings().where(F.col("field") == fieldname).join(
-        F.broadcast(top_docids.select("docid")), "docid", "left_semi"
-    )
+    src = None
+    if docnums is not None:
+        vt = ix.vector_table(fieldname)
+        if vt is not None:
+            src = vt.where(F.col("docid").isin([int(d) for d in docnums]))
+    if src is None:
+        base = ix.postings().where(F.col("field") == fieldname)
+        if docnums is not None:
+            src = base.where(F.col("docid").isin([int(d) for d in docnums]))
+        else:
+            src = base.join(
+                F.broadcast(top_docids.select("docid")), "docid", "left_semi"
+            )
+    p = src
     per_term = p.groupBy("term").agg(F.sum("weight").alias("w_top"))
     top_total = per_term.agg(F.sum("w_top")).collect()[0][0] or 0.0
     if not top_total:
@@ -106,5 +121,59 @@ def expanded_terms(
         else maxscore
     )
     out = [(r["term"], r["score"] / norm) for r in rows]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:number]
+
+
+def expanded_terms_from_weights(
+    searcher,
+    weights: dict[str, float],
+    fieldname: str,
+    number: int = 5,
+    model: str = "bo1",
+    normalize: bool = True,
+) -> list[tuple[str, float]]:
+    """Expander.add_text path (classify.py:155-165): the 'top documents'
+    vector is a driver-side term->weight map (one analyzed text).  The
+    only cluster work is the collection-frequency lookup for those terms;
+    scoring is closed-form on the driver (a single doc's vocabulary)."""
+    if not weights:
+        return []
+    ix = searcher.index
+    N = ix.doc_count_all
+    coll_total = ix.manifest.field_length(fieldname)
+    top_total = float(sum(weights.values()))
+    stats = searcher._cached_stats([(fieldname, t) for t in weights])
+
+    def score_py(w_top: float, cf: float) -> float:
+        if model == "bo1":
+            f = cf / N
+            return (w_top * math.log((1.0 + f) / f) + math.log(1.0 + f)) / LOG2
+        if model == "bo2":
+            f = w_top * top_total / coll_total
+            return (w_top * math.log((1.0 + f) / f) + math.log(1.0 + f)) / LOG2
+        if model == "kl":
+            wit_tt = w_top / top_total
+            wic_ct = cf / coll_total
+            if wit_tt < wic_ct:
+                return 0.0
+            return wit_tt * math.log(wit_tt / (w_top / coll_total)) / LOG2
+        raise ValueError(model)
+
+    tlist = []
+    for term, w_top in weights.items():
+        st = stats.get((fieldname, term))
+        if st is None:
+            continue  # term absent from the lexicon is skipped (classify.py:188)
+        tlist.append((score_py(float(w_top), float(st.cf)), term))
+    if not tlist:
+        return []
+    maxscore = max(s for s, _ in tlist)
+    norm = (
+        _normalizer(model, maxscore, top_total, N, coll_total)
+        if normalize
+        else maxscore
+    )
+    out = [(t, s / norm) for s, t in tlist]
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[:number]

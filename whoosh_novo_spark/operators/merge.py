@@ -251,6 +251,20 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
     ).parquet(store.table_path(new_id, "blocks"))
     store.write_stage_marker(new_id, "blocks", {"block_limit": config.block_limit})
 
+    # vectors: rebuild the forward index from the merged postings for the
+    # union of the victims' vectored fields (whoosh add_reader copies
+    # vectors per doc, writing.py:716-722)
+    vec_fields = sorted(
+        {f for s in victims for f in s.meta.get("vector_fields", [])}
+    )
+    if vec_fields:
+        postings_new.where(F.col("field").isin(vec_fields)).select(
+            "docid", "field", "term", "weight"
+        ).repartitionByRange(max(1, sp // 8), "docid").sortWithinPartitions(
+            "docid", "field", "term"
+        ).write.mode("overwrite").parquet(store.table_path(new_id, "vectors"))
+        store.write_stage_marker(new_id, "vectors", {"fields": vec_fields})
+
     ids_minmax = postings_new.agg(
         F.min("docid").alias("mn"), F.max("docid").alias("mx")
     ).collect()[0]
@@ -266,6 +280,7 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
             "base": min(s.meta.get("base", s.min_docid) for s in victims),
             "merged_from": segment_ids,
             "merge_seconds": round(time.time() - t0, 3),
+            **({"vector_fields": vec_fields} if vec_fields else {}),
         },
     )
 

@@ -108,6 +108,17 @@ class Index:
             out = out.join(self.tombstones(), "docid", "left_anti")
         return out.select(*columns) if columns else out
 
+    def vector_table(self, fieldname: str) -> DataFrame | None:
+        """Forward index (docid, field, term, weight) for a vector=True
+        field — docid-range-sorted, so per-doc lookups prune to one row
+        group (whoosh vector postings, whoosh3.py .vps).  Returns None
+        unless EVERY segment vectored the field (fall back to postings)."""
+        segs = self.manifest.segments
+        if not all(fieldname in s.meta.get("vector_fields", []) for s in segs):
+            return None
+        paths = [self.store.table_path(s.segment_id, "vectors") for s in segs]
+        return self.spark.read.parquet(*paths).where(F.col("field") == fieldname)
+
     def live_docids(self) -> DataFrame:
         """All non-deleted docids (the universe for Not/Every matchers —
         whoosh matchers skip per-segment deleted sets)."""
@@ -392,6 +403,78 @@ class Searcher:
         order = [F.desc(key) if reverse else F.asc(key), F.asc("docid")]
         out = j.orderBy(*order)
         return out.limit(limit) if limit is not None else out
+
+    def key_terms(
+        self,
+        docnums: list[int],
+        fieldname: str,
+        numterms: int = 5,
+        model: str = "bo1",
+        normalize: bool = True,
+    ) -> list[tuple[str, float]]:
+        """The most important terms of the given documents
+        (searching.py:509-543): their term vectors (vectors table when the
+        field is vector=True, else a docid-pruned postings scan) expanded
+        through a classify model."""
+        from whoosh_novo_spark.operators.classify import expanded_terms
+
+        return expanded_terms(
+            self, None, fieldname, numterms, model, normalize, docnums=docnums
+        )
+
+    def key_terms_from_text(
+        self,
+        fieldname: str,
+        text: str,
+        numterms: int = 5,
+        model: str = "bo1",
+        normalize: bool = True,
+    ) -> list[tuple[str, float]]:
+        """Key terms of raw text analyzed with the field's chain
+        (searching.py:545-557, Expander.add_text)."""
+        from whoosh_novo_spark.operators.classify import expanded_terms_from_weights
+
+        from collections import Counter
+
+        from whoosh_novo_spark.functions.analysis import analyze_query_terms
+
+        toks = analyze_query_terms(text, self.index.config.field(fieldname).analyzer)
+        weights = {t: float(n) for t, n in Counter(toks).items()}
+        return expanded_terms_from_weights(
+            self, weights, fieldname, numterms, model, normalize
+        )
+
+    def more_like(
+        self,
+        docnum: int,
+        fieldname: str,
+        text: str | None = None,
+        top: int = 10,
+        numterms: int = 5,
+        model: str = "bo1",
+        normalize: bool = False,
+        filter=None,
+    ) -> DataFrame:
+        """Documents similar to the given one (searching.py:559-613): Or of
+        the doc's key terms boosted by their expansion weights, the source
+        doc masked out of the results."""
+        from whoosh_novo_spark.plans import ast as _ast
+
+        if text is not None:
+            kts = self.key_terms_from_text(
+                fieldname, text, numterms=numterms, model=model, normalize=normalize
+            )
+        else:
+            kts = self.key_terms(
+                [docnum], fieldname, numterms=numterms, model=model, normalize=normalize
+            )
+        if not kts:
+            return self.index.spark.createDataFrame([], "docid long, score double")
+        q = _ast.Or(
+            tuple(_ast.Term(fieldname, w, boost=float(wt)) for w, wt in kts)
+        )
+        mask = self.index.spark.createDataFrame([(int(docnum),)], "docid long")
+        return self.search_filtered(q, limit=top, allow=filter, restrict=mask)
 
     def fetch(self, results: DataFrame, columns: list[str]) -> DataFrame:
         """Join top-k docids back to stored fields (Results.fields,

@@ -144,6 +144,30 @@ FROM scored WHERE term = '{term}'
 ORDER BY score + 1.0 DESC, doc_id ASC LIMIT {k}"""
 
 
+def more_like_topk(docnum: int, numterms: int = 5, k: int = 10) -> str:
+    """Full more_like recompute (searching.py:559-613): Bo1 key terms of
+    the source doc's term vector (normalize=False -> weights are
+    score/maxscore), then a BM25 Or with those boosts, source doc masked."""
+    return f"""{_BASE},
+cf AS (SELECT term, sum(w) AS cf FROM postings GROUP BY term),
+src AS (SELECT term, w AS w_top FROM postings WHERE doc_id = {docnum}),
+bo1 AS (
+  SELECT s.term,
+         (s.w_top * ln((1 + cf.cf / c.dc) / (cf.cf / c.dc))
+          + ln(1 + cf.cf / c.dc)) / ln(2) AS kscore
+  FROM src s JOIN cf USING (term) CROSS JOIN consts c
+),
+kt AS (
+  SELECT term, kscore / (SELECT max(kscore) FROM bo1) AS boost
+  FROM bo1 ORDER BY kscore DESC, term ASC LIMIT {numterms}
+)
+SELECT s.doc_id, round(sum(s.score * kt.boost), 4) AS score
+FROM scored s JOIN kt USING (term)
+WHERE s.doc_id <> {docnum}
+GROUP BY s.doc_id
+ORDER BY sum(s.score * kt.boost) DESC, s.doc_id ASC LIMIT {k}"""
+
+
 def topk_multiterm(where: str, k: int = 10) -> str:
     """Prefix/wildcard/range/fuzzy: expand matching terms, score as OR.
     ``where`` is a predicate over column ``term``."""

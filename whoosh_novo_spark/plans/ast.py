@@ -256,7 +256,10 @@ class And(Query):
         kids: list[Query] = []
         for c in _norm_children(self.children):
             if isinstance(c, NullQuery):
-                return NULL  # AND with empty relation is empty
+                # whoosh compound normalize REMOVES NullQuerys
+                # (compound.py:171-172): a null clause (stopword-only term,
+                # unparsable date) is ignored, not an empty intersection
+                continue
             if isinstance(c, And):
                 kids.extend(c.children)
             else:

@@ -24,19 +24,31 @@ reference parser by comparing search RESULTS on identical corpora
 from __future__ import annotations
 
 import re
+from datetime import datetime
 
 from whoosh_novo_spark.functions.analysis import analyze_query_terms
 from whoosh_novo_spark.plans import ast
+from whoosh_novo_spark.plans.dateparse import EnglishDateParser, Timespan
 
 _TOKEN_RX = re.compile(
     r"""
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<phrase>"(?P<phrase_body>[^"]*)"(~(?P<slop>\d+))?) |
+    (?P<squote>(?:(?P<sqfield>[^\s():'\[{]+):)?'(?P<sq_body>[^']*)') |
     (?P<range>(?:(?P<rfield>[^\s():\[{]+):)?[\[{][^\]}]*[\]}]) |
     (?P<word>[^\s()]+)
     """,
     re.VERBOSE,
 )
+
+# free-form date tagging: fieldname: followed by unquoted text
+# (dateparse.py DateTagger free_expr "([A-Za-z][A-Za-z_0-9]*):([^^]+)")
+_FREE_FIELD_RX = re.compile(r"([A-Za-z][A-Za-z_0-9]*):(?!['\"\[{])")
+
+# the "to" separator of a range body, per the reference RangePlugin
+# (plugins.py:838-855): case-insensitive, preceded by start/whitespace/
+# closing quote, followed by whitespace/quote/end
+_RANGE_TO_RX = re.compile(r"(?:(?<=\s)|(?<=')|^)[tT][oO](?=\s|'|$)")
 
 _OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE"}
 
@@ -93,18 +105,33 @@ class QueryParser:
         default_field: str,
         analyzers: dict[str, str] | None = None,
         field_types: dict[str, str] | None = None,
+        basedate: datetime | None = None,
+        dateparse_free: bool = False,
+        date_error_callback=None,
     ):
         """``analyzers`` maps fieldname -> analyzer name (default
         'standard' for every field); ``field_types`` maps fieldname ->
         'numeric'/'datetime'/'boolean' for typed fields (ranges and bare
         terms on those compile to NumericRange/DateRange/native equality,
-        like whoosh's schema-aware parsing of NUMERIC/DATETIME fields)."""
+        like whoosh's schema-aware parsing of NUMERIC/DATETIME fields).
+
+        Datetime fields get the full natural-language date surface
+        (DateParserPlugin semantics): ``basedate`` anchors relative dates
+        (default: now), ``dateparse_free`` enables unquoted multi-word
+        dates after ``field:`` (free=True), ``date_error_callback`` is
+        called with the text of each unparsable date (the node becomes
+        NullQuery and is dropped from compounds, like the reference's
+        error nodes)."""
         self.default_field = default_field
         self.analyzers = analyzers or {}
         self.field_types = field_types or {}
+        self.basedate = basedate
+        self.dateparse_free = dateparse_free
+        self.date_error_callback = date_error_callback
+        self._dateparser = EnglishDateParser()
 
     @classmethod
-    def for_config(cls, config, default_field: str | None = None) -> "QueryParser":
+    def for_config(cls, config, default_field: str | None = None, **kw) -> "QueryParser":
         """Build a parser from an IndexConfig's field declarations."""
         return cls(
             default_field or config.default_field.name,
@@ -112,7 +139,17 @@ class QueryParser:
             field_types={
                 f.name: f.type for f in config.fields if f.type != "text"
             },
+            **kw,
         )
+
+    @property
+    def _base(self) -> datetime:
+        return self.basedate if self.basedate is not None else datetime.now()
+
+    def _date_error(self, text: str) -> ast.Query:
+        if self.date_error_callback is not None:
+            self.date_error_callback(text)
+        return ast.NULL
 
     def _analyzer(self, field: str) -> str:
         return self.analyzers.get(field, "standard")
@@ -134,13 +171,36 @@ class QueryParser:
     # ------------------------------------------------------------ lexing
     def _lex(self, s: str) -> list:
         out = []
-        for m in _TOKEN_RX.finditer(s):
+        pos, n = 0, len(s)
+        while pos < n:
+            if s[pos].isspace():
+                pos += 1
+                continue
+            # free-form date tagging (DateParserPlugin free=True): on a
+            # datetime field, the date expression may span several
+            # whitespace-separated words after "field:" — parse as much of
+            # the RAW string as possible (dateparse.py DateTagger.match)
+            if self.dateparse_free:
+                fm = _FREE_FIELD_RX.match(s, pos)
+                if fm and self._type(fm.group(1)) == "datetime":
+                    d, np = self._dateparser.parse_prefix(s, fm.end(), self._base)
+                    if d is not None:
+                        out.append(("dtvalue", fm.group(1), d))
+                        pos = np
+                        continue
+            m = _TOKEN_RX.match(s, pos)
+            if m is None:
+                pos += 1
+                continue
+            pos = m.end()
             if m.group("lparen"):
                 out.append(("(",))
             elif m.group("rparen"):
                 out.append((")",))
             elif m.group("phrase") is not None:
                 out.append(("phrase", m.group("phrase_body"), int(m.group("slop") or 1)))
+            elif m.group("squote") is not None:
+                out.append(("squote", m.group("sq_body"), m.group("sqfield")))
             elif m.group("range") is not None:
                 body = m.group("range")
                 rfield = m.group("rfield")
@@ -176,6 +236,12 @@ class QueryParser:
                 i += 1
             elif t[0] == "phrase":
                 items.append(("q", self._phrase(t[1], t[2])))
+                i += 1
+            elif t[0] == "squote":
+                items.append(("q", self._squote(t[1], t[2])))
+                i += 1
+            elif t[0] == "dtvalue":
+                items.append(("q", self._date_value_query(t[1], t[2])))
                 i += 1
             elif t[0] == "range":
                 items.append(("q", self._range(t[1], t[2])))
@@ -281,11 +347,13 @@ class QueryParser:
         if w == "*":
             return ast.Every(field, boost=boost)
         if self._type(field) == "datetime":
-            # a bare (possibly truncated) date matches its whole period
-            p = date_period(w)
-            if p:
-                return ast.DateRange(field, p[0], p[1], False, True, boost=boost)
-            return ast.Term(field, w, boost=boost)
+            # full natural-language dateparse (the whole token must parse,
+            # reference text_to_dt: date_from with ToEnd); a period becomes
+            # an inclusive floor..ceil DateRange, an instant an equality
+            d = self._dateparser.date_from(w, self._base)
+            if d is None:
+                return self._date_error(w)
+            return self._date_value_query(field, d)
         if self._type(field) != "text":
             return ast.Term(field, self._typed_value(field, w), boost=boost)
         if "*" in w or "?" in w:
@@ -303,6 +371,38 @@ class QueryParser:
         got = analyze_query_terms(w, self._analyzer(field))
         return got[0] if got else w.lower()
 
+    @staticmethod
+    def _iso(dt: datetime) -> str:
+        return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def _date_value_query(self, field: str, d) -> ast.Query:
+        """DateTimeNode.query semantics (dateparse.py:908-933): a concrete
+        datetime is an exact-instant Term, a timespan an inclusive
+        DateRange; the node's boost is hardwired to 1.0 in the reference
+        (DateTimeNode.__init__), replicated here."""
+        if isinstance(d, Timespan):
+            return ast.DateRange(field, self._iso(d.start), self._iso(d.end), False, False)
+        return ast.Term(field, self._iso(d))
+
+    def _squote(self, body: str, sqfield: str | None) -> ast.Query:
+        """Single-quoted text (SingleQuotePlugin): one verbatim chunk.  On
+        a datetime field the whole chunk is a date expression
+        ("created:'last tuesday'"); otherwise it analyzes like a word."""
+        field = sqfield or self.default_field
+        if self._type(field) == "datetime":
+            d = self._dateparser.date_from(body, self._base)
+            if d is None:
+                return self._date_error(body)
+            return self._date_value_query(field, d)
+        if self._type(field) != "text":
+            return ast.Term(field, self._typed_value(field, body))
+        terms = analyze_query_terms(body, self._analyzer(field))
+        if not terms:
+            return ast.NULL
+        if len(terms) == 1:
+            return ast.Term(field, terms[0])
+        return ast.And(tuple(ast.Term(field, t) for t in terms))
+
     def _phrase(self, body: str, slop: int) -> ast.Query:
         field = self.default_field
         words = analyze_query_terms(body, self._analyzer(field))
@@ -314,16 +414,19 @@ class QueryParser:
         startexcl = body[0] == "{"
         endexcl = body[-1] == "}"
         inner = body[1:-1].strip()
-        if " TO " in inner:
-            s, e = inner.split(" TO ", 1)
-        elif inner.endswith(" TO"):
-            s, e = inner[:-3], ""
-        elif inner.startswith("TO "):
-            s, e = "", inner[3:]
+        m = _RANGE_TO_RX.search(inner)
+        if m:
+            s, e = inner[: m.start()], inner[m.end() :]
         else:
-            s, e = inner, inner
-        s = s.strip() or None
-        e = e.strip() or None
+            s = e = inner  # point range
+
+        def clean(x: str) -> str | None:
+            x = x.strip()
+            if len(x) >= 2 and x[0] == "'" and x[-1] == "'":
+                x = x[1:-1].strip()
+            return x or None
+
+        s, e = clean(s), clean(e)
         field = rfield or self.default_field
         if rfield is None and s and ":" in s:
             field, s = s.split(":", 1)
@@ -340,22 +443,39 @@ class QueryParser:
                 endexcl,
             )
         if t == "datetime":
-            # dateparse semantics: each endpoint names a whole period —
-            # [2021-01 TO 2021-03] covers Jan 1 through end of March
+            # range_to_dt semantics (dateparse.py:850-877): endpoints are
+            # parsed WITHOUT end-anchoring or disambiguation; a two-sided
+            # range cross-completes as one timespan, a one-sided range
+            # floors (start) / ceils (end) its own side.  The reference's
+            # DateRangeNode drops the excl flags — endpoints are always
+            # inclusive (replicated quirk: "created:>X" reads as ">= floor
+            # of X's period").
+            base = self._base
+            raw_s = self._dateparser.parse_ambiguous(s, base) if s else None
+            raw_e = self._dateparser.parse_ambiguous(e, base) if e else None
+            if (s and raw_s is None) or (e and raw_e is None):
+                return self._date_error(s if raw_s is None and s else e)
+            if isinstance(raw_s, Timespan) or isinstance(raw_e, Timespan):
+                return self._date_error(s if isinstance(raw_s, Timespan) else e)
             lo = hi = None
-            hi_excl = endexcl
-            if s:
-                ps = date_period(s)
-                lo = (ps[1] if startexcl else ps[0]) if ps else s
-                startexcl = False if ps else startexcl
-            if e:
-                pe = date_period(e)
-                if pe:
-                    hi = pe[0] if endexcl else pe[1]
-                    hi_excl = True
-                else:
-                    hi = e
-            return ast.DateRange(field, lo, hi, startexcl, hi_excl)
+            if raw_s is not None and raw_e is not None:
+                ts = Timespan(raw_s, raw_e).disambiguated(base)
+                lo, hi = ts.start, ts.end
+            elif raw_s is not None:
+                d = EnglishDateParser._disambiguate(raw_s, base)
+                lo = d.start if isinstance(d, Timespan) else d
+            elif raw_e is not None:
+                d = EnglishDateParser._disambiguate(raw_e, base)
+                hi = d.end if isinstance(d, Timespan) else d
+            else:
+                return ast.NULL
+            return ast.DateRange(
+                field,
+                self._iso(lo) if lo is not None else None,
+                self._iso(hi) if hi is not None else None,
+                False,
+                False,
+            )
         lo = self._qtext(field, s) if s else None
         hi = self._qtext(field, e) if e else None
         return ast.TermRange(field, lo, hi, startexcl, endexcl)

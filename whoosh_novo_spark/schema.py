@@ -36,6 +36,12 @@ class FieldConfig:
     # min/max pruning makes that machinery unnecessary, SURVEY §2.9) and
     # range/equality queries compile to pushed-down column predicates.
     type: str = "text"
+    # whoosh ``vector=True`` (fields.py FieldType.vector, consumed by
+    # Results.key_terms/Searcher.more_like): ALSO write a forward index —
+    # a (docid, field, term, weight) table range-sorted by docid, so a
+    # per-document term-vector lookup prunes to one parquet row group
+    # instead of scanning term-sorted postings.
+    vector: bool = False
 
 
 @dataclass(frozen=True)
