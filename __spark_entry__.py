@@ -210,6 +210,25 @@ def q_more_like(spark, sf_dir):
     )
 
 
+def q_correct_query(spark, sf_dir):
+    """Whole-query spelling correction (searching.py:861-975): lexicon-
+    present words stay, missing words take the frequency-ranked nearest
+    in-lexicon term within 2 edits; the corrected AST's terms come back
+    as rows."""
+    from whoosh_novo_spark.operators.correct import correct_query, query_terms
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    s = _index_for(spark, sf_dir)
+    p = QueryParser.for_config(_CONFIG, default_field="text")
+    qtext = "spqrk dtaa query"
+    c = correct_query(s, p.parse(qtext), qtext, parser=p)
+    orig = [t for _f, t in query_terms(p.parse(qtext))]
+    corr = [t for _f, t in query_terms(c.query)]
+    return spark.createDataFrame(
+        sorted(zip(orig, corr)), "word string, corrected string"
+    )
+
+
 def q_date_query(spark, sf_dir):
     """Natural-language date query through the FULL parser surface
     (qparser/dateparse.py semantics): relative dates anchored at a fixed
@@ -606,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_filter_topk": q_bool_filter,
         "date_query_topk": q_date_query,
         "more_like_topk": q_more_like,
+        "correct_query_terms": q_correct_query,
         "biword_topk": q_biword,
         "variations_topk": q_variations,
         "term_stats": q_term_stats,
@@ -686,6 +706,9 @@ def oracle_sql() -> dict[str, str]:
             " <= TIMESTAMP '2020-01-20 12:00:00'",
         ),
         "more_like_topk": osql.more_like_topk(7, 5, 10),
+        "correct_query_terms": osql.correct_query_terms(
+            ["spqrk", "dtaa", "query"], 2
+        ),
         "biword_topk": osql.biword_topk("table-hash"),
         # variant set pinned as a LITERAL (generator-independent oracle):
         # tests/test_variations.py::test_driver_variant_set_pinned asserts

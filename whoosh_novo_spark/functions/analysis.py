@@ -47,12 +47,17 @@ class TokenBatch:
 
     ``row`` maps each token back to its batch-row; ``pos`` holds the
     reference-renumbered position; tokens appear in document order.
+    ``start``/``end`` are per-token character offsets into the original
+    text (the ``Characters`` payload, formats.py:273-345) — only present
+    when the chars-capable analyzer variant produced the batch.
     """
 
     row: np.ndarray  # int64, batch-local row index per token
     term: np.ndarray  # object (str)
     pos: np.ndarray  # int64, renumbered positions
     n_rows: int
+    start: np.ndarray | None = None  # int64 char offsets (chars=True only)
+    end: np.ndarray | None = None
 
     def doc_lengths(self) -> np.ndarray:
         """Post-filter token count per batch row (the scorable field length,
@@ -506,6 +511,90 @@ def biword_standard_analyze_batch(texts: pd.Series) -> TokenBatch:
     """standard chain -> BiWordFilter('-') (pseudo-phrase field,
     intraword.py:113-178 over StandardAnalyzer survivors)."""
     return biword_filter(standard_analyze_batch(texts), sep="-")
+
+
+# --- chars-capable variants (Characters payload, formats.py:273-345) -----
+#
+# finditer-based flattening keeps each token's character span.  Slower
+# than the vectorized findall path, so only the chars=True build route
+# uses it; term/pos output is identical by construction (same pattern,
+# same filters, same renumbering).
+
+def _flatten_finditer(texts: pd.Series):
+    rows: list[int] = []
+    toks: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for i, txt in enumerate(texts.fillna("")):
+        for m in TOKEN_PATTERN.finditer(txt):
+            rows.append(i)
+            toks.append(m.group(0))
+            starts.append(m.start())
+            ends.append(m.end())
+    n = len(rows)
+    row_idx = np.asarray(rows, dtype=np.int64)
+    flat = np.asarray(toks, dtype=object)
+    if n == 0:
+        ordinal = np.array([], dtype=np.int64)
+    else:
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        np.not_equal(row_idx[1:], row_idx[:-1], out=first[1:])
+        group_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        ordinal = np.arange(n, dtype=np.int64) - group_start
+    return (
+        row_idx,
+        flat,
+        ordinal,
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(ends, dtype=np.int64),
+    )
+
+
+def standard_analyze_batch_chars(
+    texts: pd.Series,
+    stops: frozenset[str] = STOP_WORDS,
+    minsize: int = MIN_WORD_SIZE,
+    stem: bool = False,
+) -> TokenBatch:
+    """standard_analyze_batch + per-token char spans.  Spans always point
+    at the ORIGINAL token (stemming/lowercasing don't move offsets —
+    whoosh StemFilter keeps token.startchar)."""
+    row_idx, flat, ordinal, starts, ends = _flatten_finditer(texts)
+    n = len(texts)
+    if len(flat) == 0:
+        return TokenBatch(row_idx, flat, ordinal, n, starts, ends)
+    lowered = pd.Series(flat, dtype=object).str.lower()
+    lens = lowered.str.len().to_numpy()
+    keep = (lens >= minsize) & ~lowered.isin(stops).to_numpy()
+    row_k = row_idx[keep]
+    term_k = lowered.to_numpy()[keep]
+    if stem:
+        from whoosh_novo_spark.functions.porter import stem_array
+
+        term_k = stem_array(term_k)
+    pos = _renumber(row_k, ordinal[keep], n)
+    return TokenBatch(row_k, term_k, pos, n, starts[keep], ends[keep])
+
+
+def simple_analyze_batch_chars(texts: pd.Series) -> TokenBatch:
+    row_idx, flat, ordinal, starts, ends = _flatten_finditer(texts)
+    if len(flat) == 0:
+        return TokenBatch(row_idx, flat, ordinal, len(texts), starts, ends)
+    term = pd.Series(flat, dtype=object).str.lower().to_numpy()
+    return TokenBatch(row_idx, term, ordinal, len(texts), starts, ends)
+
+
+def stemming_analyze_batch_chars(texts: pd.Series) -> TokenBatch:
+    return standard_analyze_batch_chars(texts, stem=True)
+
+
+# analyzers able to emit the Characters payload (chars=True fields)
+CHAR_ANALYZERS = {
+    "standard": standard_analyze_batch_chars,
+    "simple": simple_analyze_batch_chars,
+    "stemming": stemming_analyze_batch_chars,
+}
 
 
 ANALYZERS = {

@@ -80,6 +80,79 @@ class WholeFragmenter:
         ]
         yield Fragment(text, matched, 0, len(text))
 
+    def fragment_matches(self, text, tokens):
+        """Non-retokenizing path (highlight.py:312-352): same single
+        whole-text fragment, built from the already-matched tokens."""
+        matched = [
+            t for t in tokens if not self.charlimit or t.endchar <= self.charlimit
+        ]
+        yield Fragment(text, matched, 0, len(text))
+
+
+class PinpointFragmenter:
+    """highlight.py:516-604: the NON-RETOKENIZING fragmenter — builds
+    fragments directly from matched-term character spans (the stored
+    ``Characters`` payload), greedily merging spans within ``surround``
+    up to ``maxchars`` and padding both ends by ``surround``."""
+
+    def __init__(
+        self,
+        maxchars: int = 200,
+        surround: int = 20,
+        autotrim: bool = False,
+        charlimit: int = DEFAULT_CHARLIMIT,
+    ):
+        self.maxchars = maxchars
+        self.surround = surround
+        self.autotrim = autotrim
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text, tokens):
+        return self.fragment_matches(text, [t for t in tokens if t.matched])
+
+    @staticmethod
+    def _autotrim(fragment: Fragment) -> None:
+        text = fragment.text
+        startchar, endchar = fragment.startchar, fragment.endchar
+        firstspace = text.find(" ", startchar, endchar)
+        if firstspace > 0:
+            startchar = firstspace + 1
+        lastspace = text.rfind(" ", startchar, endchar)
+        if lastspace > 0:
+            endchar = lastspace
+        if fragment.matches:
+            startchar = min(startchar, fragment.matches[0].startchar)
+            endchar = max(endchar, fragment.matches[-1].endchar)
+        fragment.startchar = startchar
+        fragment.endchar = endchar
+
+    def fragment_matches(self, text, tokens):
+        maxchars, surround, charlimit = self.maxchars, self.surround, self.charlimit
+        j = -1
+        for i, t in enumerate(tokens):
+            if j >= i:
+                continue
+            j = i
+            left, right = t.startchar, t.endchar
+            if charlimit and right > charlimit:
+                break
+            currentlen = right - left
+            while j < len(tokens) - 1 and currentlen < maxchars:
+                nxt = tokens[j + 1]
+                ec = nxt.endchar
+                if ec - right <= surround and ec - left <= maxchars:
+                    j += 1
+                    right = ec
+                    currentlen += ec - nxt.startchar
+                else:
+                    break
+            left = max(0, left - surround)
+            right = min(len(text), right + surround)
+            fragment = Fragment(text, tokens[i : j + 1], left, right)
+            if self.autotrim:
+                self._autotrim(fragment)
+            yield fragment
+
 
 class SentenceFragmenter:
     """highlight.py:354-425: break on sentence-end punctuation right after
@@ -188,26 +261,57 @@ def top_fragments(fragments, count, scorer=basic_fragment_score, minscore=1):
 
 # --- formatters -----------------------------------------------------------
 
+def get_text(original: str, t: Token, replace: bool) -> str:
+    """highlight.py:648-660: the slice, or the token's (corrected) text."""
+    return t.text if replace else original[t.startchar : t.endchar]
+
+
+class NullFormatter:
+    """highlight.py:747-752: no markup — used by Correction.string to
+    splice corrected words into the original query string."""
+
+    between = "..."
+
+    def format_fragment(self, f: Fragment, replace: bool = False) -> str:
+        out, idx = [], f.startchar
+        for t in sorted(f.matches, key=lambda t: (t.startchar, -(t.endchar - t.startchar))):
+            if t.startchar is None or t.startchar < idx:
+                continue
+            if t.startchar > idx:
+                out.append(f.text[idx : t.startchar])
+            out.append(get_text(f.text, t, replace))
+            idx = t.endchar
+        out.append(f.text[idx : f.endchar])
+        return "".join(out)
+
+    def format(self, fragments, replace: bool = False) -> str:
+        return self.between.join(self.format_fragment(f, replace) for f in fragments)
+
+
 class UppercaseFormatter:
     """highlight.py:754-767."""
 
     def __init__(self, between: str = "..."):
         self.between = between
 
-    def _fmt(self, text, f: Fragment) -> str:
+    def format_fragment(self, f: Fragment, replace: bool = False) -> str:
+        text = f.text
         out, idx = [], f.startchar
         for t in sorted(f.matches, key=lambda t: (t.startchar, -(t.endchar - t.startchar))):
             if t.startchar < idx:
                 continue
             if t.startchar > idx:
                 out.append(text[idx : t.startchar])
-            out.append(text[t.startchar : t.endchar].upper())
+            out.append(get_text(text, t, replace).upper())
             idx = t.endchar
         out.append(text[idx : f.endchar])
         return "".join(out)
 
-    def format(self, fragments) -> str:
-        return self.between.join(self._fmt(f.text, f) for f in fragments)
+    def _fmt(self, text, f: Fragment) -> str:
+        return self.format_fragment(f)
+
+    def format(self, fragments, replace: bool = False) -> str:
+        return self.between.join(self.format_fragment(f, replace) for f in fragments)
 
 
 class HtmlFormatter:
@@ -235,11 +339,11 @@ class HtmlFormatter:
     def _esc(self, s: str) -> str:
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-    def _token(self, text, t: Token) -> str:
-        # class map keyed by the DISPLAYED text slice (original casing) —
-        # highlight.py format_token uses get_text(...), so "Render" and
-        # "render" get different term classes
-        shown = text[t.startchar : t.endchar]
+    def _token(self, text, t: Token, replace: bool = False) -> str:
+        # class map keyed by the DISPLAYED (escaped) text — highlight.py
+        # format_token keys `seen` by _text(get_text(...)), so "Render"
+        # and "render" get different term classes
+        shown = self._esc(get_text(text, t, replace))
         if shown in self.seen:
             n = self.seen[shown]
         else:
@@ -248,23 +352,27 @@ class HtmlFormatter:
         q = self.attrquote
         return (
             f"<{self.tagname} class={q}{self.classname} {self.termclass}{n}{q}>"
-            f"{self._esc(text[t.startchar:t.endchar])}</{self.tagname}>"
+            f"{shown}</{self.tagname}>"
         )
 
-    def _fmt(self, text, f: Fragment) -> str:
+    def format_fragment(self, f: Fragment, replace: bool = False) -> str:
+        text = f.text
         out, idx = [], f.startchar
         for t in sorted(f.matches, key=lambda t: (t.startchar, -(t.endchar - t.startchar))):
             if t.startchar < idx:
                 continue
             if t.startchar > idx:
                 out.append(self._esc(text[idx : t.startchar]))
-            out.append(self._token(text, t))
+            out.append(self._token(text, t, replace))
             idx = t.endchar
         out.append(self._esc(text[idx : f.endchar]))
         return "".join(out)
 
-    def format(self, fragments) -> str:
-        return self.between.join(self._fmt(f.text, f) for f in fragments)
+    def _fmt(self, text, f: Fragment) -> str:
+        return self.format_fragment(f)
+
+    def format(self, fragments, replace: bool = False) -> str:
+        return self.between.join(self.format_fragment(f, replace) for f in fragments)
 
 
 # --- top-level ------------------------------------------------------------
@@ -322,3 +430,70 @@ def highlight_hits(
             yield out
 
     return j.mapInPandas(kernel, "docid long, score double, highlight string")
+
+
+# --- pinpoint path: offsets from the index's Characters payload ------------
+
+def load_char_tokens(searcher, docid, fieldname, words, charlimit=DEFAULT_CHARLIMIT):
+    """Matched-term Tokens built from the stored (pos, start, end) spans
+    (Highlighter._load_chars + highlight_hit, highlight.py:996-1096):
+    a docid-equality + term-IN pushed postings scan, spans sorted by
+    startchar keeping the longest token per position."""
+    from itertools import groupby
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        searcher.index.postings()
+        .where(
+            (F.col("docid") == int(docid))
+            & (F.col("field") == fieldname)
+            & F.col("term").isin(sorted(words))
+        )
+        .select("term", "chars")
+        .collect()
+    )
+    tokens: list[Token] = []
+    for r in rows:
+        if r["chars"] is None:
+            raise ValueError(
+                f"field {fieldname!r} stores no Characters payload; "
+                "build it with FieldConfig(chars=True)"
+            )
+        for c in r["chars"]:
+            if charlimit and c["end"] > charlimit:
+                break
+            tokens.append(Token(r["term"], int(c["start"]), int(c["end"]), matched=True))
+    tokens.sort(key=lambda t: t.startchar)
+    return [
+        max(g, key=lambda t: t.endchar - t.startchar)
+        for _, g in groupby(tokens, key=lambda t: t.startchar)
+    ]
+
+
+def index_highlights(
+    searcher,
+    docid,
+    fieldname,
+    terms,
+    text,
+    fragmenter=None,
+    formatter=None,
+    top: int = 3,
+    minscore: int = 1,
+) -> str:
+    """Pinpoint highlighting (the Highlighter.highlight_hit chars path,
+    highlight.py:1068-1097): character offsets come from the index's
+    Characters payload — the stored text is NEVER re-tokenized."""
+    fragmenter = fragmenter or PinpointFragmenter()
+    formatter = formatter or HtmlFormatter(tagname="b")
+    tokens = load_char_tokens(
+        searcher,
+        docid,
+        fieldname,
+        {t.lower() for t in terms},
+        charlimit=getattr(fragmenter, "charlimit", DEFAULT_CHARLIMIT),
+    )
+    frags = fragmenter.fragment_matches(text, tokens)
+    best = top_fragments(frags, top, minscore=minscore)
+    return formatter.format(best)

@@ -51,6 +51,13 @@ POSTINGS_SCHEMA = (
     "field string, term string, docid long, weight double, tf int, len_q int, "
     "positions array<int>"
 )
+CHARS_COL = "chars array<struct<pos:int,start:int,end:int>>"
+
+
+def _postings_schema(config: IndexConfig) -> str:
+    if any(f.chars for f in config.fields):
+        return POSTINGS_SCHEMA + ", " + CHARS_COL
+    return POSTINGS_SCHEMA
 
 
 # ---------------------------------------------------------------- stage 1
@@ -183,8 +190,16 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
     Only text fields are analyzed; typed fields (numeric/datetime/boolean)
     stay native docmap columns queried by pushed-down predicates."""
     fields = tuple(f for f in config.fields if f.type == "text")
+    any_chars = any(f.chars for f in fields)
 
-    from whoosh_novo_spark.functions.analysis import AGGREGATE_ANALYZERS
+    from whoosh_novo_spark.functions.analysis import AGGREGATE_ANALYZERS, CHAR_ANALYZERS
+
+    for fc in fields:
+        if fc.chars and fc.analyzer not in CHAR_ANALYZERS:
+            raise ValueError(
+                f"analyzer {fc.analyzer!r} has no chars-capable variant "
+                f"(field {fc.name!r}); chars=True supports {sorted(CHAR_ANALYZERS)}"
+            )
 
     def analyze(iterator):
         for pdf in iterator:
@@ -194,7 +209,7 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                 # tf-aggregated fast path (no per-occurrence token stream)
                 # for analyzers that provide it, when positions aren't kept
                 if fc.analyzer in AGGREGATE_ANALYZERS and not (
-                    want_positions and fc.positions
+                    (want_positions and fc.positions) or fc.chars
                 ):
                     aggdf, lens = AGGREGATE_ANALYZERS[fc.analyzer](pdf[fc.name])
                     if len(aggdf) == 0:
@@ -202,35 +217,44 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                     len_q = quantized_length_np(np.maximum(lens, 0))
                     rows = aggdf["row"].to_numpy(dtype=np.int64)
                     tf = aggdf["tf"].to_numpy(dtype=np.int64)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "field": fc.name,
-                                "term": aggdf["term"],
-                                "docid": docids[rows],
-                                "weight": tf.astype(np.float64) * fc.boost,
-                                "tf": tf.astype(np.int32),
-                                "len_q": len_q[rows].astype(np.int32),
-                                "positions": None,
-                                "_true_len": np.where(
-                                    _first_of_row(rows), lens[rows], 0
-                                ).astype(np.int64),
-                            }
-                        )
+                    fast = pd.DataFrame(
+                        {
+                            "field": fc.name,
+                            "term": aggdf["term"],
+                            "docid": docids[rows],
+                            "weight": tf.astype(np.float64) * fc.boost,
+                            "tf": tf.astype(np.int32),
+                            "len_q": len_q[rows].astype(np.int32),
+                            "positions": None,
+                            "_true_len": np.where(
+                                _first_of_row(rows), lens[rows], 0
+                            ).astype(np.int64),
+                        }
                     )
+                    if any_chars:
+                        fast["chars"] = None
+                    outs.append(fast)
                     continue
-                fn = ANALYZERS[fc.analyzer]
+                fn = CHAR_ANALYZERS[fc.analyzer] if fc.chars else ANALYZERS[fc.analyzer]
                 tb = fn(pdf[fc.name])
                 if len(tb.term) == 0:
                     continue
                 tdf = pd.DataFrame({"row": tb.row, "term": tb.term, "pos": tb.pos})
+                aggs = {"tf": ("pos", "size")}
                 if want_positions and fc.positions:
-                    agg = tdf.groupby(["row", "term"], sort=False).agg(
-                        tf=("pos", "size"), positions=("pos", lambda s: list(s))
-                    )
-                else:
-                    agg = tdf.groupby(["row", "term"], sort=False).agg(tf=("pos", "size"))
+                    aggs["positions"] = ("pos", lambda s: list(s))
+                if fc.chars:
+                    # Characters payload per occurrence (formats.py:273-345)
+                    tdf["chr"] = [
+                        {"pos": int(p), "start": int(s), "end": int(e)}
+                        for p, s, e in zip(tb.pos, tb.start, tb.end)
+                    ]
+                    aggs["chars"] = ("chr", list)
+                agg = tdf.groupby(["row", "term"], sort=False).agg(**aggs)
+                if "positions" not in agg.columns:
                     agg["positions"] = None
+                if any_chars and "chars" not in agg.columns:
+                    agg["chars"] = None
                 agg = agg.reset_index()
                 lens = tb.doc_lengths()  # true post-filter length per row
                 len_q = quantized_length_np(np.maximum(lens, 0))
@@ -252,6 +276,8 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                         ).astype(np.int64),
                     }
                 )
+                if any_chars:
+                    out["chars"] = agg["chars"].to_numpy()
                 outs.append(out)
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -435,7 +461,7 @@ def _build_segment_locked(
         t_r = time.time()
         docmap.mapInPandas(
             _analyze_partition(config, want_pos),
-            POSTINGS_SCHEMA + ", _true_len long",
+            _postings_schema(config) + ", _true_len long",
         ).write.mode("overwrite").parquet(store.table_path(segment_id, "postings_raw"))
         store.write_stage_marker(
             segment_id,
@@ -505,9 +531,10 @@ def _build_segment_locked(
     # from the raw table, which is deleted after this stage).
     if store.read_stage_marker(segment_id, "postings") is None:
         _widen_input_splits(spark, raw_path, sp)
-        postings_raw = spark.read.parquet(raw_path).select(
-            "field", "term", "docid", "weight", "len_q", "positions"
-        )
+        keep_cols = ["field", "term", "docid", "weight", "len_q", "positions"]
+        if any(f.chars for f in config.fields):
+            keep_cols.append("chars")
+        postings_raw = spark.read.parquet(raw_path).select(*keep_cols)
         sorted_postings = postings_raw.repartitionByRange(
             sp, "field", "term", "docid"
         ).sortWithinPartitions("field", "term", "docid")

@@ -144,6 +144,25 @@ FROM scored WHERE term = '{term}'
 ORDER BY score + 1.0 DESC, doc_id ASC LIMIT {k}"""
 
 
+def correct_query_terms(words: list[str], maxdist: int = 2) -> str:
+    """Whole-query correction recompute (searching.py:861-975 +
+    spelling.ReaderCorrector): a word present in the lexicon stays; a
+    missing word becomes the collection-frequency-ranked (then term-asc)
+    nearest term within ``maxdist`` edits, or stays if none exists."""
+    vals = ", ".join(f"('{w}')" for w in words)
+    return f"""{_with(TOKS_CTE)},
+freqs AS (SELECT term, count(*)::DOUBLE AS f FROM toks GROUP BY term),
+words(w) AS (VALUES {vals})
+SELECT w AS word,
+       CASE WHEN EXISTS (SELECT 1 FROM freqs WHERE term = w.w) THEN w.w
+            ELSE coalesce(
+              (SELECT term FROM freqs
+               WHERE term <> w.w AND levenshtein(term, w.w) <= {maxdist}
+               ORDER BY f DESC, term ASC LIMIT 1),
+              w.w) END AS corrected
+FROM words w ORDER BY word"""
+
+
 def more_like_topk(docnum: int, numterms: int = 5, k: int = 10) -> str:
     """Full more_like recompute (searching.py:559-613): Bo1 key terms of
     the source doc's term vector (normalize=False -> weights are

@@ -36,6 +36,11 @@ class FieldConfig:
     # min/max pruning makes that machinery unnecessary, SURVEY §2.9) and
     # range/equality queries compile to pushed-down column predicates.
     type: str = "text"
+    # whoosh ``chars=True`` (Characters format, formats.py:273-345): store
+    # per-occurrence character offsets alongside positions — postings rows
+    # gain a ``chars array<struct<pos,start,end>>`` column consumed by
+    # pinpoint (non-retokenizing) highlighting.  Implies positions.
+    chars: bool = False
     # whoosh ``vector=True`` (fields.py FieldType.vector, consumed by
     # Results.key_terms/Searcher.more_like): ALSO write a forward index —
     # a (docid, field, term, weight) table range-sorted by docid, so a
