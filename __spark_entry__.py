@@ -72,6 +72,53 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(_INDEXES[key])
 
 
+_BOOSTED_CONFIG = IndexConfig(
+    id_col="doc_id",
+    fields=(
+        FieldConfig("text", analyzer="delimited_boost", boosts=True, positions=True),
+    ),
+)
+_BOOSTED_INDEXES: dict[str, Index] = {}
+
+
+def _boosted_index_for(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index over boost-marked-up text (PositionBoosts surface): every
+    whitespace token t becomes t^(1+length(t)%3), a derivation the DuckDB
+    oracle reproduces exactly (oracle_sql.boosted_term_topk)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _BOOSTED_INDEXES:
+        ship_package(spark)
+        safe = key.strip("/").replace("/", "_")
+        path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_bix1_{safe}"
+        )
+        store = SegmentStore(path)
+        if store.current_generation() == 0:
+            toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+            btext = F.array_join(
+                F.transform(
+                    toks,
+                    lambda t: F.concat(
+                        t, F.lit("^"), (F.length(t) % 3 + 1).cast("string")
+                    ),
+                ),
+                " ",
+            )
+            docs = (
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+                .select("doc_id", btext.alias("text"))
+            )
+            build_segment(spark, docs, _BOOSTED_CONFIG, store)
+        _BOOSTED_INDEXES[key] = Index(spark, store, _BOOSTED_CONFIG)
+    return Searcher(_BOOSTED_INDEXES[key])
+
+
+def q_boosted_term(spark, sf_dir):
+    """Term query whose BM25 weight is the summed per-token boost
+    (PositionBoosts, formats.py:345-411)."""
+    return _topk(_boosted_index_for(spark, sf_dir), _T("data"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -599,6 +646,20 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, list(qv), k=10, n_planes=4, probe_hamming=2)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN with the seed-pinned coarse quantizer; the
+    oracle re-runs the whole algorithm in DuckDB from the same centroid
+    literals (assignment -> nprobe lists -> exact cosine).  The TRAINED
+    quantizer path (spherical k-means) is pytest-gated instead
+    (tests/test_ivf.py: determinism + recall)."""
+    from whoosh_novo_spark.operators.similarity import ivf_ann_topk, random_centroids
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cents = random_centroids(len(qv), n_centroids=8, seed=42)
+    return ivf_ann_topk(emb, list(qv), cents, k=10, nprobe=2)
+
+
 def q_phrase(spark, sf_dir):
     """Rows-only check: positional phrase query (span kernel)."""
     s = _index_for(spark, sf_dir)
@@ -626,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_query_topk": q_date_query,
         "more_like_topk": q_more_like,
         "correct_query_terms": q_correct_query,
+        "boosted_term_topk": q_boosted_term,
         "biword_topk": q_biword,
         "variations_topk": q_variations,
         "term_stats": q_term_stats,
@@ -657,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
     }
 
 
@@ -709,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "correct_query_terms": osql.correct_query_terms(
             ["spqrk", "dtaa", "query"], 2
         ),
+        "boosted_term_topk": osql.boosted_term_topk("data"),
         "biword_topk": osql.biword_topk("table-hash"),
         # variant set pinned as a LITERAL (generator-independent oracle):
         # tests/test_variations.py::test_driver_variant_set_pinned asserts
@@ -743,4 +807,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_lsh": osql.embedding_near_dup_planted_sql(0.9, 40),
         "simhash": osql.simhash_sigs(100),
         "ann_lsh_topk": osql.lsh_ann_topk_sql(0, 10, 4, 42, 2, 64),
+        "ann_ivf_topk": osql.ivf_ann_topk_sql(0, 10, 8, 2, 42, 64),
     }

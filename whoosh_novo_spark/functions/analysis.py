@@ -58,6 +58,10 @@ class TokenBatch:
     n_rows: int
     start: np.ndarray | None = None  # int64 char offsets (chars=True only)
     end: np.ndarray | None = None
+    # per-token boost (the PositionBoosts/CharacterBoosts payload,
+    # formats.py:345-411) — set by boost-producing analyzers such as
+    # "delimited_boost"; None means all-1.0
+    boost: np.ndarray | None = None
 
     def doc_lengths(self) -> np.ndarray:
         """Post-filter token count per batch row (the scorable field length,
@@ -589,11 +593,105 @@ def stemming_analyze_batch_chars(texts: pd.Series) -> TokenBatch:
     return standard_analyze_batch_chars(texts, stem=True)
 
 
+# --- per-token boosts (PositionBoosts/CharacterBoosts payloads) ----------
+#
+# Reference chain from the DelimitedAttributeFilter docstring
+# (filters.py:504-578): ``RegexTokenizer(r"\S+") | DelimitedAttributeFilter()``
+# plus LowercaseFilter — "render^2" becomes token "render" with boost 2.0.
+# Split is at the FIRST delimiter (text.find); a chars-carrying token's
+# endchar shrinks by the chopped suffix length (filters.py:571-573).
+#
+# Deviation from the reference: an unparseable boost suffix ("x^y") falls
+# back to the default 1.0 and KEEPS the full token text, where the
+# reference raises ValueError mid-ingest — a single malformed token must
+# not kill a 100 TB indexing job.
+
+BOOST_TOKEN_PATTERN = re.compile(r"\S+", re.UNICODE)
+
+
+def _split_boosts(flat: np.ndarray, delimiter: str, default: float):
+    """(terms_lowered, boosts, trimmed_suffix_len) for a flat token array."""
+    s = pd.Series(flat, dtype=object)
+    dpos = s.str.find(delimiter).to_numpy()
+    has = dpos > -1
+    boosts = np.full(len(flat), default, dtype=np.float64)
+    text = s.copy()
+    trimmed = np.zeros(len(flat), dtype=np.int64)
+    if has.any():
+        idx = np.nonzero(has)[0]
+        suffix = pd.Series(
+            [flat[i][dpos[i] + 1 :] for i in idx], dtype=object
+        )
+        parsed = pd.to_numeric(suffix, errors="coerce").to_numpy(dtype=np.float64)
+        ok = ~np.isnan(parsed)
+        okidx = idx[ok]
+        boosts[okidx] = parsed[ok]
+        for i in okidx:
+            trimmed[i] = len(flat[i]) - dpos[i]
+        text.iloc[okidx] = [flat[i][: dpos[i]] for i in okidx]
+    return text.str.lower().to_numpy(), boosts, trimmed
+
+
+def delimited_boost_analyze_batch(
+    texts: pd.Series, delimiter: str = "^", default: float = 1.0
+) -> TokenBatch:
+    """``RegexTokenizer(r"\\S+") | DelimitedAttributeFilter() |
+    LowercaseFilter`` over a batch — positions are match ordinals (no stop
+    filter, so no renumbering)."""
+    tok_lists = texts.fillna("").str.findall(BOOST_TOKEN_PATTERN)
+    counts = tok_lists.str.len().to_numpy(dtype=np.int64)
+    n = len(texts)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if counts.sum() == 0:
+        e = np.array([], dtype=np.int64)
+        return TokenBatch(row_idx, np.array([], dtype=object), e, n, boost=np.array([]))
+    flat = np.concatenate([np.asarray(lst, dtype=object) for lst in tok_lists])
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    ordinal = np.arange(len(flat), dtype=np.int64) - starts
+    term, boosts, _ = _split_boosts(flat, delimiter, default)
+    return TokenBatch(row_idx, term, ordinal, n, boost=boosts)
+
+
+def delimited_boost_analyze_batch_chars(
+    texts: pd.Series, delimiter: str = "^", default: float = 1.0
+) -> TokenBatch:
+    """delimited_boost + char spans (the CharacterBoosts payload,
+    formats.py:411-470): endchar excludes the delimiter+boost suffix."""
+    rows: list[int] = []
+    toks: list[str] = []
+    st: list[int] = []
+    en: list[int] = []
+    for i, txt in enumerate(texts.fillna("")):
+        for m in BOOST_TOKEN_PATTERN.finditer(txt):
+            rows.append(i)
+            toks.append(m.group(0))
+            st.append(m.start())
+            en.append(m.end())
+    n_tok = len(rows)
+    row_idx = np.asarray(rows, dtype=np.int64)
+    flat = np.asarray(toks, dtype=object)
+    starts = np.asarray(st, dtype=np.int64)
+    ends = np.asarray(en, dtype=np.int64)
+    if n_tok == 0:
+        e = np.array([], dtype=np.int64)
+        return TokenBatch(row_idx, flat, e, len(texts), e, e, np.array([]))
+    first = np.empty(n_tok, dtype=bool)
+    first[0] = True
+    np.not_equal(row_idx[1:], row_idx[:-1], out=first[1:])
+    group_start = np.maximum.accumulate(np.where(first, np.arange(n_tok), 0))
+    ordinal = np.arange(n_tok, dtype=np.int64) - group_start
+    term, boosts, trimmed = _split_boosts(flat, delimiter, default)
+    return TokenBatch(
+        row_idx, term, ordinal, len(texts), starts, ends - trimmed, boosts
+    )
+
+
 # analyzers able to emit the Characters payload (chars=True fields)
 CHAR_ANALYZERS = {
     "standard": standard_analyze_batch_chars,
     "simple": simple_analyze_batch_chars,
     "stemming": stemming_analyze_batch_chars,
+    "delimited_boost": delimited_boost_analyze_batch_chars,
 }
 
 
@@ -607,6 +705,7 @@ ANALYZERS = {
     "folding": folding_analyze_batch,
     "fancy": fancy_analyze_batch,
     "biword_standard": biword_standard_analyze_batch,
+    "delimited_boost": delimited_boost_analyze_batch,
 }
 
 

@@ -52,12 +52,16 @@ POSTINGS_SCHEMA = (
     "positions array<int>"
 )
 CHARS_COL = "chars array<struct<pos:int,start:int,end:int>>"
+BOOSTS_COL = "boosts array<double>"
 
 
 def _postings_schema(config: IndexConfig) -> str:
+    schema = POSTINGS_SCHEMA
     if any(f.chars for f in config.fields):
-        return POSTINGS_SCHEMA + ", " + CHARS_COL
-    return POSTINGS_SCHEMA
+        schema += ", " + CHARS_COL
+    if any(f.boosts for f in config.fields):
+        schema += ", " + BOOSTS_COL
+    return schema
 
 
 # ---------------------------------------------------------------- stage 1
@@ -191,6 +195,7 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
     stay native docmap columns queried by pushed-down predicates."""
     fields = tuple(f for f in config.fields if f.type == "text")
     any_chars = any(f.chars for f in fields)
+    any_boosts = any(f.boosts for f in fields)
 
     from whoosh_novo_spark.functions.analysis import AGGREGATE_ANALYZERS, CHAR_ANALYZERS
 
@@ -209,7 +214,7 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                 # tf-aggregated fast path (no per-occurrence token stream)
                 # for analyzers that provide it, when positions aren't kept
                 if fc.analyzer in AGGREGATE_ANALYZERS and not (
-                    (want_positions and fc.positions) or fc.chars
+                    (want_positions and fc.positions) or fc.chars or fc.boosts
                 ):
                     aggdf, lens = AGGREGATE_ANALYZERS[fc.analyzer](pdf[fc.name])
                     if len(aggdf) == 0:
@@ -233,6 +238,8 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                     )
                     if any_chars:
                         fast["chars"] = None
+                    if any_boosts:
+                        fast["boosts"] = None
                     outs.append(fast)
                     continue
                 fn = CHAR_ANALYZERS[fc.analyzer] if fc.chars else ANALYZERS[fc.analyzer]
@@ -250,11 +257,25 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                         for p, s, e in zip(tb.pos, tb.start, tb.end)
                     ]
                     aggs["chars"] = ("chr", list)
+                if fc.boosts:
+                    # PositionBoosts payload (formats.py:345-411): weight
+                    # becomes sum(boost)*fb; the per-occurrence boost list
+                    # rides aligned with positions when positions are kept
+                    tdf["bst"] = (
+                        tb.boost
+                        if tb.boost is not None
+                        else np.ones(len(tb.term), dtype=np.float64)
+                    )
+                    aggs["wsum"] = ("bst", "sum")
+                    if (want_positions and fc.positions) or fc.chars:
+                        aggs["boosts"] = ("bst", list)
                 agg = tdf.groupby(["row", "term"], sort=False).agg(**aggs)
                 if "positions" not in agg.columns:
                     agg["positions"] = None
                 if any_chars and "chars" not in agg.columns:
                     agg["chars"] = None
+                if any_boosts and "boosts" not in agg.columns:
+                    agg["boosts"] = None
                 agg = agg.reset_index()
                 lens = tb.doc_lengths()  # true post-filter length per row
                 len_q = quantized_length_np(np.maximum(lens, 0))
@@ -264,8 +285,15 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                         "field": fc.name,
                         "term": agg["term"],
                         "docid": docids[rows],
-                        # weight = tf * field boost (formats.py:190-203)
-                        "weight": agg["tf"].to_numpy(dtype=np.float64) * fc.boost,
+                        # weight = tf * field boost (formats.py:190-203);
+                        # boosted fields: sum(token boost) * field boost
+                        # (PositionBoosts.word_values, formats.py:356-366)
+                        "weight": (
+                            agg["wsum"].to_numpy(dtype=np.float64)
+                            if fc.boosts
+                            else agg["tf"].to_numpy(dtype=np.float64)
+                        )
+                        * fc.boost,
                         "tf": agg["tf"].to_numpy(dtype=np.int32),
                         "len_q": len_q[rows].astype(np.int32),
                         "positions": agg["positions"],
@@ -278,6 +306,8 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                 )
                 if any_chars:
                     out["chars"] = agg["chars"].to_numpy()
+                if any_boosts:
+                    out["boosts"] = agg["boosts"].to_numpy()
                 outs.append(out)
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -534,6 +564,8 @@ def _build_segment_locked(
         keep_cols = ["field", "term", "docid", "weight", "len_q", "positions"]
         if any(f.chars for f in config.fields):
             keep_cols.append("chars")
+        if any(f.boosts for f in config.fields):
+            keep_cols.append("boosts")
         postings_raw = spark.read.parquet(raw_path).select(*keep_cols)
         sorted_postings = postings_raw.repartitionByRange(
             sp, "field", "term", "docid"

@@ -139,18 +139,21 @@ class Index:
             return {}
         fields = sorted({f for f, _ in pairs})
         texts = sorted({t for _, t in pairs})
-        rows = (
-            self.terms()
-            .where(F.col("field").isin(fields) & F.col("term").isin(texts))
-            .groupBy("field", "term")
-            .agg(
+        t = self.terms().where(
+            F.col("field").isin(fields) & F.col("term").isin(texts)
+        )
+        if len(self.manifest.segments) > 1:
+            # cross-segment stats fold; a single segment's terms table is
+            # already unique per (field, term) — skip the shuffle
+            t = t.groupBy("field", "term").agg(
                 F.sum("df").alias("df"),
                 F.sum("cf").alias("cf"),
                 F.max("max_weight").alias("max_weight"),
                 F.min("min_len_q").alias("min_len_q"),
             )
-            .collect()
-        )
+        rows = t.select(
+            "field", "term", "df", "cf", "max_weight", "min_len_q"
+        ).collect()
         out = {}
         for r in rows:
             if (r["field"], r["term"]) in set(pairs):
@@ -166,18 +169,17 @@ class Index:
         joins this to the postings scan (terms.py:182-201's simplify ->
         Or-of-Terms, expressed as a relational join instead of an AST
         rewrite)."""
-        t = (
-            self.terms()
-            .where(_multiterm_cond(q))
-            .groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.max("max_weight").alias("max_weight"),
-                F.min("min_len_q").alias("min_len_q"),
-            )
+        t = self.terms().where(_multiterm_cond(q))
+        if len(self.manifest.segments) == 1:
+            # terms are unique per (field, term) within a segment: the
+            # cross-segment fold (and its Exchange) is dead weight
+            return t.select("term", "df", "cf", "max_weight", "min_len_q")
+        return t.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_weight").alias("max_weight"),
+            F.min("min_len_q").alias("min_len_q"),
         )
-        return t
 
     def expand_terms(self, q: ast.Query, max_clauses: int | None = 1024) -> list[tuple[str, TermStats]]:
         """Driver-side expansion (only for weighting models that can't
@@ -211,6 +213,7 @@ class Searcher:
         B: float = B_DEFAULT,
         K1: float = K1_DEFAULT,
         weighting=None,
+        stats_mode: str = "cached",
     ):
         from whoosh_novo_spark.plans.weighting import BM25F
 
@@ -219,6 +222,24 @@ class Searcher:
         self.K1 = K1
         self.model = weighting if weighting is not None else BM25F(B, K1)
         self._stats_cache: dict[tuple[str, str], TermStats | None] = {}
+        # How Term/flat-compound plans obtain idf stats (measured decision,
+        # BENCH/ab_r1_vs_r3*.json):
+        # - "cached" (default): one bounded driver lookup per COLD term
+        #   (<= query's term count rows; the term-dictionary seek every
+        #   engine does — whoosh's Searcher idf cache, searching.py:332-348),
+        #   then literal idf factors in-plan.  Warm queries add ZERO plan
+        #   weight; under AQE the joined alternative serializes an extra
+        #   broadcast query-stage into EVERY query (+0.1-0.2 s at local
+        #   scale, and a latency floor at cluster scale).
+        # - "joined": idf from a broadcast terms-table join inside the ONE
+        #   query job — no driver round-trip; best for one-shot cold
+        #   queries in batch pipelines.
+        # Unbounded multiterm expansions (Prefix/Fuzzy/...) ALWAYS use the
+        # distributed join regardless of mode: collecting an expansion is
+        # a scale hazard, a <=len(terms) stats lookup is not.
+        if stats_mode not in ("cached", "joined"):
+            raise ValueError(f"stats_mode must be 'cached' or 'joined': {stats_mode!r}")
+        self.stats_mode = stats_mode
 
     def _cached_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], TermStats]:
         """Per-searcher cache of term stats (idf cache analogue,
@@ -322,26 +343,36 @@ class Searcher:
 
     def _term_stats_agg(self, fieldname: str, texts: list[str]) -> DataFrame:
         """Cross-segment (term, df, cf) aggregate for a tiny term set —
-        the broadcast side of the joined-stats plans."""
-        return (
-            self.index.terms()
-            .where((F.col("field") == fieldname) & F.col("term").isin(texts))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        the broadcast side of the joined-stats plans.  A single-segment
+        index skips the fold: its terms table is already unique per
+        (field, term), so the groupBy's Exchange would add a stage to
+        EVERY query for nothing (measured +0.1-0.2 s/query at local
+        scale, BENCH/ab_r1_vs_r3.json)."""
+        t = self.index.terms().where(
+            (F.col("field") == fieldname) & F.col("term").isin(texts)
+        )
+        if len(self.index.manifest.segments) == 1:
+            return t.select("term", "df", "cf")
+        return t.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
         )
 
     def score_df(self, q: ast.Query) -> DataFrame:
         """Full scored match set (docid, score) for a normalized query."""
         if isinstance(q, ast.NullQuery):
             return self.index.spark.createDataFrame([], "docid long, score double")
-        # Prefetch driver-side stats only for leaves whose field/model
-        # combination can't use the joined-stats plan (Phrase fetches its
-        # own; everything else joins stats in-plan when the model allows)
+        # Prefetch driver-side stats in ONE bounded lookup for every text
+        # term leaf (cached mode; warm terms are free), or only for leaves
+        # whose field/model combination can't use the joined-stats plan
+        # (joined mode; Phrase fetches its own)
         pairs = [
             (t.fieldname, t.text)
             for t in ast.term_leaves(q)
             if self._is_text_field(t.fieldname)
-            and not self._supports_joined_stats(t.fieldname)
+            and (
+                self.stats_mode != "joined"
+                or not self._supports_joined_stats(t.fieldname)
+            )
         ]
         stats = self._cached_stats(pairs) if pairs else {}
         return self._compile(q, stats)
@@ -362,7 +393,7 @@ class Searcher:
 
         def ids_of(x) -> DataFrame:
             if isinstance(x, ast.Query):
-                return self.score_df(x.normalize()).select("docid")
+                return self._compile_ids(x.normalize())
             return x.select("docid")
 
         if allow is not None:
@@ -484,6 +515,38 @@ class Searcher:
         )
 
     # --- compiler ------------------------------------------------------
+    def _compile_ids(self, q: ast.Query, stats=None) -> DataFrame:
+        """Docid-only compilation for membership probes (AndNot/Require's
+        b side, Not's child, filter sets): a semi/anti join never reads the
+        probe's scores, so the idf stats join would be dead plan weight —
+        this emits the bare pruned postings scan.  Duplicate docids are
+        fine (semi/anti joins are set-semantics); tombstone filtering is
+        skipped because the scored side is already tombstone-filtered, so
+        deleted ids on the probe side can never match."""
+        if isinstance(q, ast.Term) and self._is_text_field(q.fieldname):
+            return (
+                self.index.postings(apply_deletes=False)
+                .where((F.col("field") == q.fieldname) & (F.col("term") == q.text))
+                .select("docid")
+            )
+        if (
+            isinstance(q, ast.Or)
+            and not (q.minmatch and q.minmatch > 1)
+            and all(
+                isinstance(c, ast.Term) and self._is_text_field(c.fieldname)
+                for c in q.children
+            )
+            and len({c.fieldname for c in q.children}) == 1
+        ):
+            fieldname = q.children[0].fieldname
+            texts = sorted({c.text for c in q.children})
+            return (
+                self.index.postings(apply_deletes=False)
+                .where((F.col("field") == fieldname) & F.col("term").isin(texts))
+                .select("docid")
+            )
+        return self._compile(q, stats or {}).select("docid")
+
     def _compile(self, q: ast.Query, stats) -> DataFrame:
         spark = self.index.spark
         empty = spark.createDataFrame([], "docid long, score double")
@@ -508,7 +571,7 @@ class Searcher:
             if not self.index.config.field(q.fieldname).scorable:
                 # WeightScorer: raw weight, no stats job at all
                 return boost(p.select("docid", F.col("weight").alias("score")), q.boost)
-            if self._supports_joined_stats(q.fieldname):
+            if self.stats_mode == "joined" and self._supports_joined_stats(q.fieldname):
                 # single-job plan: idf from a 1-row broadcast join, no
                 # driver stats lookup (searching.py's idf cache subsumed)
                 tagg = self._term_stats_agg(q.fieldname, [q.text])
@@ -586,9 +649,7 @@ class Searcher:
                     "docid", F.lit(0.0).alias("score")
                 )
             for n in nots:
-                base = base.join(
-                    self._compile(n.child, stats).select("docid"), "docid", "left_anti"
-                )
+                base = base.join(self._compile_ids(n.child, stats), "docid", "left_anti")
             offset = float(sum(n.boost for n in nots))
             base = base.withColumn("score", F.col("score") + F.lit(offset))
             return boost(base, q.boost)
@@ -663,7 +724,7 @@ class Searcher:
 
         if isinstance(q, ast.AndNot):
             a = self._compile(q.a, stats)
-            b = self._compile(q.b, stats).select("docid")
+            b = self._compile_ids(q.b, stats)
             return boost(a.join(b, "docid", "left_anti"), q.boost)
 
         if isinstance(q, ast.AndMaybe):
@@ -680,13 +741,13 @@ class Searcher:
 
         if isinstance(q, ast.Require):
             a = self._compile(q.a, stats)
-            b = self._compile(q.b, stats).select("docid")
+            b = self._compile_ids(q.b, stats)
             return boost(a.join(b, "docid", "left_semi"), q.boost)
 
         if isinstance(q, ast.Not):
             # standalone Not: complement of the child, scored by the
             # InverseMatcher's boost (wrappers.py:76-145)
-            child = self._compile(q.child, stats).select("docid")
+            child = self._compile_ids(q.child, stats)
             alldocs = self.index.live_docids()
             return alldocs.join(child, "docid", "left_anti").select(
                 "docid", F.lit(float(q.boost)).alias("score")
@@ -816,7 +877,9 @@ class Searcher:
         fieldname = next(iter(fields))
         scorable = self.index.config.field(fieldname).scorable
 
-        if not scorable or self._supports_joined_stats(fieldname):
+        if not scorable or (
+            self.stats_mode == "joined" and self._supports_joined_stats(fieldname)
+        ):
             # single-job plan: no driver stats lookup.  Membership/absence
             # falls out of the scan itself (an absent term matches nothing,
             # so an And's count == n_children filter rejects every doc).

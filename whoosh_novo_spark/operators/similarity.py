@@ -205,3 +205,115 @@ def embedding_near_dup_pairs(
         .select("a", "b", "cos")
         .distinct()
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+#
+# The FAISS-style coarse-quantizer design: vectors are assigned to their
+# nearest centroid (one "inverted list" per centroid); a query probes only
+# the nprobe nearest lists and ranks candidates by exact cosine.  At 100 TB
+# the assignment runs once at ingest (write the table partitioned by cid so
+# each probe is a partition-pruned scan); training is a bounded-sample
+# driver-side job — O(sample x k x iters) numpy on <=~10k rows, metadata
+# scale, never data scale.
+
+
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def random_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
+    """Seed-only coarse quantizer (unit rows) — a data-independent Voronoi
+    partition.  Used by the driver contract row so the DuckDB oracle can
+    recompute the ENTIRE algorithm from pinned literals (the same standard
+    as the LSH plane literals); real deployments train with
+    train_ivf_centroids instead."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed + 1]))
+    return _unit_rows(rng.standard_normal((n_centroids, dim)))
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means over a bounded sample: the sample is
+    the first ``sample`` rows by id (partitioning-invariant), init is
+    evenly spaced sample rows, each iteration assigns by max dot against
+    unit centroids and re-normalizes the member mean.  Returns unit-row
+    centroids (n_centroids x dim)."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample))
+        .collect()
+    )
+    X = _unit_rows(np.asarray([list(r[1]) for r in rows], dtype=np.float64))
+    k = min(n_centroids, len(X))
+    C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        a = np.argmax(np.round(X @ C.T, 9), axis=1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _unit_rows(C)
+    return C
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add the nearest-centroid id as ``cid`` (Arrow-batched numpy matmul;
+    ties break to the lowest cid, dots rounded to 9 decimals so the DuckDB
+    recomputation agrees bit-for-bit).  At ingest scale, write the result
+    partitioned by cid — probes then prune to nprobe partitions."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+
+    def assign(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        sims = np.round(X @ C.T, 9)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    assign_udf = pandas_udf(assign, "int")
+    return embeddings.withColumn("cid", assign_udf(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` centroids nearest the query
+    and rank only their members by exact cosine.  Pass ``assigned`` (a
+    materialized ivf_assign output, ideally partitioned by cid) to skip
+    re-assignment — the 100 TB path; otherwise assignment happens inline."""
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    sims = np.round((q / qn) @ C.T, 9)
+    # nprobe nearest lists, ties to the lowest cid
+    probe = sorted(
+        sorted(range(len(C)), key=lambda j: (-sims[j], j))[: int(nprobe)]
+    )
+    a = assigned if assigned is not None else ivf_assign(embeddings, C, id_col, vec_col)
+    cand = a.where(F.col("cid").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -144,6 +144,52 @@ FROM scored WHERE term = '{term}'
 ORDER BY score + 1.0 DESC, doc_id ASC LIMIT {k}"""
 
 
+def boosted_term_topk(term: str, k: int = 10) -> str:
+    """PositionBoosts weight recompute (formats.py:345-411 +
+    DelimitedAttributeFilter, filters.py:504-578): the driver marks up
+    every whitespace token t of ``documents.text`` as t^(1+length(t)%3)
+    before indexing with analyzer="delimited_boost", so posting weight =
+    sum(parsed per-token boosts) instead of tf.  BM25 over quantized
+    lengths is re-derived as usual; dl counts all tokens (the
+    delimited-boost chain has no stop filter)."""
+    flq = quantized_len_sql("doclens.dl", "duckdb")
+    return f"""WITH toks AS (
+  SELECT doc_id, t AS term, (1 + length(t) % 3)::DOUBLE AS boost
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+postings AS (
+  SELECT doc_id, term, sum(boost)::DOUBLE AS w
+  FROM toks GROUP BY doc_id, term
+),
+doclens AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS dc,
+         (SELECT coalesce(sum(dl), 0) FROM doclens)::DOUBLE AS total_len
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         (ln(c.dc / (df.df + 1)) + 1)
+         * (p.w * ({K1} + 1))
+         / (p.w + {K1} * ((1 - {B}) + {B} * {flq}
+              / (CASE WHEN c.total_len = 0 THEN 1
+                      WHEN c.total_len / c.dc = 0 THEN 1
+                      ELSE c.total_len / c.dc END))) AS score
+  FROM postings p
+  JOIN df USING (term)
+  JOIN doclens ON p.doc_id = doclens.doc_id
+  CROSS JOIN consts c
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = '{term}'
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def correct_query_terms(words: list[str], maxdist: int = 2) -> str:
     """Whole-query correction recompute (searching.py:861-975 +
     spelling.ReaderCorrector): a word present in the lexicon stays; a
@@ -673,3 +719,55 @@ SELECT doc_id, source, round(score, 4) AS score FROM (
   WHERE s.term = '{term}'
 ) WHERE rn <= {per}
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def ivf_ann_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Independent DuckDB recomputation of the ENTIRE IVF ANN algorithm
+    (mirrors operators/similarity.ivf_ann_topk with the seed-pinned
+    random_centroids coarse quantizer): centroid literals -> per-vector
+    argmax-dot assignment (dots rounded to 9 decimals, ties to lowest cid)
+    -> nprobe nearest lists for the query -> exact cosine ranking of the
+    candidates."""
+    from whoosh_novo_spark.operators.similarity import random_centroids
+
+    C = random_centroids(dim, n_centroids, seed)
+    lit = lambda p: "[" + ",".join(repr(float(x)) for x in p) + "]"
+    cvals = ", ".join(f"({j}, {lit(c)}::DOUBLE[])" for j, c in enumerate(C))
+    return f"""
+WITH cent(cid, cv) AS (VALUES {cvals}),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+           x -> x / (CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[])) = 0
+                     THEN 1 ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[])) END)
+         ) AS nv
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_dot_product(nv, cv), 9) DESC, cid ASC
+         ) AS rnk
+  FROM e CROSS JOIN cent
+),
+a AS (SELECT vec_id, v, cid FROM assigned WHERE rnk = 1),
+q AS (SELECT nv AS qnv, v AS qv FROM e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY round(list_dot_product(q.qnv, cv), 9) DESC, cid ASC
+  LIMIT {nprobe}
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+FROM a JOIN probe USING (cid), q
+ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC
+LIMIT {k}"""

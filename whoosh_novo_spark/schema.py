@@ -41,6 +41,14 @@ class FieldConfig:
     # gain a ``chars array<struct<pos,start,end>>`` column consumed by
     # pinpoint (non-retokenizing) highlighting.  Implies positions.
     chars: bool = False
+    # whoosh PositionBoosts/CharacterBoosts (formats.py:345-470): posting
+    # weight becomes sum(per-token boost) * field boost instead of
+    # tf * field boost, and (when positions are kept) a ``boosts
+    # array<double>`` column aligned with ``positions`` is stored.  Pair
+    # with analyzer="delimited_boost" for the "word^2.5" markup syntax
+    # (DelimitedAttributeFilter, filters.py:504-578); other analyzers
+    # emit all-1.0 boosts, degenerating to the Positions format.
+    boosts: bool = False
     # whoosh ``vector=True`` (fields.py FieldType.vector, consumed by
     # Results.key_terms/Searcher.more_like): ALSO write a forward index —
     # a (docid, field, term, weight) table range-sorted by docid, so a
