@@ -40,7 +40,8 @@ class FilterCollector(Collector):
 
     def _ids(self, searcher, x) -> DataFrame:
         if isinstance(x, ast.Query):
-            return searcher.score_df(x.normalize()).select("docid")
+            # membership probe: docid-only plan, no stats join
+            return searcher._compile_ids(x.normalize())
         return x.select("docid")
 
     def apply(self, searcher, q, df):
@@ -134,3 +135,82 @@ def collect(
     else:
         out = df.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(limit) if limit is not None else out
+
+
+# --- time-limited search ----------------------------------------------------
+
+class TimeLimit(Exception):
+    """collectors.py:1002-1010: the search exceeded its time budget.
+    ``partial`` holds the rows that had already reached the driver —
+    the reference keeps partials on the collector (``tlc.results()``
+    after catching TimeLimit); here they ride on the exception."""
+
+    def __init__(self, partial: list):
+        super().__init__(f"time limit exceeded ({len(partial)} partial rows)")
+        self.partial = partial
+
+
+def collect_with_time_limit(spark, df: DataFrame, timelimit: float) -> list:
+    """TimeLimitCollector (collectors.py:1012-1072) for Spark's execution
+    model: the action streams result partitions to the driver inside a
+    dedicated job group; a timer cancels the group (with task interrupt)
+    when the budget expires.  Rows that arrived before the cancel become
+    ``TimeLimit.partial`` — the analogue of the reference's partial
+    results.  (The reference's ``greedy`` flag means "finish the current
+    hit"; cancellation here is per-task, so the granularity is the result
+    batch rather than the single hit.)"""
+    import threading
+    import time as _time
+
+    sc = spark.sparkContext
+    group = f"wns-timelimit-{_time.monotonic_ns()}"
+    done = threading.Event()
+    expired = threading.Event()
+
+    def reaper():
+        if not done.wait(timelimit):
+            expired.set()
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:
+                pass
+
+    rows: list = []
+    sc.setJobGroup(group, f"time-limited search ({timelimit}s)", interruptOnCancel=True)
+    t = threading.Thread(target=reaper, daemon=True)
+    t.start()
+    try:
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            rows.append(row)
+    except Exception:
+        if expired.is_set():
+            raise TimeLimit(rows) from None
+        raise
+    finally:
+        done.set()
+        try:
+            sc.setJobGroup(None, None)
+        except Exception:
+            pass
+    if expired.is_set():
+        # budget expired right at the end of the stream: the reference
+        # raises whenever the timer fired before collection finished
+        raise TimeLimit(rows)
+    return rows
+
+
+def search_with_time_limit(
+    searcher,
+    q: ast.Query,
+    timelimit: float,
+    limit: int | None = 10,
+    collectors: list | None = None,
+    sortedby=None,
+    docs: DataFrame | None = None,
+) -> list:
+    """``TimeLimitCollector(child, timelimit)`` over the normal collector
+    chain: returns the collected rows, or raises :class:`TimeLimit`
+    carrying partials."""
+    df = collect(searcher, q, collectors=collectors, limit=limit,
+                 sortedby=sortedby, docs=docs)
+    return collect_with_time_limit(searcher.index.spark, df, timelimit)

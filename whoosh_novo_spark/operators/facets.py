@@ -107,6 +107,32 @@ class FunctionFacet:
         return [F.desc(k) if self.reverse else F.asc(k)]
 
 
+class TranslateFacet:
+    """sorting.py:626-683: wrap another facet and transform its key with a
+    function before grouping/sorting — e.g. a collation key for
+    language-aware ordering.  ``fn`` is vectorized: Column -> Column
+    (use ``F.udf``-wrapped callables only when no builtin expression
+    exists)."""
+
+    def __init__(self, fn, facet, reverse: bool | None = None):
+        self.fn = fn
+        self.facet = facet
+        self.reverse = facet.reverse if reverse is None else reverse
+
+    @property
+    def needs_docs(self) -> bool:
+        return self.facet.needs_docs
+
+    overlap = False
+
+    def key_col(self, df: DataFrame | None = None) -> Column:
+        return self.fn(self.facet.key_col(df))
+
+    def sort_exprs(self, df: DataFrame | None = None) -> list:
+        k = self.key_col(df)
+        return [F.desc(k) if self.reverse else F.asc(k)]
+
+
 class StoredFieldFacet:
     """sorting.py:683: key(s) from a stored field; ``allow_overlap``
     splits the value (default whitespace) and a doc lands in every group
