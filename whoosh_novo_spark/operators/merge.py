@@ -220,7 +220,8 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
         F.min("docid").alias("min_docid"),
         F.max("docid").alias("max_docid"),
     )
-    terms.repartitionByRange(max(1, sp // 8), "field", "term").sortWithinPartitions(
+    # data-sized file count (AQE coalesce), matching the build-side write
+    terms.repartitionByRange("field", "term").sortWithinPartitions(
         "field", "term"
     ).write.mode("overwrite").parquet(store.table_path(new_id, "terms"))
     store.write_stage_marker(new_id, "terms", {})
