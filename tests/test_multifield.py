@@ -99,3 +99,35 @@ def test_per_field_stats(built, mf_oracle):
         for f in ("title", "body"):
             got = st.get((f, "render"))
             assert (got.df if got else 0) == ws.doc_frequency(f, "render")
+
+
+def test_per_field_B_override_parity(built, mf_oracle, whoosh_ref):
+    """BM25F(field_B=(("title", 0.2),)) == reference BM25F(title_B=0.2)
+    (scoring.py:276-296 fieldname_B kwargs): rank + score identity on
+    queries touching both the overridden and the default-B field."""
+    import whoosh.query as wq
+    from whoosh.scoring import BM25F as RefBM25F
+
+    from whoosh_novo_spark.plans.weighting import BM25F
+
+    ix, _ = built
+    s = Searcher(ix, weighting=BM25F(field_B=(("title", 0.2),)))
+    cases = [
+        (ast.Term("title", "render"), wq.Term("title", "render")),
+        (ast.Term("body", "render"), wq.Term("body", "render")),
+        (
+            ast.Or((ast.Term("title", "render"), ast.Term("body", "shade"))),
+            wq.Or([wq.Term("title", "render"), wq.Term("body", "shade")]),
+        ),
+    ]
+    with mf_oracle.searcher(weighting=RefBM25F(title_B=0.2)) as ws:
+        for ours_q, theirs_q in cases:
+            ours = [
+                (int(r["docid"]), float(r["score"]))
+                for r in s.search(ours_q, limit=10).collect()
+            ]
+            theirs = [(int(h["id"]), h.score) for h in ws.search(theirs_q, limit=10)]
+            assert [d for d, _ in ours] == [d for d, _ in theirs]
+            for (_, s1), (_, s2) in zip(ours, theirs):
+                assert s1 == pytest.approx(s2, rel=1e-9)
+            assert ours

@@ -69,6 +69,16 @@ class WeightingModel:
 class BM25F(WeightingModel):
     B: float = 0.75
     K1: float = 1.2
+    # whoosh scoring.py:276-296 accepts ``content_B=1.0``-style kwargs for
+    # per-field B; here a hashable tuple of (fieldname, B) pairs, e.g.
+    # ``BM25F(field_B=(("title", 1.0),))``.
+    field_B: tuple = ()
+
+    def field_b(self, fieldname: str) -> float:
+        for f, b in self.field_B:
+            if f == fieldname:
+                return float(b)
+        return self.B
 
     def separable(self) -> bool:
         return True
@@ -78,7 +88,7 @@ class BM25F(WeightingModel):
 
     def base_col(self, searcher, fieldname, w, flq) -> Column:
         avgfl = searcher.index.avg_field_length(fieldname)
-        B, K1 = self.B, self.K1
+        B, K1 = self.field_b(fieldname), self.K1
         denom = w + K1 * ((1 - B) + B * flq.cast("double") / F.lit(float(avgfl)))
         return (w * (K1 + 1)) / denom
 
