@@ -1,0 +1,143 @@
+"""ConstantScoreQuery / WeightingQuery / Otherwise / Sequence parity vs
+the reference engine (wrappers.py:147-214, compound.py:578-590,
+positional.py:36-132) on a single-segment index (where the reference's
+per-segment Otherwise choice coincides with our global one)."""
+
+from __future__ import annotations
+
+import pytest
+
+from whoosh_novo_spark.operators.query import Searcher
+from whoosh_novo_spark.plans import ast
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return [
+        ("000000", "alpha beta gamma delta"),
+        ("000001", "beta gamma alpha"),
+        ("000002", "gamma delta epsilon zeta"),
+        ("000003", "alpha alpha beta"),
+        ("000004", "delta epsilon"),
+        ("000005", "zeta eta theta alpha"),
+        ("000006", "beta delta gamma beta"),
+        ("000007", "epsilon gamma beta alpha delta"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def pair(spark, tmp_path_factory, oracle_cls, corpus_rows):
+    """(our Searcher, reference WhooshOracle) over the same rows."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    cfg = IndexConfig(id_col="uid", fields=(FieldConfig("text", positions=True),))
+    store = SegmentStore(str(tmp_path_factory.mktemp("wrap_ix")))
+    docs = spark.createDataFrame(corpus_rows, "uid string, text string")
+    build_segment(spark, docs, cfg, store, partitions=2)
+    ix = Index(spark, store, cfg)
+    docid_to_uid = {
+        r["docid"]: r["uid"] for r in ix.docmap(columns=["docid", "uid"]).collect()
+    }
+    return Searcher(ix), oracle_cls(corpus_rows), docid_to_uid
+
+
+def _ours(s, uid_of, q, limit=None):
+    return [
+        (uid_of[r["docid"]], round(float(r["score"]), 9))
+        for r in s.search(q, limit=limit).collect()
+    ]
+
+
+def _theirs(oracle, wq, limit=None):
+    return [(d, round(float(sc), 9)) for d, sc in oracle.query(wq, limit=limit)]
+
+
+def test_constant_score_parity(pair, whoosh_ref):
+    import whoosh.query as wq
+
+    s, oracle, uid_of = pair
+    ours = _ours(
+        s,
+        uid_of,
+        ast.ConstantScoreQuery(
+            ast.Or((ast.Term("text", "alpha"), ast.Term("text", "zeta"))), score=2.5
+        ),
+    )
+    theirs = _theirs(
+        oracle,
+        wq.ConstantScoreQuery(
+            wq.Or([wq.Term("text", "alpha"), wq.Term("text", "zeta")]), score=2.5
+        ),
+    )
+    assert sorted(ours) == sorted(theirs) and ours
+
+
+def test_weighting_query_parity(pair, whoosh_ref):
+    """The reference's WeightingQuery is a NO-OP (COVERAGE.md reference
+    bug #7: matcher() calls context.set(weighting=...) but the Term
+    matcher chain never consults it — its results equal a plain BM25
+    search).  Parity is therefore against the DOCUMENTED semantics: a
+    searcher opened with that weighting."""
+    import whoosh.query as wq
+    from whoosh.scoring import TF_IDF as RefTFIDF
+
+    from whoosh_novo_spark.plans.weighting import TF_IDF
+
+    s, oracle, uid_of = pair
+    ours = _ours(
+        s, uid_of, ast.WeightingQuery(ast.Term("text", "beta"), TF_IDF())
+    )
+    theirs = [
+        (d, round(float(sc), 9))
+        for d, sc in oracle.query(
+            wq.Term("text", "beta"), limit=None, weighting=RefTFIDF()
+        )
+    ]
+    assert sorted(ours) == sorted(theirs) and ours
+    # and the reference's actual (buggy) behavior is NOT what we match
+    noop = _theirs(oracle, wq.WeightingQuery(wq.Term("text", "beta"), RefTFIDF()))
+    plain = _theirs(oracle, wq.Term("text", "beta"))
+    assert sorted(noop) == sorted(plain)
+
+
+@pytest.mark.parametrize("first_matches", [True, False])
+def test_otherwise_parity(pair, whoosh_ref, first_matches):
+    import whoosh.query as wq
+
+    s, oracle, uid_of = pair
+    a_word = "gamma" if first_matches else "nosuchword"
+    ours = _ours(
+        s, uid_of, ast.Otherwise(ast.Term("text", a_word), ast.Term("text", "zeta"))
+    )
+    theirs = _theirs(
+        oracle, wq.Otherwise(wq.Term("text", a_word), wq.Term("text", "zeta"))
+    )
+    assert sorted(ours) == sorted(theirs) and ours
+
+
+@pytest.mark.parametrize(
+    "words,slop,ordered",
+    [
+        (("beta", "gamma"), 1, True),
+        (("gamma", "beta"), 1, True),
+        (("beta", "gamma"), 2, True),
+        (("alpha", "beta", "gamma"), 2, True),
+    ],
+)
+def test_sequence_parity(pair, whoosh_ref, words, slop, ordered):
+    import whoosh.query as wq
+
+    s, oracle, uid_of = pair
+    ours = _ours(
+        s,
+        uid_of,
+        ast.Sequence(tuple(ast.Term("text", w) for w in words), slop=slop, ordered=ordered),
+    )
+    theirs = _theirs(
+        oracle,
+        wq.Sequence([wq.Term("text", w) for w in words], slop=slop, ordered=ordered),
+    )
+    assert sorted(ours) == sorted(theirs)

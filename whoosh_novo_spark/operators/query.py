@@ -756,6 +756,54 @@ class Searcher:
         if isinstance(q, ast.Phrase):
             return boost(self._compile_phrase(q, stats), q.boost)
 
+        if isinstance(q, ast.ConstantScoreQuery):
+            # wrappers.py:147-183: ListMatcher over the child's ids with a
+            # constant weight — the child's stats join is dropped entirely
+            ids = self._compile_ids(q.child, stats).distinct()
+            return boost(
+                ids.select("docid", F.lit(float(q.score)).alias("score")), q.boost
+            )
+
+        if isinstance(q, ast.WeightingQuery):
+            # wrappers.py:184-214: score the child under a different model
+            sub = Searcher(
+                self.index,
+                weighting=q.weighting if q.weighting is not None else self.model,
+                stats_mode=self.stats_mode,
+            )
+            return boost(sub.score_df(q.child), q.boost)
+
+        if isinstance(q, ast.Otherwise):
+            # compound.py:578-590.  Deviation: the reference chooses a-vs-b
+            # PER SEGMENT (matcher is_active at segment granularity); with
+            # global docids the choice is global — identical behavior on
+            # single-segment indexes.  The probe is a bounded limit(1) job.
+            a = self._compile(q.a, stats)
+            if a.take(1):
+                return boost(a, q.boost)
+            return boost(self._compile(q.b, stats), q.boost)
+
+        if isinstance(q, ast.Sequence):
+            kids = q.subqueries
+            if not all(isinstance(c, ast.Term) for c in kids) or len(
+                {c.fieldname for c in kids}
+            ) != 1:
+                raise TypeError(
+                    "Sequence supports single-field Term children (the "
+                    "parser's sequence syntax); wrap other shapes in spans"
+                )
+            from whoosh_novo_spark.operators.spans import phrase_with_slop
+
+            ph = ast.Phrase(
+                kids[0].fieldname, tuple(c.text for c in kids), slop=q.slop
+            )
+            pstats = self._cached_stats(
+                [(kids[0].fieldname, c.text) for c in kids]
+            )
+            return boost(
+                phrase_with_slop(self, ph, pstats, ordered=q.ordered), q.boost
+            )
+
         raise TypeError(f"unsupported query node {type(q)}")
 
     def _compile_typed(self, q) -> DataFrame:

@@ -65,8 +65,10 @@ def _combine_spans(
     return bool(aspans) and i == len(pos_lists)
 
 
-def phrase_with_slop(searcher, q: ast.Phrase, stats) -> DataFrame:
-    """General phrase path (any slop, duplicate words)."""
+def phrase_with_slop(searcher, q: ast.Phrase, stats, ordered: bool = True) -> DataFrame:
+    """General phrase path (any slop, duplicate words).  ``ordered=False``
+    is the Sequence(ordered=False) relaxation (positional.py:36-122):
+    position gaps may run in either direction."""
     ix = searcher.index
     spark = ix.spark
     empty = spark.createDataFrame([], "docid long, score double")
@@ -109,7 +111,7 @@ def phrase_with_slop(searcher, q: ast.Phrase, stats) -> DataFrame:
         .where(F.col("_nc") == n)
     )
 
-    return _span_filter(cand, words, q.slop, True, 1)
+    return _span_filter(cand, words, q.slop, ordered, 1)
 
 
 def _span_filter(

@@ -381,6 +381,82 @@ class Require(Query):
         return Require(a, b, self.boost)
 
 
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Membership of ``child``, every match scored ``score``
+    (wrappers.py:147-183) — a filter branch whose real scores are
+    irrelevant, so the compiler can drop the child's stats join."""
+
+    child: Query
+    score: float = 1.0
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if isinstance(c, NullQuery):
+            return NULL
+        return ConstantScoreQuery(c, self.score, self.boost)
+
+
+@dataclass(frozen=True)
+class WeightingQuery(Query):
+    """Scores ``child`` with a different WeightingModel
+    (wrappers.py:184-214)."""
+
+    child: Query
+    weighting: object = None  # a plans.weighting.WeightingModel (hashable)
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if isinstance(c, NullQuery):
+            return NULL
+        return WeightingQuery(c, self.weighting, self.boost)
+
+
+@dataclass(frozen=True)
+class Otherwise(Query):
+    """Matches ``a``; only if ``a`` matches NOTHING, matches ``b``
+    (compound.py:578-590).  Deviation noted in the compiler: the
+    reference decides per segment; a global-docid engine decides
+    globally (identical for single-segment indexes)."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery):
+            return b
+        return Otherwise(a, b, self.boost)
+
+
+@dataclass(frozen=True)
+class Sequence(Query):
+    """Sub-queries matching in adjacent positions within ``slop``
+    (positional.py:36-122); ``Ordered`` requires increasing positions.
+    Term children compile through the span machinery."""
+
+    subqueries: tuple[Query, ...]
+    slop: int = 1
+    ordered: bool = True
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        subs = tuple(q.normalize() for q in self.subqueries)
+        if any(isinstance(s, NullQuery) for s in subs) or not subs:
+            return NULL
+        if len(subs) == 1:
+            return subs[0]
+        return replace(self, subqueries=subs)
+
+
+@dataclass(frozen=True)
+class Ordered(Sequence):
+    """positional.py:123-132: Sequence with ordered=True semantics."""
+
+
 def _dedup(kids: list[Query]) -> list[Query]:
     seen: set = set()
     out: list[Query] = []
@@ -396,6 +472,7 @@ _HASHABLE = (
     Term, Every, Prefix, Wildcard, Regex, FuzzyTerm, TermRange, Phrase, NullQuery,
     NumericRange, DateRange, Variations,
     And, Or, DisjunctionMax, Not, AndNot, AndMaybe, Require,
+    ConstantScoreQuery, WeightingQuery, Otherwise, Sequence, Ordered,
 )
 
 
@@ -405,10 +482,12 @@ def term_leaves(q: Query) -> list[Term]:
         return [q]
     if isinstance(q, (And, Or, DisjunctionMax)):
         return [t for c in q.children for t in term_leaves(c)]
-    if isinstance(q, (AndNot, AndMaybe, Require)):
+    if isinstance(q, (AndNot, AndMaybe, Require, Otherwise)):
         return term_leaves(q.a) + term_leaves(q.b)
-    if isinstance(q, Not):
+    if isinstance(q, (Not, ConstantScoreQuery, WeightingQuery)):
         return term_leaves(q.child)
+    if isinstance(q, Sequence):
+        return [t for c in q.subqueries for t in term_leaves(c)]
     if isinstance(q, Phrase):
         return [Term(q.fieldname, w) for w in q.words]
     return []
