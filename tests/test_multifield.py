@@ -14,7 +14,9 @@ from whoosh_novo_spark.sources.segment_store import SegmentStore
 
 CFG = IndexConfig(
     id_col="url",
-    fields=(FieldConfig("title"), FieldConfig("body")),
+    # positions on: whoosh TEXT stores positions by default (phrase=True),
+    # so the parser-parity phrase cases need them here too
+    fields=(FieldConfig("title", positions=True), FieldConfig("body", positions=True)),
 )
 
 
@@ -131,3 +133,88 @@ def test_per_field_B_override_parity(built, mf_oracle, whoosh_ref):
             for (_, s1), (_, s2) in zip(ours, theirs):
                 assert s1 == pytest.approx(s2, rel=1e-9)
             assert ours
+
+
+MULTIFIELD_QUERY_STRINGS = [
+    "render",
+    "render shade",
+    "render title:shade",
+    "render OR shade",
+    '"render shade"',
+    "rend*",
+]
+
+
+@pytest.mark.parametrize("qs", MULTIFIELD_QUERY_STRINGS, ids=lambda s: s[:24])
+def test_multifield_parser_parity(built, mf_oracle, whoosh_ref, qs):
+    """MultifieldParser(["title","body"]) == our multifield= parser
+    (plugins.py:1157-1203), including per-field boosts.
+
+    Parity target is the reference's UNLIMITED search truncated to 10:
+    its limited search silently drops formula-best docs when terms carry
+    query boosts — the collector's max_quality bound ignores boost, and
+    optimize=False doesn't bypass it (COVERAGE.md reference bug #4,
+    extended: e.g. "render shade" drops a doc its own limit=None search
+    scores 4th)."""
+    from whoosh.qparser import MultifieldParser as WMP
+
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    ix, _ = built
+    s = Searcher(ix)
+    boosts = {"title": 2.0}
+    qp = QueryParser(None, multifield=["title", "body"], field_boosts=boosts)
+    ours = [
+        (int(r["docid"]), float(r["score"]))
+        for r in s.search(qp.parse(qs), limit=10).collect()
+    ]
+    with mf_oracle.searcher() as ws:
+        wq = WMP(["title", "body"], mf_oracle.schema, fieldboosts=boosts).parse(qs)
+        theirs = sorted(
+            ((int(h["id"]), h.score) for h in ws.search(wq, limit=None)),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+    assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
+    if "*" in qs:
+        # reference bug #8: boost on MultiTerm queries (Prefix/Wildcard/
+        # Fuzzy...) is silently IGNORED (expanded terms don't inherit it;
+        # Term honors boost).  Rank parity holds (checked above); score
+        # parity is impossible, so instead prove the quirk on the
+        # reference itself and stop.
+        import whoosh.query as wq
+
+        with mf_oracle.searcher() as ws:
+            b2 = {int(h["id"]): h.score
+                  for h in ws.search(wq.Prefix("title", "rend", boost=2.0), limit=None)}
+            b1 = {int(h["id"]): h.score
+                  for h in ws.search(wq.Prefix("title", "rend", boost=1.0), limit=None)}
+        assert b1 == b2 and b1
+        return
+    for (_, s1), (_, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), qs
+
+
+def test_field_alias_parity(built, mf_oracle, whoosh_ref):
+    """FieldAliasPlugin({"body": ["content","text"]}) == field_aliases=
+    (plugins.py:1205-1239)."""
+    from whoosh.qparser import FieldAliasPlugin, QueryParser as WQP
+
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    ix, _ = built
+    s = Searcher(ix)
+    qp = QueryParser("body", field_aliases={"body": ["content", "text"]})
+    with mf_oracle.searcher() as ws:
+        wp = WQP("body", mf_oracle.schema)
+        wp.add_plugin(FieldAliasPlugin({"body": ["content", "text"]}))
+        for qs in ("content:render", "text:render shade", "text:render title:shade"):
+            ours = [
+                (int(r["docid"]), float(r["score"]))
+                for r in s.search(qp.parse(qs), limit=10).collect()
+            ]
+            theirs = [
+                (int(h["id"]), h.score) for h in ws.search(wp.parse(qs), limit=10)
+            ]
+            assert [d for d, _ in ours] == [d for d, _ in theirs], qs
+            for (_, s1), (_, s2) in zip(ours, theirs):
+                assert s1 == pytest.approx(s2, rel=1e-9), qs

@@ -119,3 +119,35 @@ def test_plugin_syntax_results_match_reference(built, p_oracle, whoosh_ref, qs):
     assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
     for (_, s1), (_, s2) in zip(ours, theirs):
         assert s1 == pytest.approx(s2, rel=1e-9), qs
+
+
+# --- SimpleParser / PlusMinusPlugin (plugins.py:1016-1079) -----------------
+
+SIMPLE_QUERY_STRINGS = [
+    "render shade",
+    "render +shade",
+    "render +shade -wire",
+    "+render +shade",
+    "render -shade",
+    '"render shade" -texture',
+    "+render texture shade",
+]
+
+
+@pytest.mark.parametrize("qs", SIMPLE_QUERY_STRINGS, ids=lambda s: s[:28])
+def test_simple_parser_results_match_reference(built, p_oracle, whoosh_ref, qs):
+    from whoosh.qparser import SimpleParser as WSP
+
+    ix, _ = built
+    s = Searcher(ix)
+    qp = QueryParser.simple("text")
+    ours = [
+        (int(r["docid"]), float(r["score"]))
+        for r in s.search(qp.parse(qs), limit=10).collect()
+    ]
+    with p_oracle.ix.searcher() as ws:
+        wq = WSP("text", p_oracle.ix.schema).parse(qs)
+        theirs = [(int(h["id"]), h.score) for h in ws.search(wq, limit=10)]
+    assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
+    for (_, s1), (_, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), qs

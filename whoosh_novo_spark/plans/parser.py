@@ -108,6 +108,10 @@ class QueryParser:
         basedate: datetime | None = None,
         dateparse_free: bool = False,
         date_error_callback=None,
+        field_aliases: dict[str, list[str]] | None = None,
+        multifield: list[str] | None = None,
+        field_boosts: dict[str, float] | None = None,
+        plusminus: bool = False,
     ):
         """``analyzers`` maps fieldname -> analyzer name (default
         'standard' for every field); ``field_types`` maps fieldname ->
@@ -129,6 +133,29 @@ class QueryParser:
         self.dateparse_free = dateparse_free
         self.date_error_callback = date_error_callback
         self._dateparser = EnglishDateParser()
+        # FieldAliasPlugin (plugins.py:1205-1239): {real: [aliases...]}
+        self._alias_of = {}
+        for real, aliases in (field_aliases or {}).items():
+            for a in aliases:
+                self._alias_of[a] = real
+        # MultifieldPlugin (plugins.py:1157-1203): unfielded leaves become
+        # an Or of per-field copies; a configured field boost OVERRIDES the
+        # node's own boost (set_boost semantics, default 1.0)
+        self.multifield = list(multifield) if multifield else None
+        self.field_boosts = field_boosts or {}
+        # PlusMinusPlugin (plugins.py:1016-1079) / SimpleParser: flat
+        # query, "+" marks required, "-" banned, rest optional
+        self.plusminus = plusminus
+
+    @classmethod
+    def simple(cls, default_field: str, **kw) -> "QueryParser":
+        """The reference ``SimpleParser`` surface (default.py): no infix
+        operators, +required / -banned markers, Or default group."""
+        kw.setdefault("plusminus", True)
+        return cls(default_field, **kw)
+
+    def _resolve(self, field: str) -> str:
+        return self._alias_of.get(field, field)
 
     @classmethod
     def for_config(cls, config, default_field: str | None = None, **kw) -> "QueryParser":
@@ -182,10 +209,10 @@ class QueryParser:
             # the RAW string as possible (dateparse.py DateTagger.match)
             if self.dateparse_free:
                 fm = _FREE_FIELD_RX.match(s, pos)
-                if fm and self._type(fm.group(1)) == "datetime":
+                if fm and self._type(self._resolve(fm.group(1))) == "datetime":
                     d, np = self._dateparser.parse_prefix(s, fm.end(), self._base)
                     if d is not None:
-                        out.append(("dtvalue", fm.group(1), d))
+                        out.append(("dtvalue", self._resolve(fm.group(1)), d))
                         pos = np
                         continue
             m = _TOKEN_RX.match(s, pos)
@@ -217,9 +244,63 @@ class QueryParser:
 
     # ------------------------------------------------------------ parsing
     def parse(self, s: str) -> ast.Query:
+        if self.plusminus:
+            return self._parse_plusminus(s)
         toks = self._lex(s)
         items, _ = self._parse_group(toks, 0)
         return self._combine(items).normalize()
+
+    def _parse_plusminus(self, s: str) -> ast.Query:
+        """PlusMinusPlugin.do_plusminus (plugins.py:1044-1079) over a flat
+        token stream (the SimpleParser shape: no infix operators — AND/OR
+        parse as plain words, which the stop filter then drops): "+" marks
+        the next node required, "-" banned, everything else optional;
+        result = AndNot(AndMaybe(And(required), Or(optional)), Or(banned))
+        with empty groups normalized away."""
+        toks = self._lex(s)
+        required: list[ast.Query] = []
+        optional: list[ast.Query] = []
+        banned: list[ast.Query] = []
+        nxt = None  # bucket chosen by a preceding marker
+
+        def leaf(t) -> ast.Query | None:
+            if t[0] == "phrase":
+                return self._phrase(t[1], t[2])
+            if t[0] == "squote":
+                return self._squote(t[1], t[2])
+            if t[0] == "dtvalue":
+                return self._date_value_query(t[1], t[2])
+            if t[0] == "range":
+                return self._range(t[1], t[2])
+            if t[0] == "op":  # no OperatorsPlugin: AND/OR are plain words
+                return self._word(t[1].lower())
+            if t[0] in ("(", ")"):  # no GroupPlugin in SimpleParser
+                return None
+            return self._word(t[1])
+
+        for t in toks:
+            if t[0] == "word" or (t[0] not in ("(", ")", "op", "phrase", "squote", "dtvalue", "range")):
+                w = t[1]
+                if w in ("+", "-"):
+                    nxt = required if w == "+" else banned
+                    continue
+                if len(w) > 1 and w[0] in "+-":
+                    (required if w[0] == "+" else banned).append(self._word(w[1:]))
+                    nxt = None
+                    continue
+            q = leaf(t)
+            if q is None:
+                continue
+            (nxt if nxt is not None else optional).append(q)
+            nxt = None
+
+        group: ast.Query = ast.Or(tuple(optional)) if optional else ast.NULL
+        if required:
+            req = ast.And(tuple(required))
+            group = req if isinstance(group, ast.NullQuery) else ast.AndMaybe(req, group)
+        if banned:
+            group = ast.AndNot(group, ast.Or(tuple(banned)))
+        return group.normalize()
 
     def _parse_group(self, toks, i):
         """Returns (items, next_index); items are ('q', Query) or ('op', name)."""
@@ -311,12 +392,41 @@ class QueryParser:
         return ast.And(tuple(qs))  # default group
 
     # ------------------------------------------------------------ leaves
+    def _set_boost(self, q: ast.Query, b: float) -> ast.Query:
+        from dataclasses import replace as _replace
+
+        try:
+            return _replace(q, boost=float(b))
+        except TypeError:
+            return q
+
+    def _fan_multifield(self, build) -> ast.Query:
+        """Or of per-field copies of an unfielded leaf; the configured
+        field boost overrides the leaf's own (set_boost default 1.0)."""
+        kids = []
+        for f in self.multifield:
+            q = build(self._resolve(f))
+            if isinstance(q, ast.NullQuery):
+                continue
+            kids.append(self._set_boost(q, self.field_boosts.get(f, 1.0)))
+        if not kids:
+            return ast.NULL
+        if len(kids) == 1:
+            return kids[0]
+        return ast.Or(tuple(kids))
+
     def _word(self, w: str) -> ast.Query:
-        field = self.default_field
+        explicit = None
         if ":" in w:
             f, rest = w.split(":", 1)
             if f and rest:
-                field, w = f, rest
+                explicit, w = self._resolve(f), rest
+        if explicit is None and self.multifield:
+            word = w
+            return self._fan_multifield(lambda f: self._word_in_field(f, word))
+        return self._word_in_field(explicit or self.default_field, w)
+
+    def _word_in_field(self, field: str, w: str) -> ast.Query:
         boost = 1.0
         m = re.search(r"\^(\d+(\.\d+)?)$", w)
         if m:
@@ -388,7 +498,7 @@ class QueryParser:
         """Single-quoted text (SingleQuotePlugin): one verbatim chunk.  On
         a datetime field the whole chunk is a date expression
         ("created:'last tuesday'"); otherwise it analyzes like a word."""
-        field = sqfield or self.default_field
+        field = self._resolve(sqfield) if sqfield else self.default_field
         if self._type(field) == "datetime":
             d = self._dateparser.date_from(body, self._base)
             if d is None:
@@ -404,11 +514,15 @@ class QueryParser:
         return ast.And(tuple(ast.Term(field, t) for t in terms))
 
     def _phrase(self, body: str, slop: int) -> ast.Query:
-        field = self.default_field
-        words = analyze_query_terms(body, self._analyzer(field))
-        if not words:
-            return ast.NULL
-        return ast.Phrase(field, tuple(words), slop=slop)
+        def one(field: str) -> ast.Query:
+            words = analyze_query_terms(body, self._analyzer(field))
+            if not words:
+                return ast.NULL
+            return ast.Phrase(field, tuple(words), slop=slop)
+
+        if self.multifield:
+            return self._fan_multifield(one)
+        return one(self.default_field)
 
     def _range(self, body: str, rfield: str | None = None) -> ast.Query:
         startexcl = body[0] == "{"
@@ -427,10 +541,18 @@ class QueryParser:
             return x or None
 
         s, e = clean(s), clean(e)
-        field = rfield or self.default_field
-        if rfield is None and s and ":" in s:
-            field, s = s.split(":", 1)
-        return self._make_range(field, s, e, startexcl, endexcl)
+        field = self._resolve(rfield) if rfield else None
+        if field is None and s and ":" in s:
+            f, s = s.split(":", 1)
+            field = self._resolve(f)
+        if field is None and self.multifield:
+            s0, e0 = s, e
+            return self._fan_multifield(
+                lambda f: self._make_range(f, s0, e0, startexcl, endexcl)
+            )
+        return self._make_range(
+            field or self.default_field, s, e, startexcl, endexcl
+        )
 
     def _make_range(self, field, s, e, startexcl, endexcl) -> ast.Query:
         t = self._type(field)
