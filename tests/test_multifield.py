@@ -218,3 +218,29 @@ def test_field_alias_parity(built, mf_oracle, whoosh_ref):
             assert [d for d, _ in ours] == [d for d, _ in theirs], qs
             for (_, s1), (_, s2) in zip(ours, theirs):
                 assert s1 == pytest.approx(s2, rel=1e-9), qs
+
+
+def test_copy_field_parity(built, mf_oracle, whoosh_ref):
+    """CopyFieldPlugin({"title": "body"}) == copy_fields=
+    (plugins.py:1241-1307): a title-fielded word also searches body."""
+    from whoosh.qparser import CopyFieldPlugin, QueryParser as WQP
+
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    ix, _ = built
+    s = Searcher(ix)
+    qp = QueryParser("body", copy_fields={"title": "body"})
+    with mf_oracle.searcher() as ws:
+        wp = WQP("body", mf_oracle.schema)
+        wp.add_plugin(CopyFieldPlugin({"title": "body"}))
+        for qs in ("title:render", "shade title:render", "title:rend*"):
+            ours = [
+                (int(r["docid"]), float(r["score"]))
+                for r in s.search(qp.parse(qs), limit=10).collect()
+            ]
+            theirs = [
+                (int(h["id"]), h.score) for h in ws.search(wp.parse(qs), limit=10)
+            ]
+            assert [d for d, _ in ours] == [d for d, _ in theirs], qs
+            for (_, s1), (_, s2) in zip(ours, theirs):
+                assert s1 == pytest.approx(s2, rel=1e-9), qs

@@ -151,3 +151,25 @@ def test_simple_parser_results_match_reference(built, p_oracle, whoosh_ref, qs):
     assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
     for (_, s1), (_, s2) in zip(ours, theirs):
         assert s1 == pytest.approx(s2, rel=1e-9), qs
+
+
+# --- RegexPlugin (plugins.py:197-215) --------------------------------------
+
+@pytest.mark.parametrize("qs", ['r"rend.*"', 'text:r"sh[ae]de"', 'r"qu.+y" shade'])
+def test_regex_plugin_results_match_reference(built, p_oracle, whoosh_ref, qs):
+    from whoosh.qparser import QueryParser as WQP, RegexPlugin
+
+    ix, _ = built
+    s = Searcher(ix)
+    qp = QueryParser("text")
+    ours = [
+        (int(r["docid"]), float(r["score"]))
+        for r in s.search(qp.parse(qs), limit=10).collect()
+    ]
+    with p_oracle.ix.searcher() as ws:
+        wp = WQP("text", p_oracle.ix.schema)
+        wp.add_plugin(RegexPlugin())
+        theirs = [(int(h["id"]), h.score) for h in ws.search(wp.parse(qs), limit=10)]
+    assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
+    for (_, s1), (_, s2) in zip(ours, theirs):
+        assert s1 == pytest.approx(s2, rel=1e-9), qs

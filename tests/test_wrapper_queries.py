@@ -141,3 +141,23 @@ def test_sequence_parity(pair, whoosh_ref, words, slop, ordered):
         wq.Sequence([wq.Term("text", w) for w in words], slop=slop, ordered=ordered),
     )
     assert sorted(ours) == sorted(theirs)
+
+
+def test_unknown_field_matches_nothing(pair):
+    """A field the schema doesn't declare has no terms: every query shape
+    on it matches nothing (the reference's TermNotFound empty matcher),
+    never raises — e.g. copy_fields/alias configs naming absent fields."""
+    s, _oracle, _uid = pair
+    shapes = [
+        ast.Term("nosuch", "alpha"),
+        ast.Prefix("nosuch", "al"),
+        ast.FuzzyTerm("nosuch", "alpha"),
+        ast.Phrase("nosuch", ("alpha", "beta")),
+        ast.And((ast.Term("nosuch", "alpha"), ast.Term("text", "alpha"))),
+    ]
+    for q in shapes:
+        assert s.search(q, limit=5).collect() == [], q
+    hits = s.search(
+        ast.Or((ast.Term("nosuch", "alpha"), ast.Term("text", "alpha"))), limit=5
+    ).collect()
+    assert hits  # the known side still matches

@@ -316,6 +316,13 @@ class Searcher:
         except KeyError:
             return True
 
+    def _known_field(self, name: str) -> bool:
+        try:
+            self.index.config.field(name)
+            return True
+        except KeyError:
+            return False
+
     def _supports_joined_stats(self, fieldname: str) -> bool:
         """True when this model can score with per-term stats joined in as
         columns — Term/flat-compound plans then need NO driver-side stats
@@ -565,6 +572,10 @@ class Searcher:
             return self._compile_typed(q)
 
         if isinstance(q, ast.Term):
+            if not self._known_field(q.fieldname):
+                # a field the schema doesn't declare has no terms — match
+                # nothing, like the reference's TermNotFound empty matcher
+                return empty
             p = self.index.postings().where(
                 (F.col("field") == q.fieldname) & (F.col("term") == q.text)
             )
@@ -848,6 +859,8 @@ class Searcher:
         spark = ix.spark
         empty = spark.createDataFrame([], "docid long, score double")
         fieldname = q.fieldname
+        if not self._known_field(fieldname):
+            return empty  # undeclared field: no terms (TermNotFound)
 
         tdf = ix.expand_terms_df(q)
         p = ix.postings().where(F.col("field") == fieldname)
@@ -923,6 +936,8 @@ class Searcher:
         if len(fields) != 1:
             return None
         fieldname = next(iter(fields))
+        if not self._known_field(fieldname):
+            return None  # per-child compile turns each Term into empty
         scorable = self.index.config.field(fieldname).scorable
 
         if not scorable or (
@@ -976,6 +991,8 @@ class Searcher:
         wrapped IntersectionMatcher)."""
         spark = self.index.spark
         empty = spark.createDataFrame([], "docid long, score double")
+        if not self._known_field(q.fieldname):
+            return empty  # undeclared field: no terms (TermNotFound)
         words = list(q.words)
         # positional scoring needs concrete per-word stats (the span kernel
         # and shifted-intersection both score via the stats map); fetch the

@@ -112,6 +112,7 @@ class QueryParser:
         multifield: list[str] | None = None,
         field_boosts: dict[str, float] | None = None,
         plusminus: bool = False,
+        copy_fields: dict[str, str] | None = None,
     ):
         """``analyzers`` maps fieldname -> analyzer name (default
         'standard' for every field); ``field_types`` maps fieldname ->
@@ -146,6 +147,9 @@ class QueryParser:
         # PlusMinusPlugin (plugins.py:1016-1079) / SimpleParser: flat
         # query, "+" marks required, "-" banned, rest optional
         self.plusminus = plusminus
+        # CopyFieldPlugin (plugins.py:1241-1307): a word in a mapped field
+        # becomes Or([original, same-word-in-destination-field])
+        self.copy_fields = copy_fields or {}
 
     @classmethod
     def simple(cls, default_field: str, **kw) -> "QueryParser":
@@ -424,7 +428,16 @@ class QueryParser:
         if explicit is None and self.multifield:
             word = w
             return self._fan_multifield(lambda f: self._word_in_field(f, word))
-        return self._word_in_field(explicit or self.default_field, w)
+        field = explicit or self.default_field
+        q = self._word_in_field(field, w)
+        dest = self.copy_fields.get(field)
+        if dest is not None:
+            q2 = self._word_in_field(self._resolve(dest), w)
+            if isinstance(q, ast.NullQuery):
+                return q2
+            if not isinstance(q2, ast.NullQuery):
+                return ast.Or((q, q2))
+        return q
 
     def _word_in_field(self, field: str, w: str) -> ast.Query:
         boost = 1.0
@@ -456,6 +469,9 @@ class QueryParser:
             return ast.FuzzyTerm(field, text, boost=boost, **kw)
         if w == "*":
             return ast.Every(field, boost=boost)
+        # RegexPlugin (plugins.py:197-215): r"termexpr"
+        if len(w) > 3 and w.startswith('r"') and w.endswith('"'):
+            return ast.Regex(field, w[2:-1], boost=boost)
         if self._type(field) == "datetime":
             # full natural-language dateparse (the whole token must parse,
             # reference text_to_dt: date_from with ToEnd); a period becomes
