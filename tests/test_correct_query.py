@@ -92,3 +92,15 @@ def test_correct_query_rewrites_tree_only_where_needed(built):
     assert c.string == "alfa delta"
     # original query object is untouched
     assert sorted(query_terms(c.original_query)) == [("a", "alpha"), ("a", "delta")]
+
+
+def test_correction_string_resolves_field_aliases(built):
+    """An aliased field prefix must still get its typo spliced in
+    Correction.string (tokens are keyed by the RESOLVED field, matching
+    the correction map)."""
+    from whoosh_novo_spark.operators.correct import correct_query
+
+    p = QueryParser("a", field_aliases={"a": ["aa"]})
+    qs = "aa:brvo delta"
+    c = correct_query(built, p.parse(qs), qs, parser=p)
+    assert "brvo" not in c.string and "bravo" in c.string

@@ -470,3 +470,30 @@ def test_qparser_exact_instant_is_equality_term():
     assert q == ast.Term(
         "date", (BASE - timedelta(hours=2)).strftime("%Y-%m-%d %H:%M:%S.%f")
     )
+
+
+def test_calendar_invalid_date_is_unparsable_not_crash():
+    """'feb 30' (and 'feb 29' under a non-leap basedate) becomes the
+    error-callback/NullQuery path, not an escaping DateParseError."""
+    from datetime import datetime
+
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    errs = []
+    p = QueryParser(
+        "text",
+        field_types={"date": "datetime"},
+        basedate=datetime(2021, 1, 5),  # non-leap year
+        date_error_callback=errs.append,
+    )
+    q = p.parse("date:'feb 30' hello")
+    assert errs == ["feb 30"]
+    assert q == ast.Term("text", "hello")
+    errs.clear()
+    q2 = p.parse("date:'feb 29'")
+    assert errs == ["feb 29"] and isinstance(q2, ast.NullQuery)
+    # range endpoint variant
+    errs.clear()
+    q3 = p.parse("date:['feb 30' TO 'mar 2']")
+    assert errs and isinstance(q3, ast.NullQuery)

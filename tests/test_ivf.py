@@ -55,6 +55,7 @@ def test_assignment_matches_numpy(spark, clustered):
     C = train_ivf_centroids(emb, n_centroids=8, iters=5, sample=400)
     got = {r["vec_id"]: r["cid"] for r in ivf_assign(emb, C).collect()}
     X = np.asarray([v for _, v in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)  # assign() normalizes
     expect = np.argmax(np.round(X @ C.T, 9), axis=1)
     for (vid, _), e in zip(rows, expect):
         assert got[vid] == e

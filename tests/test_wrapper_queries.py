@@ -161,3 +161,39 @@ def test_unknown_field_matches_nothing(pair):
         ast.Or((ast.Term("nosuch", "alpha"), ast.Term("text", "alpha"))), limit=5
     ).collect()
     assert hits  # the known side still matches
+
+
+def test_ordered_any_distance_parity(pair, whoosh_ref):
+    """Ordered == reference Ordered (positional.py:123-132 -> SpanBefore):
+    subqueries in document order at ANY distance (no slop bound) — e.g.
+    'alpha ... delta' three words apart must match."""
+    import whoosh.query as wq
+
+    s, oracle, uid_of = pair
+    ours = _ours(
+        s, uid_of, ast.Ordered((ast.Term("text", "alpha"), ast.Term("text", "delta")))
+    )
+    theirs = _theirs(
+        oracle, wq.Ordered([wq.Term("text", "alpha"), wq.Term("text", "delta")])
+    )
+    assert sorted(ours) == sorted(theirs) and ours
+    # and it is strictly wider than the slop-1 Sequence
+    seq = _ours(
+        s, uid_of, ast.Sequence((ast.Term("text", "alpha"), ast.Term("text", "delta")))
+    )
+    assert set(d for d, _ in seq) < set(d for d, _ in ours)
+
+
+def test_duplicate_term_different_boosts_parity(pair, whoosh_ref):
+    """'a^2 a^3' survives dedup as two children; the single-scan flat
+    path can't represent two matchers over one posting row, so it must
+    fall back to per-child compile — parity vs the reference."""
+    import whoosh.query as wq
+
+    s, oracle, uid_of = pair
+    q = ast.And((ast.Term("text", "beta", boost=2.0), ast.Term("text", "beta", boost=3.0)))
+    ours = _ours(s, uid_of, q)
+    theirs = _theirs(
+        oracle, wq.And([wq.Term("text", "beta", boost=2.0), wq.Term("text", "beta", boost=3.0)])
+    )
+    assert sorted(ours) == sorted(theirs) and ours

@@ -135,7 +135,9 @@ def _string_tokens(parser, qstring: str):
         if ":" in w:
             f, rest = w.split(":", 1)
             if f and rest:
-                field, w = f, rest
+                # resolve aliases like the parser does, so the correction
+                # map (keyed by the RESOLVED field) finds these tokens
+                field, w = parser._resolve(f), rest
                 start = m.start() + len(f) + 1
         if parser._type(field) != "text":
             continue

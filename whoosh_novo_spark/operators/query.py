@@ -114,10 +114,17 @@ class Index:
         group (whoosh vector postings, whoosh3.py .vps).  Returns None
         unless EVERY segment vectored the field (fall back to postings)."""
         segs = self.manifest.segments
-        if not all(fieldname in s.meta.get("vector_fields", []) for s in segs):
+        if not segs or not all(
+            fieldname in s.meta.get("vector_fields", []) for s in segs
+        ):
             return None
         paths = [self.store.table_path(s.segment_id, "vectors") for s in segs]
-        return self.spark.read.parquet(*paths).where(F.col("field") == fieldname)
+        df = self.spark.read.parquet(*paths).where(F.col("field") == fieldname)
+        if self.manifest.has_tombstones:
+            # same read-time delete semantics as postings()/doclens():
+            # key_terms/more_like must not see deleted docs' vectors
+            df = df.join(self.tombstones(), "docid", "left_anti")
+        return df
 
     def live_docids(self) -> DataFrame:
         """All non-deleted docids (the universe for Not/Every matchers —
@@ -805,8 +812,12 @@ class Searcher:
                 )
             from whoosh_novo_spark.operators.spans import phrase_with_slop
 
+            # ast.Ordered mirrors the reference's Ordered (positional.py:
+            # 123-132 -> SpanBefore): subqueries in document order at ANY
+            # distance — the slop bound applies only to plain Sequence
+            slop = (1 << 30) if isinstance(q, ast.Ordered) else q.slop
             ph = ast.Phrase(
-                kids[0].fieldname, tuple(c.text for c in kids), slop=q.slop
+                kids[0].fieldname, tuple(c.text for c in kids), slop=slop
             )
             pstats = self._cached_stats(
                 [(kids[0].fieldname, c.text) for c in kids]
@@ -934,6 +945,12 @@ class Searcher:
             return None
         fields = {c.fieldname for c in kids}
         if len(fields) != 1:
+            return None
+        if len({c.text for c in kids}) != len(kids):
+            # duplicate texts (surviving dedup => differing boosts, e.g.
+            # "a^2 a^3"): the single-scan shape can't represent two
+            # matchers on one posting row (And's count and the per-term
+            # boost/factor maps would both break) — per-child compile
             return None
         fieldname = next(iter(fields))
         if not self._known_field(fieldname):

@@ -284,7 +284,10 @@ def ivf_assign(
     def assign(v):
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        # normalize rows BEFORE rounding: the DuckDB oracle rounds dots of
+        # unit vectors, so both sides must round the same magnitudes for
+        # the near-tie tie-break to agree bit-for-bit
+        X = _unit_rows(np.asarray([np.asarray(x, dtype=np.float64) for x in v]))
         sims = np.round(X @ C.T, 9)
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 

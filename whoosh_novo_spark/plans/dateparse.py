@@ -638,7 +638,13 @@ class EnglishDateParser:
         d, pos = _all(text, 0, basedate)
         if d is None or (toend and pos != len(text)):
             return None
-        return self._disambiguate(d, basedate)
+        try:
+            return self._disambiguate(d, basedate)
+        except DateParseError:
+            # calendar-invalid once the basedate fills unknown parts
+            # ("feb 30", "feb 29" in a non-leap basedate year): unparsable,
+            # not a crash — callers route it to the error callback
+            return None
 
     def parse_prefix(self, text: str, pos: int, basedate: datetime):
         """Free-form tagging: parse as much as possible starting at pos;
@@ -646,7 +652,10 @@ class EnglishDateParser:
         d, np = _all(text, pos, basedate)
         if d is None:
             return None, pos
-        return self._disambiguate(d, basedate), np
+        try:
+            return self._disambiguate(d, basedate), np
+        except DateParseError:
+            return None, pos
 
     @staticmethod
     def _disambiguate(d, basedate: datetime):

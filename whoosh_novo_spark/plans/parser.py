@@ -595,18 +595,24 @@ class QueryParser:
                 return self._date_error(s if raw_s is None and s else e)
             if isinstance(raw_s, Timespan) or isinstance(raw_e, Timespan):
                 return self._date_error(s if isinstance(raw_s, Timespan) else e)
+            from whoosh_novo_spark.plans.dateparse import DateParseError
+
             lo = hi = None
-            if raw_s is not None and raw_e is not None:
-                ts = Timespan(raw_s, raw_e).disambiguated(base)
-                lo, hi = ts.start, ts.end
-            elif raw_s is not None:
-                d = EnglishDateParser._disambiguate(raw_s, base)
-                lo = d.start if isinstance(d, Timespan) else d
-            elif raw_e is not None:
-                d = EnglishDateParser._disambiguate(raw_e, base)
-                hi = d.end if isinstance(d, Timespan) else d
-            else:
-                return ast.NULL
+            try:
+                if raw_s is not None and raw_e is not None:
+                    ts = Timespan(raw_s, raw_e).disambiguated(base)
+                    lo, hi = ts.start, ts.end
+                elif raw_s is not None:
+                    d = EnglishDateParser._disambiguate(raw_s, base)
+                    lo = d.start if isinstance(d, Timespan) else d
+                elif raw_e is not None:
+                    d = EnglishDateParser._disambiguate(raw_e, base)
+                    hi = d.end if isinstance(d, Timespan) else d
+                else:
+                    return ast.NULL
+            except DateParseError:
+                # calendar-invalid endpoint once disambiguated ("feb 30")
+                return self._date_error(s or e)
             return ast.DateRange(
                 field,
                 self._iso(lo) if lo is not None else None,
