@@ -173,3 +173,39 @@ def test_regex_plugin_results_match_reference(built, p_oracle, whoosh_ref, qs):
     assert [d for d, _ in ours] == [d for d, _ in theirs], (qs, ours[:4], theirs[:4])
     for (_, s1), (_, s2) in zip(ours, theirs):
         assert s1 == pytest.approx(s2, rel=1e-9), qs
+
+
+def test_pseudo_field_plugin_parity(built, p_oracle, whoosh_ref):
+    """PseudoFieldPlugin (plugins.py:1309-1380): 'regex:br.vo' runs a
+    user function on the following text — parity with the reference
+    example (text -> Regex query in the content field)."""
+    from whoosh.qparser import PseudoFieldPlugin, QueryParser as WQP, RegexPlugin
+
+    from whoosh_novo_spark.plans import ast
+
+    ix, _ = built
+    s = Searcher(ix)
+    qp = QueryParser(
+        "text", pseudo_fields={"regex": lambda t: ast.Regex("text", t)}
+    )
+    with p_oracle.ix.searcher() as ws:
+        wp = WQP("text", p_oracle.ix.schema)
+
+        def regex_maker(node):
+            if node.has_text:
+                node = RegexPlugin.RegexNode(node.text)
+                node.set_fieldname("text")
+                return node
+
+        wp.add_plugin(PseudoFieldPlugin({"regex": regex_maker}))
+        for qs in ("regex:rend.*", "shade regex:qu.+y"):
+            ours = [
+                (int(r["docid"]), float(r["score"]))
+                for r in s.search(qp.parse(qs), limit=10).collect()
+            ]
+            theirs = [
+                (int(h["id"]), h.score) for h in ws.search(wp.parse(qs), limit=10)
+            ]
+            assert [d for d, _ in ours] == [d for d, _ in theirs], qs
+            for (_, s1), (_, s2) in zip(ours, theirs):
+                assert s1 == pytest.approx(s2, rel=1e-9), qs

@@ -113,6 +113,7 @@ class QueryParser:
         field_boosts: dict[str, float] | None = None,
         plusminus: bool = False,
         copy_fields: dict[str, str] | None = None,
+        pseudo_fields: dict[str, object] | None = None,
     ):
         """``analyzers`` maps fieldname -> analyzer name (default
         'standard' for every field); ``field_types`` maps fieldname ->
@@ -150,6 +151,11 @@ class QueryParser:
         # CopyFieldPlugin (plugins.py:1241-1307): a word in a mapped field
         # becomes Or([original, same-word-in-destination-field])
         self.copy_fields = copy_fields or {}
+        # PseudoFieldPlugin (plugins.py:1309-1380): "field" names mapped to
+        # functions.  The reference's transform takes a syntax node; here
+        # the function takes the RAW word text after "name:" and returns a
+        # plans.ast.Query (or None to drop the word)
+        self.pseudo_fields = pseudo_fields or {}
 
     @classmethod
     def simple(cls, default_field: str, **kw) -> "QueryParser":
@@ -424,6 +430,9 @@ class QueryParser:
         if ":" in w:
             f, rest = w.split(":", 1)
             if f and rest:
+                if f in self.pseudo_fields:
+                    q = self.pseudo_fields[f](rest)
+                    return q if q is not None else ast.NULL
                 explicit, w = self._resolve(f), rest
         if explicit is None and self.multifield:
             word = w
