@@ -90,11 +90,16 @@ def _boosted_index_for(spark: SparkSession, sf_dir: str) -> Searcher:
         ship_package(spark)
         safe = key.strip("/").replace("/", "_")
         path = os.path.join(
-            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_bix1_{safe}"
+            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_bix2_{safe}"
         )
         store = SegmentStore(path)
         if store.current_generation() == 0:
-            toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+            # split on \s+ (not single spaces) so the markup tokens are
+            # exactly the analyzer's \S+ runs even with tabs/newlines in
+            # the corpus (r3 ADVICE; oracle uses regexp_split_to_array)
+            toks = F.filter(
+                F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")
+            )
             btext = F.array_join(
                 F.transform(
                     toks,

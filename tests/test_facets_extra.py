@@ -214,3 +214,73 @@ def test_function_facet_callable_df_builder(built):
         ).collect()
     ]
     assert got == want
+
+
+def test_translate_facet_over_overlap(built, f_oracle):
+    """TranslateFacet(upper, StoredFieldFacet(allow_overlap=True)):
+    the reference's TranslateCategorizer calls key_for — never keys_for
+    (sorting.py:678-680) — so the overlap child contributes its UN-SPLIT
+    stored value and the translated facet never overlaps (r3 ADVICE:
+    previously fn(explode(...)) — an invalid nested generator)."""
+    from pyspark.sql import functions as F
+
+    from whoosh_novo_spark.operators.facets import TranslateFacet
+
+    ix, s = built
+    from whoosh import query as wq
+    from whoosh import sorting as ws
+
+    with f_oracle.searcher() as os_:
+        facet = ws.TranslateFacet(
+            str.upper, ws.StoredFieldFacet("tags", allow_overlap=True)
+        )
+        r = os_.search(wq.Term("text", "render"), groupedby=facet, limit=None)
+        ref = {
+            k: sorted(r.searcher.stored_fields(d)["rid"] for d in v)
+            for k, v in r.groups().items()
+        }
+    spec = TranslateFacet(F.upper, StoredFieldFacet("tags", allow_overlap=True))
+    assert spec.overlap is False
+    dm = s.index.docmap(columns=["docid", "rid", "tags"])
+    scored = s.score_df(ast.Term("text", "render"))
+    fac = attach_facet(scored, spec, docs=dm)
+    got_rows = facet_ordered_list(fac).collect()
+    m = _docid_map(s)
+    got = {r["facet"]: sorted(m[d] for d in r["docids"]) for r in got_rows}
+    assert got == ref
+
+
+def test_translate_facet_multi_child(built, f_oracle):
+    """TranslateFacet(fn, facet1, facet2): fn(*keys) over multiple wrapped
+    facets (sorting.py:652-680 *facets / fn(*keys))."""
+    from pyspark.sql import functions as F
+
+    from whoosh_novo_spark.operators.facets import FieldFacet, TranslateFacet
+
+    ix, s = built
+    from whoosh import query as wq
+    from whoosh import sorting as ws
+
+    with f_oracle.searcher() as os_:
+        facet = ws.TranslateFacet(
+            lambda a, b: f"{a}|{b}",
+            ws.StoredFieldFacet("tags"),
+            ws.StoredFieldFacet("rid"),
+        )
+        r = os_.search(wq.Term("text", "render"), groupedby=facet, limit=None)
+        ref = {
+            k: sorted(r.searcher.stored_fields(d)["rid"] for d in v)
+            for k, v in r.groups().items()
+        }
+    spec = TranslateFacet(
+        lambda a, b: F.concat_ws("|", a, b),
+        StoredFieldFacet("tags"),
+        StoredFieldFacet("rid"),
+    )
+    dm = s.index.docmap(columns=["docid", "rid", "tags"])
+    scored = s.score_df(ast.Term("text", "render"))
+    fac = attach_facet(scored, spec, docs=dm)
+    got_rows = facet_ordered_list(fac).collect()
+    m = _docid_map(s)
+    got = {r["facet"]: sorted(m[d] for d in r["docids"]) for r in got_rows}
+    assert got == ref

@@ -224,3 +224,35 @@ def test_partitioned_tombstone_write(spark, tmp_path, monkeypatch):
     more = spark.range(1_000_000, 1_000_010).select(F.col("id").alias("docid"))
     m2 = delete_docs(spark, store, more)
     assert m2.deleted_count == 1_000_010
+
+
+def test_constant_score_excludes_deleted(spark, tmp_path):
+    """ConstantScoreQuery's ids ARE the result rows, so tombstones must be
+    filtered there too (r3 ADVICE high: _compile_ids defaulted to
+    apply_deletes=False, fine for semi/anti probes, wrong for results)."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.merge import delete_docs
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    cfg = IndexConfig(id_col="rid", fields=(FieldConfig("text"),))
+    store = SegmentStore(str(tmp_path / "cs_del_ix"))
+    rows = [(f"{i:03d}", "alpha beta" if i % 2 else "alpha gamma") for i in range(10)]
+    df = spark.createDataFrame(rows, "rid string, text string")
+    build_segment(spark, df, cfg, store, partitions=1)
+    delete_docs(spark, store, spark.createDataFrame([(2,), (5,)], "docid long"))
+    s = Searcher(Index(spark, store, cfg))
+    # Term child
+    q = ast.ConstantScoreQuery(ast.Term("text", "alpha"), score=1.5)
+    got = sorted(r["docid"] for r in s.search(q, limit=None).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    # Or-of-terms child (the other _compile_ids fast path)
+    q2 = ast.ConstantScoreQuery(
+        ast.Or((ast.Term("text", "beta"), ast.Term("text", "gamma"))), score=2.0
+    )
+    got2 = sorted(r["docid"] for r in s.search(q2, limit=None).collect())
+    assert got2 == [0, 1, 3, 4, 6, 7, 8, 9]
+    scores = {r["docid"]: r["score"] for r in s.search(q, limit=None).collect()}
+    assert all(v == 1.5 for v in scores.values())

@@ -136,6 +136,9 @@ def test_per_field_B_override_parity(built, mf_oracle, whoosh_ref):
 
 
 MULTIFIELD_QUERY_STRINGS = [
+    # caret boost must MULTIPLY the configured field boost (BoostPlugin
+    # priority 510 runs after MultifieldPlugin 110; r3 ADVICE)
+    "render^5 shade",
     "render",
     "render shade",
     "render title:shade",

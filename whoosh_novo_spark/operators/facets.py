@@ -108,25 +108,40 @@ class FunctionFacet:
 
 
 class TranslateFacet:
-    """sorting.py:626-683: wrap another facet and transform its key with a
-    function before grouping/sorting — e.g. a collation key for
-    language-aware ordering.  ``fn`` is vectorized: Column -> Column
-    (use ``F.udf``-wrapped callables only when no builtin expression
-    exists)."""
+    """sorting.py:626-680: wrap one or more facets and transform their
+    keys with ``fn(*keys)`` before grouping/sorting — e.g. a collation
+    key for language-aware ordering.  ``fn`` is vectorized:
+    Column(s) -> Column (use ``F.udf``-wrapped callables only when no
+    builtin expression exists).
 
-    def __init__(self, fn, facet, reverse: bool | None = None):
+    Overlap children: the reference's TranslateCategorizer calls
+    ``key_for`` — never ``keys_for`` (sorting.py:678-680 vs :739-741) —
+    so a wrapped overlap facet contributes its UN-SPLIT scalar value and
+    the translated facet never overlaps.  We mirror that via the child's
+    ``scalar_key_col`` (r3 ADVICE: the old fn(explode(...)) was an
+    invalid nested generator AND wrong semantics)."""
+
+    def __init__(self, fn, *facets, reverse: bool | None = None):
+        if not facets:
+            raise TypeError("TranslateFacet needs at least one facet")
         self.fn = fn
-        self.facet = facet
-        self.reverse = facet.reverse if reverse is None else reverse
+        self.facets = facets
+        self.facet = facets[0]
+        self.reverse = facets[0].reverse if reverse is None else reverse
 
     @property
     def needs_docs(self) -> bool:
-        return self.facet.needs_docs
+        return any(f.needs_docs for f in self.facets)
 
-    overlap = False
+    overlap = False  # key_for semantics: see class docstring
+
+    @staticmethod
+    def _scalar_key(facet, df) -> Column:
+        getter = getattr(facet, "scalar_key_col", None)
+        return getter(df) if getter is not None else facet.key_col(df)
 
     def key_col(self, df: DataFrame | None = None) -> Column:
-        return self.fn(self.facet.key_col(df))
+        return self.fn(*[self._scalar_key(f, df) for f in self.facets])
 
     def sort_exprs(self, df: DataFrame | None = None) -> list:
         k = self.key_col(df)
@@ -154,6 +169,11 @@ class StoredFieldFacet:
         if self.allow_overlap:
             # exploded by attach_facet; element column
             return F.explode(F.split(F.col(self.fieldname), re.escape(self.sep)))
+        return F.col(self.fieldname)
+
+    def scalar_key_col(self, df: DataFrame | None = None) -> Column:
+        """key_for (singular) view: the un-split stored value — what the
+        reference hands a TranslateCategorizer (sorting.py:739-741)."""
         return F.col(self.fieldname)
 
     def sort_exprs(self, df: DataFrame | None = None) -> list:

@@ -529,17 +529,22 @@ class Searcher:
         )
 
     # --- compiler ------------------------------------------------------
-    def _compile_ids(self, q: ast.Query, stats=None) -> DataFrame:
+    def _compile_ids(
+        self, q: ast.Query, stats=None, apply_deletes: bool = False
+    ) -> DataFrame:
         """Docid-only compilation for membership probes (AndNot/Require's
         b side, Not's child, filter sets): a semi/anti join never reads the
         probe's scores, so the idf stats join would be dead plan weight —
         this emits the bare pruned postings scan.  Duplicate docids are
         fine (semi/anti joins are set-semantics); tombstone filtering is
-        skipped because the scored side is already tombstone-filtered, so
-        deleted ids on the probe side can never match."""
+        skipped BY DEFAULT because the scored side is already
+        tombstone-filtered, so deleted ids on the probe side can never
+        match.  Pass ``apply_deletes=True`` when the ids themselves become
+        result rows (ConstantScoreQuery) — there is no scored side to
+        filter them then."""
         if isinstance(q, ast.Term) and self._is_text_field(q.fieldname):
             return (
-                self.index.postings(apply_deletes=False)
+                self.index.postings(apply_deletes=apply_deletes)
                 .where((F.col("field") == q.fieldname) & (F.col("term") == q.text))
                 .select("docid")
             )
@@ -555,7 +560,7 @@ class Searcher:
             fieldname = q.children[0].fieldname
             texts = sorted({c.text for c in q.children})
             return (
-                self.index.postings(apply_deletes=False)
+                self.index.postings(apply_deletes=apply_deletes)
                 .where((F.col("field") == fieldname) & F.col("term").isin(texts))
                 .select("docid")
             )
@@ -776,8 +781,10 @@ class Searcher:
 
         if isinstance(q, ast.ConstantScoreQuery):
             # wrappers.py:147-183: ListMatcher over the child's ids with a
-            # constant weight — the child's stats join is dropped entirely
-            ids = self._compile_ids(q.child, stats).distinct()
+            # constant weight — the child's stats join is dropped entirely.
+            # apply_deletes=True: these ids ARE the result rows, so
+            # tombstoned docs must be filtered here (r3 ADVICE, high)
+            ids = self._compile_ids(q.child, stats, apply_deletes=True).distinct()
             return boost(
                 ids.select("docid", F.lit(float(q.score)).alias("score")), q.boost
             )

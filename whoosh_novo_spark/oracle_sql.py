@@ -155,7 +155,7 @@ def boosted_term_topk(term: str, k: int = 10) -> str:
     flq = quantized_len_sql("doclens.dl", "duckdb")
     return f"""WITH toks AS (
   SELECT doc_id, t AS term, (1 + length(t) % 3)::DOUBLE AS boost
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents)
   WHERE t <> ''
 ),
 postings AS (

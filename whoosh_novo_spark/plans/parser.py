@@ -411,14 +411,20 @@ class QueryParser:
             return q
 
     def _fan_multifield(self, build) -> ast.Query:
-        """Or of per-field copies of an unfielded leaf; the configured
-        field boost overrides the leaf's own (set_boost default 1.0)."""
+        """Or of per-field copies of an unfielded leaf.  The configured
+        field boost MULTIPLIES the leaf's own parsed boost (the reference
+        applies BoostPlugin, priority 510, after MultifieldPlugin, 110 —
+        so a user's trailing caret in 'term^5' survives on top of the
+        field boost; r3 ADVICE)."""
         kids = []
         for f in self.multifield:
             q = build(self._resolve(f))
             if isinstance(q, ast.NullQuery):
                 continue
-            kids.append(self._set_boost(q, self.field_boosts.get(f, 1.0)))
+            leaf_boost = float(getattr(q, "boost", 1.0) or 1.0)
+            kids.append(
+                self._set_boost(q, leaf_boost * self.field_boosts.get(f, 1.0))
+            )
         if not kids:
             return ast.NULL
         if len(kids) == 1:
