@@ -605,13 +605,15 @@ def q_embedding_dup(spark, sf_dir):
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    """LSH same-bucket near-dup pairs at tau=0.9 — the SCALE path for
-    embedding dedup (VERDICT r2 weak #1).  The raw embeddings have no
-    pairs above cos 0.51, so near-dup clusters are PLANTED deterministically:
-    two positively-scaled copies of each of the first 40 vectors.  Scaling
-    preserves direction exactly, so every planted pair provably shares its
-    sign-bit bucket (no flaky LSH misses) and the exact all-pairs SQL is a
-    sound oracle for the LSH result."""
+    """BANDED sign-LSH near-dup pairs at tau=0.9 — the SCALE path for
+    embedding dedup (r4: OR-of-16-bands x 8 planes, exact-cosine verify;
+    recall ~0.98 at cos 0.85-0.95, gated by pytest
+    test_banded_near_dup_recall_on_noisy_pairs on NOISY planted pairs).
+    The raw embeddings have no pairs above cos 0.51, so near-dup clusters
+    are PLANTED deterministically here: two positively-scaled copies of
+    each of the first 40 vectors.  Scaling preserves direction exactly, so
+    every planted pair shares every band's code (no flaky LSH misses) and
+    the exact all-pairs SQL is a sound oracle for the LSH result."""
     from whoosh_novo_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).where(

@@ -285,3 +285,79 @@ def test_lsh_near_dup_equals_exact_on_planted_parallels(spark):
     }
     assert lsh == exact
     assert len(exact) == 90  # 3 pairs per planted triple
+
+
+def test_banded_near_dup_recall_on_noisy_pairs(spark):
+    """VERDICT r3 task #1: recall >= 0.9 on NOISY planted near-dups
+    (cos in [0.85, 0.95], NOT exact scalar copies).  The single-table
+    sign-LSH this replaced had recall ~0.21-0.29 here (P(all 8 bits
+    agree) = (1-theta/pi)^8); OR-of-16-bands lifts it to ~0.98.
+    Precision stays exact (every candidate is cosine-verified)."""
+    import numpy as np
+
+    from whoosh_novo_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(99)
+    dim, n_pairs, n_background = 32, 60, 300
+    rows, planted = [], []
+    for i in range(n_pairs):
+        x = rng.standard_normal(dim)
+        x /= np.linalg.norm(x)
+        # partner at a chosen cosine: y = x + t*u (u unit, orthogonal
+        # to x) has cos(x, y) = 1/sqrt(1+t^2)
+        target = rng.uniform(0.85, 0.95)
+        u = rng.standard_normal(dim)
+        u -= (u @ x) * x
+        u /= np.linalg.norm(u)
+        t = np.sqrt(1.0 / target**2 - 1.0)
+        y = x + t * u
+        a, b = 2 * i, 2 * i + 1
+        rows.append((a, [float(v) for v in x]))
+        rows.append((b, [float(v) for v in y]))
+        planted.append((a, b))
+    for j in range(n_background):
+        g = rng.standard_normal(dim)
+        rows.append((10000 + j, [float(v) for v in g]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(emb, tau=0.85, seed=42).collect()
+    }
+    # precision is exact by construction: every reported pair's true
+    # cosine must clear tau
+    vec = {i: np.asarray(v) for i, v in rows}
+    for a, b in got:
+        c = float(vec[a] @ vec[b] / (np.linalg.norm(vec[a]) * np.linalg.norm(vec[b])))
+        assert round(c, 6) >= 0.85, (a, b, c)
+    hits = sum((a, b) in got for a, b in planted)
+    recall = hits / n_pairs
+    assert recall >= 0.9, (recall, n_pairs - hits)
+
+
+def test_exact_duplicates_capped_pathological_group(spark):
+    """VERDICT r3 #3: one boilerplate text duplicated 10^6 times must not
+    build a multi-GB collect_list row.  max_ids bounds the per-group
+    array BEFORE the collect agg; n still counts the whole group; and
+    the array-free exact_duplicate_stats path needs only (n, min(id))."""
+    from whoosh_novo_spark.operators.dedup import (
+        exact_duplicate_stats,
+        exact_duplicates,
+    )
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate page text repeated everywhere").alias("text"),
+    )
+    row = exact_duplicates(docs, max_ids=10).collect()[0]
+    assert row["n"] == n
+    assert row["ids"] == list(range(10))  # capped, sorted, keep-first head
+    st = exact_duplicate_stats(docs).collect()[0]
+    assert (st["n"], st["keep"]) == (n, 0)
+    # uncapped default on a small group is unchanged
+    small = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc")], "doc_id long, text string"
+    )
+    got = {r["fp"]: r["ids"] for r in exact_duplicates(small).collect()}
+    assert list(got.values()) == [[1, 2]]

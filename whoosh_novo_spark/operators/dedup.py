@@ -28,13 +28,60 @@ from pyspark.sql import functions as F
 from whoosh_novo_spark.functions.textstats import fingerprint, hash64, tokens_sql
 
 
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids: int | None = None,
+) -> DataFrame:
     """Groups of docs with identical normalized token streams.
-    Returns (fp, n, ids sorted) for groups with n >= 2."""
+    Returns (fp, n, ids sorted) for groups with n >= 2.
+
+    ``max_ids`` bounds the per-group array for the 100 TB path (VERDICT
+    r3 #3: a boilerplate page duplicated 10^7 times must not become one
+    multi-GB row).  The cap is applied BEFORE the collect aggregation
+    (rank-filter inside the same shuffle), so the agg buffer itself is
+    bounded — a post-hoc slice() would still materialize the full array.
+    ``n`` always counts the whole group.  For keep-first dedup at scale
+    use ``exact_duplicate_stats`` (no arrays at all)."""
+    fp = docs.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    if max_ids is None:
+        return (
+            fp.groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sort_array(F.collect_list("id")).alias("ids"),
+            )
+            .where(F.col("n") >= 2)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("id")
+    ranked = fp.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("id")))
+            ).alias("ids"),
+        )
+        .where(F.col("n") >= 2)
+    )
+
+
+def exact_duplicate_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Array-free exact-dup summary for the scale path: (fp, n, keep)
+    with keep = min(id) — everything keep-first dedup needs.  Pure
+    hash-groupBy with map-side partial aggregation; no per-group state
+    beyond two scalars, so pathological boilerplate groups cost O(1)
+    memory."""
     fp = docs.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
     return (
         fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("keep"))
         .where(F.col("n") >= 2)
     )
 
