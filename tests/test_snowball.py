@@ -1,0 +1,126 @@
+"""Snowball stemmer + LanguageAnalyzer parity vs the reference.
+
+The stemmers (functions/snowball.py) are clean-room implementations of
+the published Snowball algorithms whose parity target is the
+reference's NLTK-derived port (src/whoosh/lang/snowball/*); these
+goldens compare word-for-word over suffix-rich constructed vocabulary
+plus seeded random words (which flush out region/edge-case quirks the
+dictionaries miss)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from whoosh_novo_spark.functions import snowball as sb
+from whoosh_novo_spark.functions.analysis import ANALYZERS
+from whoosh_novo_spark.functions.stopwords import STOPWORDS
+
+LANGS = ("en", "de", "fr", "es")
+
+_ALPHA = {
+    "en": "abcdefghijklmnopqrstuvwxyy'e",
+    "de": "abcdefghijklmnopqrstuvwxyzaeiouäöüß",
+    "fr": "abcdefghijklmnopqrstuvwxyzaeiouâàëéêèïîôûùçy",
+    "es": "abcdefghijklmnopqrstuvwxyzaeiouáéíóúüñy",
+}
+
+_BASES = (
+    "p", "pr", "pro", "gro", "grop", "atre", "ou", "au", "e", "a", "qu",
+    "gener", "commun", "arsen", "ver", "verhaeltnis", "aktion", "par",
+    "col", "tap", "niss", "lo", "u", "abo", "abil", "log", "ic", "iv",
+    "at", "gu", "agu", "virgu", "oo", "ayo", "uy", "pluie", "essaye",
+    "hopp", "hop", "ski", "cri", "beau", "trait",
+)
+
+_SUFFIXES = {
+    "de": ("ern", "em", "er", "en", "es", "e", "s", "est", "st", "isch",
+           "lich", "heit", "keit", "end", "ung", "ig", "ik", "nisse",
+           "nisses", "erung", "igung", "lichkeit", "igkeit"),
+    "es": sb._ES_STEP0 + sb._ES_STEP1 + sb._ES_STEP2A + sb._ES_STEP2B
+    + sb._ES_STEP3,
+    "fr": tuple(s.lower() for s in sb._FR_STEP1 + sb._FR_STEP2A
+                + sb._FR_STEP2B + sb._FR_STEP4),
+    "en": ("'s'", "'s", "'", "sses", "ied", "ies", "us", "ss", "s",
+           "eedly", "ingly", "edly", "eed", "ing", "ed")
+    + sb._EN_STEP2 + sb._EN_STEP3 + sb._EN_STEP4 + ("e", "l"),
+}
+
+
+def _vocab(lang: str, n_random: int = 5000) -> list[str]:
+    rng = random.Random(0xC0FFEE + hash(lang) % 1000)
+    vocab = set()
+    for b in _BASES:
+        for s in _SUFFIXES[lang]:
+            vocab.add(b + s)
+            vocab.add(b + s + s)
+    for _ in range(n_random):
+        n = rng.randint(1, 12)
+        vocab.add("".join(rng.choice(_ALPHA[lang]) for _ in range(n)))
+    return sorted(vocab)
+
+
+@pytest.mark.parametrize("lang", LANGS)
+def test_stemmer_golden_vs_reference(whoosh_ref, lang):
+    from whoosh.lang.snowball import classes as ref_classes
+
+    ref = ref_classes[lang]().stem
+    ours = sb.SNOWBALL_STEMMERS[lang]
+    mismatches = [
+        (w, ref(w), ours(w)) for w in _vocab(lang) if ref(w) != ours(w)
+    ]
+    assert mismatches == [], mismatches[:10]
+
+
+@pytest.mark.parametrize("lang", LANGS)
+def test_stopword_lists_match_reference(whoosh_ref, lang):
+    from whoosh.lang.stopwords import stoplists
+
+    assert STOPWORDS[lang] == frozenset(stoplists[lang])
+
+
+SAMPLE_TEXTS = [
+    "Die Katzen liefen schneller als die Hunde der Nachbarn",
+    "Les chevaux mangeaient rapidement des pommes délicieuses",
+    "Las organizaciones trabajaban lentamente con los clientes",
+    "The organizations were quickly running comprehensive benchmarks",
+    "MiXeD case 42 tokens with-dashes and_underscores",
+    "",
+]
+
+
+@pytest.mark.parametrize("lang", LANGS + ("zh",))
+def test_language_analyzer_parity(whoosh_ref, lang):
+    """ANALYZERS['lang_x'] == reference LanguageAnalyzer(x), tokens AND
+    positions (the zh chain degrades to tokenize+lower on both sides:
+    no stop list, no stemmer)."""
+    from whoosh.analysis import LanguageAnalyzer
+
+    ana = LanguageAnalyzer(lang)
+    batch = ANALYZERS[f"lang_{lang}"](pd.Series(SAMPLE_TEXTS))
+    ours: list[list[tuple]] = [[] for _ in SAMPLE_TEXTS]
+    for r, t, p in zip(batch.row, batch.term, batch.pos):
+        ours[r].append((t, int(p)))
+    for text, got in zip(SAMPLE_TEXTS, ours):
+        want = [(t.text, t.pos) for t in ana(text, positions=True)]
+        assert got == want, (lang, text, got, want)
+
+
+def test_language_analyzer_registry_aliases():
+    from whoosh_novo_spark.functions.analysis import language_analyzer
+
+    assert language_analyzer("german") == "lang_de"
+    assert language_analyzer("fr") == "lang_fr"
+    assert sb.stemmer_for_language("nosuch") is None
+
+
+def test_driver_stem_map_pinned():
+    """The lang_stem_topk oracle's literal stem map must match the live
+    German stemmer over the corpus's closed vocabulary (the pin makes
+    the DuckDB oracle self-contained; this test keeps it honest)."""
+    import __spark_entry__ as entry
+
+    for tok, stemmed in entry._LANG_STEM_MAP_PINNED.items():
+        assert sb.stem_de(tok) == stemmed, tok

@@ -695,6 +695,51 @@ CHAR_ANALYZERS = {
 }
 
 
+def make_language_analyzer_batch(lang: str):
+    """LanguageAnalyzer(lang) (reference analyzers.py:296-339):
+    RegexTokenizer | LowercaseFilter | StopFilter(lang list, minsize=2)
+    | StemFilter(snowball stemmer).  A language without a stop list or
+    stemmer simply omits that stage (the reference catches
+    NoStopWords/NoStemmer), so e.g. "zh" degrades to tokenize+lower."""
+    from whoosh_novo_spark.functions.snowball import (
+        stem_array_lang,
+        stemmer_for_language,
+        two_letter_code,
+    )
+    from whoosh_novo_spark.functions.stopwords import STOPWORDS
+
+    code = two_letter_code(lang)
+    lang_stops = STOPWORDS.get(code)
+    # StopFilter(lang=...) MERGES the language list into the default
+    # English stoplist (filters.py:397-404: stops.update(stoplist);
+    # stops.update(lang words)); a language with no list at all skips
+    # the stop stage entirely (NoStopWords caught in LanguageAnalyzer)
+    stops = None if lang_stops is None else frozenset(STOP_WORDS | lang_stops)
+    has_stem = stemmer_for_language(code) is not None
+
+    def run(texts: pd.Series) -> TokenBatch:
+        if stops is not None:
+            tb = standard_analyze_batch(texts, stops=stops)
+        else:
+            tb = simple_analyze_batch(texts)
+        if has_stem and len(tb.term):
+            tb = TokenBatch(tb.row, stem_array_lang(tb.term, code), tb.pos, tb.n_rows)
+        return tb
+
+    return run
+
+
+def language_analyzer(lang: str) -> str:
+    """Register (idempotently) and return the ANALYZERS key for a
+    LanguageAnalyzer chain, e.g. ``FieldConfig(analyzer=language_analyzer("de"))``."""
+    from whoosh_novo_spark.functions.snowball import two_letter_code
+
+    key = f"lang_{two_letter_code(lang)}"
+    if key not in ANALYZERS:
+        ANALYZERS[key] = make_language_analyzer_batch(lang)
+    return key
+
+
 ANALYZERS = {
     "standard": standard_analyze_batch,
     "simple": simple_analyze_batch,
@@ -707,6 +752,12 @@ ANALYZERS = {
     "biword_standard": biword_standard_analyze_batch,
     "delimited_boost": delimited_boost_analyze_batch,
 }
+
+# LanguageAnalyzer chains for the corpus languages (lang_* keys are also
+# registered on demand by language_analyzer())
+for _lang in ("en", "de", "fr", "es", "zh"):
+    ANALYZERS[f"lang_{_lang}"] = make_language_analyzer_batch(_lang)
+del _lang
 
 
 def analyze_query_terms(text: str, analyzer: str = "standard") -> list[str]:

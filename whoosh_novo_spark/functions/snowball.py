@@ -1,0 +1,873 @@
+"""Clean-room Snowball-family stemmers: English (porter2), German,
+French, Spanish.
+
+Written from the published Snowball algorithm descriptions
+(https://snowballstem.org/algorithms/).  The parity target, however, is
+the reference engine's NLTK-derived port
+(src/whoosh/lang/snowball/{english,german,french,spanish}.py), which
+deviates from the official algorithms in several well-known ways; we
+replicate the PORT's behavior so indexed tokens match the reference
+token-for-token (golden-gated in tests/test_snowball.py).  Port quirks
+we reproduce on purpose are flagged inline with "port quirk:".  No code
+is copied — behavior only.
+
+State model: each stemmer tracks the candidate regions R1/R2 (and RV
+for the Romance languages) as plain strings that shrink in tandem with
+the word, because several port quirks are only expressible that way
+(e.g. porter2's r2 fallback to "e" when a rewrite underruns the
+region).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------- regions
+
+
+def _std_regions(w: str, vowels: str) -> tuple[str, str]:
+    """Standard snowball R1/R2: region after the first non-vowel that
+    follows a vowel; R2 likewise within R1 (snowballstem.org/texts/r1r2)."""
+    reg1 = ""
+    for i in range(1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            reg1 = w[i + 1 :]
+            break
+    reg2 = ""
+    for i in range(1, len(reg1)):
+        if reg1[i] not in vowels and reg1[i - 1] in vowels:
+            reg2 = reg1[i + 1 :]
+            break
+    return reg1, reg2
+
+
+def _std_rv(w: str, vowels: str) -> str:
+    """Standard RV (Spanish).  port quirk: the 'first two letters are
+    vowels' test is written ``word[:2] in vowels`` — a SUBSTRING
+    membership test against the vowel string, so it is True only when
+    the two letters appear adjacently inside the vowel alphabet (e.g.
+    'ei', 'io', 'ou'), not for arbitrary vowel pairs.  We replicate it."""
+    rvr = ""
+    if len(w) >= 2:
+        if w[1] not in vowels:
+            for i in range(2, len(w)):
+                if w[i] in vowels:
+                    rvr = w[i + 1 :]
+                    break
+        elif w[:2] in vowels:  # port quirk (see docstring)
+            for i in range(2, len(w)):
+                if w[i] not in vowels:
+                    rvr = w[i + 1 :]
+                    break
+        else:
+            rvr = w[3:]
+    return rvr
+
+
+# --------------------------------------------------------------- german
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_ENDING = "bdfghklmnrt"
+_DE_ST_ENDING = "bdfghklmnt"
+
+
+def stem_de(word: str) -> str:
+    """German Snowball (snowballstem.org/algorithms/german/)."""
+    w = word.lower().replace("ß", "ss")
+
+    # u/y between vowels act as consonants — mark with uppercase.  The
+    # scan reads the MUTATED string (port behavior): a just-marked 'U'
+    # is no longer a vowel for the next position's left-neighbor test.
+    cs = list(w)
+    for i in range(1, len(cs) - 1):
+        if cs[i - 1] in _DE_VOWELS and cs[i + 1] in _DE_VOWELS:
+            if cs[i] == "u":
+                cs[i] = "U"
+            elif cs[i] == "y":
+                cs[i] = "Y"
+    w = "".join(cs)
+
+    reg1, reg2 = _std_regions(w, _DE_VOWELS)
+    # R1 floor: the region before R1 must hold at least 3 letters — but
+    # only applied when a vowel/non-vowel boundary exists at all
+    for i in range(1, len(w)):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            if i + 1 < 3:
+                reg1 = w[3:]
+            break
+
+    # step 1 — first matching suffix wins (list is longest-first)
+    for sfx in ("ern", "em", "er", "en", "es", "e", "s"):
+        if reg1.endswith(sfx):
+            k = len(sfx)
+            if sfx in ("en", "es", "e") and w[-k - 4 : -k] == "niss":
+                # port quirk: 'niss' before the suffix drops one extra
+                # char (the doubled s), e.g. verhaeltnisse -> verhaeltnis
+                w, reg1, reg2 = w[: -k - 1], reg1[: -k - 1], reg2[: -k - 1]
+            elif sfx == "s":
+                if w[-2] in _DE_S_ENDING:
+                    w, reg1, reg2 = w[:-1], reg1[:-1], reg2[:-1]
+            else:
+                w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+            break
+
+    # step 2
+    for sfx in ("est", "en", "er", "st"):
+        if reg1.endswith(sfx):
+            if sfx == "st":
+                if w[-3] in _DE_ST_ENDING and len(w) >= 6:
+                    w, reg1, reg2 = w[:-2], reg1[:-2], reg2[:-2]
+            else:
+                k = len(sfx)
+                w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+            break
+
+    # step 3 — derivational (d-) suffixes
+    for sfx in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if reg2.endswith(sfx):
+            k = len(sfx)
+            if sfx in ("end", "ung"):
+                if "ig" in reg2[-k - 2 : -k] and "e" not in reg2[-k - 3 : -k - 2]:
+                    w = w[: -k - 2]
+                else:
+                    w = w[:-k]
+            elif sfx in ("ig", "ik", "isch"):
+                if "e" not in reg2[-k - 1 : -k]:
+                    w = w[:-k]
+            elif sfx in ("lich", "heit"):
+                if "er" in reg1[-k - 2 : -k] or "en" in reg1[-k - 2 : -k]:
+                    w = w[: -k - 2]
+                else:
+                    w = w[:-k]
+            else:  # keit
+                if "lich" in reg2[-k - 4 : -k]:
+                    w = w[: -k - 4]
+                elif "ig" in reg2[-k - 2 : -k]:
+                    w = w[: -k - 2]
+                else:
+                    w = w[:-k]
+            break
+
+    # unumlaut and unmark
+    for a, b in (
+        ("ä", "a"),
+        ("ö", "o"),
+        ("ü", "u"),
+        ("U", "u"),
+        ("Y", "y"),
+    ):
+        w = w.replace(a, b)
+    return w
+
+
+# --------------------------------------------------------------- spanish
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+_ES_STEP0 = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_STEP1 = (
+    "amientos", "imientos", "amiento", "imiento", "aciones", "uciones",
+    "adoras", "adores", "ancias", "logías", "encias", "amente",
+    "idades", "anzas", "ismos", "ables", "ibles", "istas", "adora",
+    "ación", "antes", "ancia", "logía", "ución", "encia",
+    "mente", "anza", "icos", "icas", "ismo", "able", "ible", "ista",
+    "osos", "osas", "ador", "ante", "idad", "ivas", "ivos", "ico",
+    "ica", "oso", "osa", "iva", "ivo",
+)
+_ES_STEP2A = (
+    "yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+    "ya", "ye", "yo", "yó",
+)
+_ES_STEP2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos",
+    "iésemos", "aríais", "aremos", "eríais", "eremos",
+    "iríais", "iremos", "ierais", "ieseis", "asteis", "isteis",
+    "ábamos", "áramos", "ásemos", "arían",
+    "arías", "aréis", "erían", "erías", "eréis",
+    "irían", "irías", "iréis", "ieran", "iesen", "ieron",
+    "iendo", "ieras", "ieses", "abais", "arais", "aseis", "éamos",
+    "arán", "arás", "aría", "erán", "erás",
+    "ería", "irán", "irás", "iría", "iera", "iese",
+    "aste", "iste", "aban", "aran", "asen", "aron", "ando", "abas",
+    "adas", "idas", "aras", "ases", "íais", "ados", "idos", "amos",
+    "imos", "emos", "ará", "aré", "erá", "eré",
+    "irá", "iré", "aba", "ada", "ida", "ara", "ase",
+    "ían", "ado", "ido", "ías", "áis", "éis",
+    "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir",
+    "as", "ís", "en", "es",
+)
+_ES_STEP3 = ("os", "a", "e", "o", "á", "é", "í", "ó")
+
+_ES_GERUNDS_ACC = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_GERUNDS_PLAIN = ("ando", "iendo", "ar", "er", "ir")
+
+
+def _es_deaccent(s: str) -> str:
+    return (
+        s.replace("á", "a").replace("é", "e").replace("í", "i")
+    )
+
+
+def stem_es(word: str) -> str:
+    """Spanish Snowball (snowballstem.org/algorithms/spanish/)."""
+    w = word.lower()
+    step1_hit = False
+
+    reg1, reg2 = _std_regions(w, _ES_VOWELS)
+    rvr = _std_rv(w, _ES_VOWELS)
+
+    # step 0 — attached pronouns.  port quirk: the loop breaks on the
+    # first suffix the WORD ends with, even when the RV gate then fails
+    # (official algorithm keeps looking)
+    for sfx in _ES_STEP0:
+        if w.endswith(sfx):
+            k = len(sfx)
+            if rvr.endswith(sfx):
+                if rvr[:-k].endswith(_ES_GERUNDS_ACC):
+                    # port quirk: the de-accenting hits the WHOLE word,
+                    # not just the gerund ending
+                    w = _es_deaccent(w[:-k])
+                    reg1 = _es_deaccent(reg1[:-k])
+                    reg2 = _es_deaccent(reg2[:-k])
+                    rvr = _es_deaccent(rvr[:-k])
+                elif rvr[:-k].endswith(_ES_GERUNDS_PLAIN) or (
+                    rvr[:-k].endswith("yendo") and w[:-k].endswith("uyendo")
+                ):
+                    w, reg1, reg2, rvr = w[:-k], reg1[:-k], reg2[:-k], rvr[:-k]
+            break
+
+    # step 1 — standard suffixes
+    for sfx in _ES_STEP1:
+        if w.endswith(sfx):
+            k = len(sfx)
+            if sfx == "amente" and reg1.endswith(sfx):
+                step1_hit = True
+                w, reg2, rvr = w[:-6], reg2[:-6], rvr[:-6]
+                if reg2.endswith("iv"):
+                    w, reg2, rvr = w[:-2], reg2[:-2], rvr[:-2]
+                    if reg2.endswith("at"):
+                        w, rvr = w[:-2], rvr[:-2]
+                elif reg2.endswith(("os", "ic", "ad")):
+                    w, rvr = w[:-2], rvr[:-2]
+            elif reg2.endswith(sfx):
+                step1_hit = True
+                if sfx in (
+                    "adora", "ador", "ación", "adoras", "adores",
+                    "aciones", "ante", "antes", "ancia", "ancias",
+                ):
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    if reg2.endswith("ic"):
+                        w, rvr = w[:-2], rvr[:-2]
+                elif sfx in ("logía", "logías"):
+                    # port quirk: str.replace hits EVERY occurrence
+                    w = w.replace(sfx, "log")
+                    rvr = rvr.replace(sfx, "log")
+                elif sfx in ("ución", "uciones"):
+                    w = w.replace(sfx, "u")
+                    rvr = rvr.replace(sfx, "u")
+                elif sfx in ("encia", "encias"):
+                    w = w.replace(sfx, "ente")
+                    rvr = rvr.replace(sfx, "ente")
+                elif sfx == "mente":
+                    w, reg2, rvr = w[:-5], reg2[:-5], rvr[:-5]
+                    if reg2.endswith(("ante", "able", "ible")):
+                        w, rvr = w[:-4], rvr[:-4]
+                elif sfx in ("idad", "idades"):
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    # port quirk: EVERY matching pre-suffix is removed
+                    # in sequence, not just the first
+                    for pre in ("abil", "ic", "iv"):
+                        if reg2.endswith(pre):
+                            w, rvr = w[: -len(pre)], rvr[: -len(pre)]
+                elif sfx in ("ivo", "iva", "ivos", "ivas"):
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    if reg2.endswith("at"):
+                        w, rvr = w[:-2], rvr[:-2]
+                else:
+                    w, rvr = w[:-k], rvr[:-k]
+            break
+
+    if not step1_hit:
+        # step 2a — verb suffixes beginning with y (preceded by u)
+        hit2a = False
+        for sfx in _ES_STEP2A:
+            if rvr.endswith(sfx) and w[-len(sfx) - 1 : -len(sfx)] == "u":
+                w, rvr = w[: -len(sfx)], rvr[: -len(sfx)]
+                hit2a = True
+                break
+        # step 2b — other verb suffixes.  port quirk: 2b runs even after
+        # a 2a hit (official algorithm stops); kept for parity
+        del hit2a
+        for sfx in _ES_STEP2B:
+            if rvr.endswith(sfx):
+                k = len(sfx)
+                w, rvr = w[:-k], rvr[:-k]
+                if sfx in ("en", "es", "éis", "emos"):
+                    if w.endswith("gu"):
+                        w = w[:-1]
+                    if rvr.endswith("gu"):
+                        rvr = rvr[:-1]
+                break
+
+    # step 3 — residual suffix
+    for sfx in _ES_STEP3:
+        if rvr.endswith(sfx):
+            k = len(sfx)
+            if sfx in ("e", "é"):
+                w, rvr = w[:-k], rvr[:-k]
+                if len(w) >= 2 and w[-2:] == "gu" and rvr and rvr[-1] == "u":
+                    w = w[:-1]
+            else:
+                w = w[:-k]
+            break
+
+    return (
+        w.replace("á", "a").replace("é", "e").replace("í", "i")
+        .replace("ó", "o").replace("ú", "u")
+    )
+
+
+# --------------------------------------------------------------- french
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+_FR_STEP1 = (
+    "issements", "issement", "atrices", "atrice", "ateurs", "ations",
+    "logies", "usions", "utions", "ements", "amment", "emment", "ances",
+    "iqUes", "ismes", "ables", "istes", "ateur", "ation", "logie",
+    "usion", "ution", "ences", "ement", "euses", "ments", "ance",
+    "iqUe", "isme", "able", "iste", "ence", "ités", "ives", "eaux",
+    "euse", "ment", "eux", "ité", "ive", "ifs", "aux", "if",
+)
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez",
+    "issons", "irais", "irait", "irent", "iriez", "irons", "iront",
+    "isses", "issez", "îmes", "îtes", "irai", "iras", "irez",
+    "isse", "ies", "ira", "ît", "ie", "ir", "is", "it", "i",
+)
+_FR_STEP2B = (
+    "eraIent", "assions", "erions", "assent", "assiez", "èrent",
+    "erais", "erait", "eriez", "erons", "eront", "aIent", "antes",
+    "asses", "ions", "erai", "eras", "erez", "âmes", "âtes",
+    "ante", "ants", "asse", "ées", "era", "iez", "ais", "ait",
+    "ant", "ée", "és", "er", "ez", "ât", "ai", "as",
+    "é", "a",
+)
+_FR_STEP2B_ER = (
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez",
+    "erons", "eront", "erai", "eras", "erez", "ées", "era", "iez",
+    "ée", "és", "er", "ez", "é",
+)
+_FR_STEP2B_A = (
+    "assions", "assent", "assiez", "aIent", "antes", "asses",
+    "âmes", "âtes", "ante", "ants", "asse", "ais", "ait", "ant",
+    "ât", "ai", "as", "a",
+)
+_FR_STEP4 = ("ière", "Ière", "ion", "ier", "Ier", "e", "ë")
+
+
+def _fr_rv(w: str) -> str:
+    """French RV: after the third letter when the word starts with two
+    vowels (or the exceptional par/col/tap prefixes), else after the
+    first vowel not at position 0."""
+    rvr = ""
+    if len(w) >= 2:
+        if w.startswith(("par", "col", "tap")) or (
+            w[0] in _FR_VOWELS and w[1] in _FR_VOWELS
+        ):
+            rvr = w[3:]
+        else:
+            for i in range(1, len(w)):
+                if w[i] in _FR_VOWELS:
+                    rvr = w[i + 1 :]
+                    break
+    return rvr
+
+
+def stem_fr(word: str) -> str:  # noqa: C901
+    """French Snowball (snowballstem.org/algorithms/french/).
+
+    port quirk (pervasive): most region gates test substring
+    CONTAINMENT (``sfx in reg2``) instead of endswith, and locate the
+    suffix with rindex; we replicate both."""
+    w = word.lower()
+    step1_hit = False
+    rv_hit = False
+    step2a_hit = False
+    step2b_hit = False
+
+    # mark u after q; u/i between vowels; y adjacent to a vowel.  All
+    # scans read the mutating string (port behavior).
+    cs = list(w)
+    for i in range(1, len(cs)):
+        if cs[i - 1] == "q" and cs[i] == "u":
+            cs[i] = "U"
+    for i in range(1, len(cs) - 1):
+        if cs[i - 1] in _FR_VOWELS and cs[i + 1] in _FR_VOWELS:
+            if cs[i] == "u":
+                cs[i] = "U"
+            elif cs[i] == "i":
+                cs[i] = "I"
+        if (cs[i - 1] in _FR_VOWELS or cs[i + 1] in _FR_VOWELS) and cs[i] == "y":
+            cs[i] = "Y"
+    w = "".join(cs)
+
+    reg1, reg2 = _std_regions(w, _FR_VOWELS)
+    rvr = _fr_rv(w)
+
+    # step 1 — standard suffixes
+    for sfx in _FR_STEP1:
+        if w.endswith(sfx):
+            k = len(sfx)
+            if sfx == "eaux":
+                w = w[:-1]
+                step1_hit = True
+            elif sfx in ("euse", "euses"):
+                if sfx in reg2:
+                    w = w[:-k]
+                    step1_hit = True
+                elif sfx in reg1:
+                    w = w[:-k] + "eux"
+                    step1_hit = True
+            elif sfx in ("ement", "ements") and sfx in rvr:
+                w = w[:-k]
+                step1_hit = True
+                if w[-2:] == "iv" and "iv" in reg2:
+                    w = w[:-2]
+                    if w[-2:] == "at" and "at" in reg2:
+                        w = w[:-2]
+                elif w[-3:] == "eus":
+                    if "eus" in reg2:
+                        w = w[:-3]
+                    elif "eus" in reg1:
+                        w = w[:-1] + "x"
+                elif w[-3:] in ("abl", "iqU"):
+                    if "abl" in reg2 or "iqU" in reg2:
+                        w = w[:-3]
+                elif w[-3:] in ("ièr", "Ièr"):
+                    if "ièr" in rvr or "Ièr" in rvr:
+                        w = w[:-3] + "i"
+            elif sfx == "amment" and sfx in rvr:
+                w = w[:-6] + "ant"
+                rvr = rvr[:-6] + "ant"
+                rv_hit = True
+            elif sfx == "emment" and sfx in rvr:
+                w = w[:-6] + "ent"
+                rv_hit = True
+            elif (
+                sfx in ("ment", "ments")
+                and sfx in rvr
+                and not rvr.startswith(sfx)
+                and rvr[rvr.rindex(sfx) - 1] in _FR_VOWELS
+            ):
+                w, rvr = w[:-k], rvr[:-k]
+                rv_hit = True
+            elif sfx == "aux" and sfx in reg1:
+                w = w[:-2] + "l"
+                step1_hit = True
+            elif (
+                sfx in ("issement", "issements")
+                and sfx in reg1
+                and w[-k - 1] not in _FR_VOWELS
+            ):
+                w = w[:-k]
+                step1_hit = True
+            elif (
+                sfx in (
+                    "ance", "iqUe", "isme", "able", "iste", "eux",
+                    "ances", "iqUes", "ismes", "ables", "istes",
+                )
+                and sfx in reg2
+            ):
+                w = w[:-k]
+                step1_hit = True
+            elif (
+                sfx in ("atrice", "ateur", "ation", "atrices", "ateurs", "ations")
+                and sfx in reg2
+            ):
+                w = w[:-k]
+                step1_hit = True
+                if w[-2:] == "ic":
+                    if "ic" in reg2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+            elif sfx in ("logie", "logies") and sfx in reg2:
+                w = w[:-k] + "log"
+                step1_hit = True
+            elif sfx in ("usion", "ution", "usions", "utions") and sfx in reg2:
+                w = w[:-k] + "u"
+                step1_hit = True
+            elif sfx in ("ence", "ences") and sfx in reg2:
+                w = w[:-k] + "ent"
+                step1_hit = True
+            elif sfx in ("ité", "ités") and sfx in reg2:
+                w = w[:-k]
+                step1_hit = True
+                if w[-4:] == "abil":
+                    if "abil" in reg2:
+                        w = w[:-4]
+                    else:
+                        w = w[:-2] + "l"
+                elif w[-2:] == "ic":
+                    if "ic" in reg2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w[-2:] == "iv":
+                    if "iv" in reg2:
+                        w = w[:-2]
+            elif sfx in ("if", "ive", "ifs", "ives") and sfx in reg2:
+                w = w[:-k]
+                step1_hit = True
+                if w[-2:] == "at" and "at" in reg2:
+                    w = w[:-2]
+                    if w[-2:] == "ic":
+                        if "ic" in reg2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+            break
+
+    if not step1_hit or rv_hit:
+        # step 2a — verb suffixes beginning with i (preceded by a
+        # non-vowel inside RV; located via rindex — port quirk)
+        for sfx in _FR_STEP2A:
+            if w.endswith(sfx):
+                if (
+                    sfx in rvr
+                    and len(rvr) > len(sfx)
+                    and rvr[rvr.rindex(sfx) - 1] not in _FR_VOWELS
+                ):
+                    w = w[: -len(sfx)]
+                    step2a_hit = True
+                break
+
+        if not step2a_hit:
+            # step 2b — other verb suffixes
+            for sfx in _FR_STEP2B:
+                if rvr.endswith(sfx):
+                    k = len(sfx)
+                    if sfx == "ions" and "ions" in reg2:
+                        w = w[:-4]
+                        step2b_hit = True
+                    elif sfx in _FR_STEP2B_ER:
+                        w = w[:-k]
+                        step2b_hit = True
+                    elif sfx in _FR_STEP2B_A:
+                        w, rvr = w[:-k], rvr[:-k]
+                        step2b_hit = True
+                        if rvr.endswith("e"):
+                            w = w[:-1]
+                    # "ions" outside R2 falls through: matched, no
+                    # change, stop scanning (port behavior)
+                    break
+
+    if step1_hit or step2a_hit or step2b_hit:
+        # step 3
+        if w[-1] == "Y":
+            w = w[:-1] + "i"
+        elif w[-1] == "ç":
+            w = w[:-1] + "c"
+    else:
+        # step 4 — residual suffixes
+        if len(w) >= 2 and w[-1] == "s" and w[-2] not in "aiouès":
+            w = w[:-1]
+        for sfx in _FR_STEP4:
+            if w.endswith(sfx):
+                if sfx in rvr:
+                    if sfx == "ion" and sfx in reg2 and rvr[-4] in "st":
+                        w = w[:-3]
+                    elif sfx in ("ier", "ière", "Ier", "Ière"):
+                        w = w[: -len(sfx)] + "i"
+                    elif sfx == "e":
+                        w = w[:-1]
+                    elif sfx == "ë" and w[-3:-1] == "gu":
+                        w = w[:-1]
+                    break
+
+    # step 5 — undouble
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+
+    # step 6 — un-accent the last vowel if it is é/è and not final
+    for i in range(1, len(w)):
+        if w[-i] in _FR_VOWELS:
+            if i != 1 and w[-i] in ("é", "è"):
+                w = w[:-i] + "e" + w[len(w) - i + 1 :]
+            break
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# --------------------------------------------------------------- english
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_ENDING = "cdeghkmnrt"
+
+_EN_SPECIAL = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl", "sky": "sky",
+    "news": "news", "howe": "howe", "atlas": "atlas", "cosmos": "cosmos",
+    "bias": "bias", "andes": "andes", "inning": "inning",
+    "innings": "inning", "outing": "outing", "outings": "outing",
+    "canning": "canning", "cannings": "canning", "herring": "herring",
+    "herrings": "herring", "earring": "earring", "earrings": "earring",
+    "proceed": "proceed", "proceeds": "proceed", "proceeded": "proceed",
+    "proceeding": "proceed", "exceed": "exceed", "exceeds": "exceed",
+    "exceeded": "exceed", "exceeding": "exceed", "succeed": "succeed",
+    "succeeds": "succeed", "succeeded": "succeed", "succeeding": "succeed",
+}
+
+# step 2/3 rewrite tables: suffix -> (replacement, r2 fallback when the
+# region underruns the suffix).  port quirk: the fallback is "" for most
+# rows but "e" for the ate/ive families — an NLTK bug we replicate.
+_EN_STEP2 = (
+    "ization", "ational", "fulness", "ousness", "iveness", "tional",
+    "biliti", "lessli", "entli", "ation", "alism", "aliti", "ousli",
+    "iviti", "fulli", "enci", "anci", "abli", "izer", "ator", "alli",
+    "bli", "ogi", "li",
+)
+_EN_STEP3 = (
+    "ational", "tional", "alize", "icate", "iciti", "ative", "ical",
+    "ness", "ful",
+)
+_EN_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+)
+
+
+def _en_rewrite(w, reg1, reg2, k, repl, r2_fb=""):
+    """Rewrite the k-char suffix to ``repl`` on word/R1/R2 in tandem;
+    a region shorter than the suffix collapses to its fallback."""
+    w = w[:-k] + repl
+    reg1 = reg1[:-k] + repl if len(reg1) >= k else ""
+    reg2 = reg2[:-k] + repl if len(reg2) >= k else r2_fb
+    return w, reg1, reg2
+
+
+def _en_cut(w, reg1, reg2, k):
+    return w[:-k], reg1[:-k], reg2[:-k]
+
+
+def stem_en(word: str) -> str:  # noqa: C901
+    """English Snowball / porter2 (snowballstem.org/algorithms/english/)."""
+    w = word.lower()
+    if w in _EN_SPECIAL:
+        return _EN_SPECIAL[w]
+
+    w = (
+        w.replace("’", "'").replace("‘", "'").replace("‛", "'")
+    )
+    if w.startswith("'"):
+        w = w[1:]
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+    for i in range(1, len(w)):
+        if w[i - 1] in _EN_VOWELS and w[i] == "y":
+            w = w[:i] + "Y" + w[i + 1 :]
+
+    # R1 with the gener-/commun-/arsen- exception
+    if w.startswith(("gener", "commun", "arsen")):
+        reg1 = w[6:] if w.startswith("commun") else w[5:]
+        reg2 = ""
+        for i in range(1, len(reg1)):
+            if reg1[i] not in _EN_VOWELS and reg1[i - 1] in _EN_VOWELS:
+                reg2 = reg1[i + 1 :]
+                break
+    else:
+        reg1, reg2 = _std_regions(w, _EN_VOWELS)
+
+    # step 0 — apostrophe suffixes
+    for sfx in ("'s'", "'s", "'"):
+        if w.endswith(sfx):
+            w, reg1, reg2 = _en_cut(w, reg1, reg2, len(sfx))
+            break
+
+    # step 1a
+    for sfx in ("sses", "ied", "ies", "us", "ss", "s"):
+        if w.endswith(sfx):
+            if sfx == "sses":
+                w, reg1, reg2 = _en_cut(w, reg1, reg2, 2)
+            elif sfx in ("ied", "ies"):
+                cut = 2 if len(w) - len(sfx) > 1 else 1
+                w, reg1, reg2 = _en_cut(w, reg1, reg2, cut)
+            elif sfx == "s":
+                if any(c in _EN_VOWELS for c in w[:-2]):
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 1)
+            # port quirk: 'us'/'ss' are listed but do nothing (they only
+            # stop the scan)
+            break
+
+    # step 1b
+    for sfx in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if w.endswith(sfx):
+            k = len(sfx)
+            if sfx in ("eed", "eedly"):
+                if reg1.endswith(sfx):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ee")
+            elif any(c in _EN_VOWELS for c in w[:-k]):
+                w, reg1, reg2 = _en_cut(w, reg1, reg2, k)
+                if w.endswith(("at", "bl", "iz")):
+                    w += "e"
+                    reg1 += "e"
+                    # port quirk: the r2 'e' is gated on word length OR
+                    # an already-3-char r1 — not on r2 membership
+                    if len(w) > 5 or len(reg1) >= 3:
+                        reg2 += "e"
+                elif w.endswith(_EN_DOUBLES):
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 1)
+                elif (
+                    reg1 == ""
+                    and len(w) >= 3
+                    and w[-1] not in _EN_VOWELS
+                    and w[-1] not in "wxY"
+                    and w[-2] in _EN_VOWELS
+                    and w[-3] not in _EN_VOWELS
+                ) or (
+                    reg1 == ""
+                    and len(w) == 2
+                    and w[0] in _EN_VOWELS
+                    and w[1] not in _EN_VOWELS
+                ):
+                    w += "e"
+                    if reg1:
+                        reg1 += "e"
+                    if reg2:
+                        reg2 += "e"
+            break
+
+    # step 1c — y -> i after a consonant (not word-initial)
+    if len(w) > 2 and w[-1] in "yY" and w[-2] not in _EN_VOWELS:
+        w = w[:-1] + "i"
+        reg1 = reg1[:-1] + "i" if reg1 else ""
+        reg2 = reg2[:-1] + "i" if reg2 else ""
+
+    # step 2
+    for sfx in _EN_STEP2:
+        if w.endswith(sfx):
+            if reg1.endswith(sfx):
+                k = len(sfx)
+                if sfx == "tional":
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 2)
+                elif sfx in ("enci", "anci", "abli"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, 1, "e")
+                elif sfx == "entli":
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 2)
+                elif sfx in ("izer", "ization"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ize")
+                elif sfx in ("ational", "ation", "ator"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ate", "e")
+                elif sfx in ("alism", "aliti", "alli"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "al")
+                elif sfx == "fulness":
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 4)
+                elif sfx in ("ousli", "ousness"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ous")
+                elif sfx in ("iveness", "iviti"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ive", "e")
+                elif sfx in ("biliti", "bli"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ble")
+                elif sfx == "ogi":
+                    if w[-4] == "l":
+                        w, reg1, reg2 = _en_cut(w, reg1, reg2, 1)
+                elif sfx in ("fulli", "lessli"):
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 2)
+                elif sfx == "li":
+                    if w[-3] in _EN_LI_ENDING:
+                        w, reg1, reg2 = _en_cut(w, reg1, reg2, 2)
+            break
+
+    # step 3
+    for sfx in _EN_STEP3:
+        if w.endswith(sfx):
+            if reg1.endswith(sfx):
+                k = len(sfx)
+                if sfx == "tional":
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 2)
+                elif sfx == "ational":
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ate")
+                elif sfx == "alize":
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, 3)
+                elif sfx in ("icate", "iciti", "ical"):
+                    w, reg1, reg2 = _en_rewrite(w, reg1, reg2, k, "ic")
+                elif sfx in ("ful", "ness"):
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, k)
+                elif sfx == "ative":
+                    if reg2.endswith(sfx):
+                        w, reg1, reg2 = _en_cut(w, reg1, reg2, 5)
+            break
+
+    # step 4
+    for sfx in _EN_STEP4:
+        if w.endswith(sfx):
+            if reg2.endswith(sfx):
+                if sfx == "ion":
+                    if w[-4] in "st":
+                        w, reg1, reg2 = _en_cut(w, reg1, reg2, 3)
+                else:
+                    w, reg1, reg2 = _en_cut(w, reg1, reg2, len(sfx))
+            break
+
+    # step 5
+    if reg2.endswith("l") and w[-2] == "l":
+        w = w[:-1]
+    elif reg2.endswith("e"):
+        w = w[:-1]
+    elif reg1.endswith("e"):
+        if len(w) >= 4 and (
+            w[-2] in _EN_VOWELS
+            or w[-2] in "wxY"
+            or w[-3] not in _EN_VOWELS
+            or w[-4] in _EN_VOWELS
+        ):
+            w = w[:-1]
+
+    return w.replace("Y", "y")
+
+
+# --------------------------------------------------------------- registry
+
+SNOWBALL_STEMMERS = {
+    "en": stem_en,
+    "de": stem_de,
+    "fr": stem_fr,
+    "es": stem_es,
+}
+
+LANG_ALIASES = {
+    "eng": "en", "english": "en",
+    "deu": "de", "german": "de", "deutsch": "de",
+    "fra": "fr", "french": "fr", "français": "fr",
+    "spa": "es", "spanish": "es", "español": "es",
+}
+
+
+def two_letter_code(lang: str) -> str:
+    return LANG_ALIASES.get(lang, lang)
+
+
+def stemmer_for_language(lang: str):
+    """Stemming callable for a language code/alias, or None when the
+    language has no stemmer (the reference raises NoStemmer and the
+    LanguageAnalyzer chain simply omits the stem filter)."""
+    return SNOWBALL_STEMMERS.get(two_letter_code(lang))
+
+
+def stem_array_lang(terms: np.ndarray, lang: str) -> np.ndarray:
+    """Vectorized stemming: stem each UNIQUE token once, scatter back
+    (the batch-level equivalent of the reference StemFilter's LRU
+    cache)."""
+    fn = stemmer_for_language(lang)
+    if fn is None or len(terms) == 0:
+        return terms
+    uniq, inv = np.unique(terms, return_inverse=True)
+    stemmed = np.array([fn(u) for u in uniq], dtype=object)
+    return stemmed[inv]
