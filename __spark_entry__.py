@@ -137,6 +137,74 @@ def q_lang_stem(spark, sf_dir):
     )
 
 
+# DoubleMetaphone phonetic index: standard chain -> per-token primary
+# (boost 1.0) + secondary (boost 0.5) codes; weight = summed boosts
+# (boosts=True).  Oracle: pinned literal code map over the closed corpus
+# vocabulary (kept honest by tests/test_phonetic.py::test_driver_dm_map_pinned).
+_DM_MAP_PINNED = {
+    "agg": ("AK", None), "batch": ("PX", None), "big": ("PK", None),
+    "column": ("KLMN", None), "customer": ("KSTMR", None),
+    "data": ("TT", None), "dup": ("TP", None), "fast": ("FST", None),
+    "filter": ("FLTR", None), "group": ("KRP", None), "hash": ("HX", None),
+    "join": ("JN", "AN"), "key": ("K", None), "line": ("LN", None),
+    "merge": ("MRJ", "MRK"), "order": ("ARTR", None), "part": ("PRT", None),
+    "query": ("KR", None), "row": ("R", "RF"), "scan": ("SKN", None),
+    "slow": ("SL", "XLF"), "small": ("SML", "XML"), "sort": ("SRT", None),
+    "spark": ("SPRK", None), "stream": ("STRM", None), "table": ("TPL", None),
+    "value": ("FL", None), "vector": ("FKTR", None),
+    "window": ("ANT", "FNTF"),
+}
+_PHON_CONFIG = IndexConfig(
+    id_col="doc_id",
+    fields=(FieldConfig("text", analyzer="dmetaphone", boosts=True),),
+)
+_PHON_INDEXES: dict[str, Index] = {}
+
+
+def _phonetic_index_for(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = os.path.abspath(sf_dir)
+    if key not in _PHON_INDEXES:
+        ship_package(spark)
+        safe = key.strip("/").replace("/", "_")
+        path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_pix1_{safe}"
+        )
+        store = SegmentStore(path)
+        if store.current_generation() == 0:
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).select("doc_id", "text")
+            build_segment(spark, docs, _PHON_CONFIG, store)
+        _PHON_INDEXES[key] = Index(spark, store, _PHON_CONFIG)
+    return Searcher(_PHON_INDEXES[key])
+
+
+def q_phonetic(spark, sf_dir):
+    """Term query against the DoubleMetaphone code of 'customer'."""
+    return _topk(_phonetic_index_for(spark, sf_dir), _T("KSTMR"))
+
+
+# Wordnet synonym expansion over the standard index: a pinned fixture
+# thesaurus (wn_s.pl prolog format) expands 'data' -> Or(data, row, value);
+# the oracle is the plain 3-term disjunction.
+_WN_FIXTURE = (
+    "s(900000001,1,'data',n,1,0).\n"
+    "s(900000001,2,'row',n,1,0).\n"
+    "s(900000001,3,'value',n,1,0).\n"
+)
+
+
+def q_synonym(spark, sf_dir):
+    """Query-time Thesaurus expansion (lang/wordnet.py surface)."""
+    import io
+
+    from whoosh_novo_spark.functions.wordnet import Thesaurus, expand_synonyms
+
+    thes = Thesaurus.from_file(io.StringIO(_WN_FIXTURE))
+    q = expand_synonyms(_T("data"), thes)
+    return _topk(_index_for(spark, sf_dir), q)
+
+
 def _boosted_index_for(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index over boost-marked-up text (PositionBoosts surface): every
     whitespace token t becomes t^(1+length(t)%3), a derivation the DuckDB
@@ -733,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25_topk": q_term,
         "lang_stem_topk": q_lang_stem,
+        "phonetic_topk": q_phonetic,
+        "synonym_topk": q_synonym,
         "and3_bm25_topk": q_and3,
         "dismax_topk": q_dismax,
         "andnot_topk": q_andnot,
@@ -798,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "term_bm25_topk": osql.topk_term("spark"),
         "lang_stem_topk": osql.lang_stem_topk("custom", "de", _LANG_STEM_MAP_PINNED),
+        "phonetic_topk": osql.phonetic_topk("KSTMR", _DM_MAP_PINNED),
+        "synonym_topk": osql.topk_or(["data", "row", "value"]),
         "and3_bm25_topk": osql.topk_and(["spark", "data", "query"]),
         "dismax_topk": osql.topk_dismax(["spark", "data", "query"]),
         "andnot_topk": osql.topk_andnot("spark", "data"),

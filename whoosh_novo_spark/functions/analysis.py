@@ -760,6 +760,18 @@ for _lang in ("en", "de", "fr", "es", "zh"):
 del _lang
 
 
+def _dmetaphone_analyze_batch(texts: pd.Series) -> TokenBatch:
+    """StandardAnalyzer | DoubleMetaphoneFilter (analysis/morph.py:245) —
+    the name-matching chain: tokens become phonetic codes (primary at
+    boost 1.0, secondary at 0.5)."""
+    from whoosh_novo_spark.functions.phonetic import dmetaphone_filter
+
+    return dmetaphone_filter(standard_analyze_batch(texts))
+
+
+ANALYZERS["dmetaphone"] = _dmetaphone_analyze_batch
+
+
 def analyze_query_terms(text: str, analyzer: str = "standard") -> list[str]:
     """Analyze query text with the same chain (qparser mode='query' uses the
     field analyzer, default.py:206-248). Returns the surviving terms in order."""

@@ -747,6 +747,68 @@ FROM scored WHERE term = '{stem_term}'
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def phonetic_topk(code: str, dm_map: dict[str, tuple], k: int = 10) -> str:
+    """DoubleMetaphone-field BM25 recompute: the standard analysis chain
+    feeds a phonetic expansion — each surviving token emits its primary
+    code at boost 1.0 and its secondary code (when different) at 0.5
+    (analysis/morph.py:245-304); posting weight = sum of boosts,
+    doc length = emitted-token count.  Codes come from ``dm_map``, a
+    PINNED literal over the corpus's closed vocabulary, generated by
+    functions/phonetic.py which is golden-gated against the reference's
+    dmetaphone in tests/test_phonetic.py (same pattern as
+    lang_stem_topk / variations_topk)."""
+    prim_case = (
+        "CASE term " + " ".join(
+            f"WHEN '{w}' THEN '{p}'" for w, (p, _s) in sorted(dm_map.items())
+        ) + " ELSE NULL END"
+    )
+    sec_case = (
+        "CASE term " + " ".join(
+            f"WHEN '{w}' THEN '{s}'"
+            for w, (_p, s) in sorted(dm_map.items()) if s
+        ) + " ELSE NULL END"
+    )
+    flq = quantized_len_sql("doclens.dl", "duckdb")
+    return f"""{_with(TOKS_CTE)},
+emitted AS (
+  SELECT doc_id, {prim_case} AS term, 1.0 AS boost FROM toks
+  UNION ALL
+  SELECT doc_id, {sec_case} AS term, 0.5 AS boost FROM toks
+  WHERE {sec_case} IS NOT NULL
+),
+postings AS (
+  SELECT doc_id, term, sum(boost)::DOUBLE AS w
+  FROM emitted WHERE term IS NOT NULL GROUP BY doc_id, term
+),
+doclens AS (
+  SELECT doc_id, count(*)::BIGINT AS dl
+  FROM emitted WHERE term IS NOT NULL GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS dc,
+         (SELECT coalesce(sum(dl), 0) FROM doclens)::DOUBLE AS total_len
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         (ln(c.dc / (df.df + 1)) + 1)
+         * (p.w * ({K1} + 1))
+         / (p.w + {K1} * ((1 - {B}) + {B} * {flq}
+              / (CASE WHEN c.total_len = 0 THEN 1
+                      WHEN c.total_len / c.dc = 0 THEN 1
+                      ELSE c.total_len / c.dc END))) AS score
+  FROM postings p
+  JOIN df USING (term)
+  JOIN doclens ON p.doc_id = doclens.doc_id
+  CROSS JOIN consts c
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = '{code}'
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def quality_scores(limit: int = 100) -> str:
     """Mirror functions/textstats.quality_score for the first docs."""
     from whoosh_novo_spark.functions.analysis import STOP_WORDS
