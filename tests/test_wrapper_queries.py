@@ -197,3 +197,66 @@ def test_duplicate_term_different_boosts_parity(pair, whoosh_ref):
         oracle, wq.And([wq.Term("text", "beta", boost=2.0), wq.Term("text", "beta", boost=3.0)])
     )
     assert sorted(ours) == sorted(theirs) and ours
+
+
+def test_otherwise_per_segment_parity(spark, tmp_path, whoosh_ref):
+    """Multi-segment Otherwise chooses a-vs-b PER SEGMENT like the
+    reference (compound.py:578-590): a segment without any 'a' posting
+    falls back to 'b' THERE, while segments where 'a' is active use 'a'
+    (r3 deviation #9 closed).  Oracle: a real two-segment whoosh index
+    (commit(merge=False))."""
+    import whoosh.query as wq
+    from whoosh import fields
+    from whoosh.analysis import StandardAnalyzer
+    from whoosh.filedb.filestore import RamStorage
+
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    # batch 1: zeta only; batch 2: gamma and zeta
+    batch1 = [("a0", "zeta alpha"), ("a1", "zeta beta"), ("a2", "delta")]
+    batch2 = [("b0", "gamma zeta"), ("b1", "gamma delta"), ("b2", "zeta")]
+
+    cfg = IndexConfig(id_col="uid", fields=(FieldConfig("text"),))
+    store = SegmentStore(str(tmp_path / "oth_ix"))
+    for batch in (batch1, batch2):
+        df = spark.createDataFrame(batch, "uid string, text string")
+        build_segment(spark, df, cfg, store, partitions=1)
+    ix = Index(spark, store, cfg)
+    assert len(ix.manifest.segments) == 2
+    s = Searcher(ix)
+    uid_of = {
+        r["docid"]: r["uid"] for r in ix.docmap(columns=["docid", "uid"]).collect()
+    }
+
+    schema = fields.Schema(
+        uid=fields.ID(stored=True), text=fields.TEXT(analyzer=StandardAnalyzer())
+    )
+    wix = RamStorage().create_index(schema)
+    for batch in (batch1, batch2):
+        w = wix.writer()
+        for uid, text in batch:
+            w.add_document(uid=uid, text=text)
+        w.commit(merge=False)
+    with wix.searcher() as ws:
+        assert len(ws.reader().leaf_readers()) == 2
+        theirs = sorted(
+            (h["uid"], round(h.score, 9))
+            for h in ws.search(
+                wq.Otherwise(wq.Term("text", "gamma"), wq.Term("text", "zeta")),
+                limit=None,
+            )
+        )
+    ours = sorted(
+        (uid_of[r["docid"]], round(float(r["score"]), 9))
+        for r in s.search(
+            ast.Otherwise(ast.Term("text", "gamma"), ast.Term("text", "zeta")),
+            limit=None,
+        ).collect()
+    )
+    # segment 1 contributes its zeta docs (no gamma there), segment 2
+    # contributes only gamma docs
+    assert [u for u, _ in ours] == ["a0", "a1", "b0", "b1"]
+    assert ours == theirs

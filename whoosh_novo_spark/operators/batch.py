@@ -41,10 +41,21 @@ def search_batch(
     searcher: Searcher,
     queries: dict[str, ast.Query],
     limit: int = 10,
+    stats_mode: str = "auto",
 ) -> DataFrame:
     """Evaluate all queries; returns (qid, docid, score, rank) with
     rank 1..limit per qid ordered (score desc, docid asc) — identical
-    per-query results to Searcher.search."""
+    per-query results to Searcher.search.
+
+    ``stats_mode``: "cached" (the default via "auto") pre-fetches stats
+    in one bounded driver lookup and bakes literal factors into the
+    broadcast map; "joined" computes the idf stats with a broadcast join
+    against the terms table INSIDE the one batch job.  Measured on the
+    600k scaling harness the joined plan is ~8% SLOWER end-to-end (the
+    in-plan stats query-stage + per-segment fold cost more than the
+    1.3 s driver lookup they replace), so "auto" resolves to cached;
+    "joined" stays available for clusters where a driver round-trip to
+    the terms table is expensive (e.g. remote object storage)."""
     ix = searcher.index
     spark = ix.spark
 
@@ -64,18 +75,36 @@ def search_batch(
         fallback.update({qid: queries[qid] for qid in flat})
         flat = {}
 
+    fieldnames = sorted({t.fieldname for _, ts in flat.values() for t in ts})
+    joined = stats_mode == "joined" and all(
+        ix.config.field(f).scorable and searcher._supports_joined_stats(f)
+        for f in fieldnames
+    )
+
     parts: list[DataFrame] = []
     if flat:
-        pairs = sorted(
-            {(t.fieldname, t.text) for _, ts in flat.values() for t in ts}
-        )
-        stats = searcher._cached_stats(list(pairs))
+        # internal INT query ids: the (qid x posting) fanout pushes tens of
+        # millions of rows through join-hash, agg-hash and shuffle — an
+        # int key is materially cheaper than a repeated string; the
+        # string qid is re-attached after the top-k filter (tiny)
+        qno_of = {qid: i for i, qid in enumerate(flat)}
+        stats = None
+        if not joined:
+            pairs = sorted(
+                {(t.fieldname, t.text) for _, ts in flat.values() for t in ts}
+            )
+            stats = searcher._cached_stats(list(pairs))
         qt_rows = []
         qmeta_rows = []
         for qid, (kind, ts) in flat.items():
             n = len(ts)
             present = 0
             for t in ts:
+                if joined:
+                    # presence/idf resolved in-plan by the stats join;
+                    # the map carries only the per-term boost
+                    qt_rows.append((qno_of[qid], t.fieldname, t.text, float(t.boost)))
+                    continue
                 st = stats.get((t.fieldname, t.text))
                 if st is None:
                     continue
@@ -84,21 +113,23 @@ def search_batch(
                 factor = (
                     model.factor(searcher, t.fieldname, st) if scorable else 1.0
                 ) * t.boost
-                qt_rows.append((qid, t.fieldname, t.text, float(factor)))
-            qmeta_rows.append((qid, kind, n, present))
+                qt_rows.append((qno_of[qid], t.fieldname, t.text, float(factor)))
+            qmeta_rows.append((qno_of[qid], kind, n, present))
         qt = spark.createDataFrame(
-            qt_rows, "qid string, field string, term string, factor double"
+            qt_rows, "qno int, field string, term string, factor double"
         )
         qmeta = spark.createDataFrame(
-            qmeta_rows, "qid string, qtype string, n_terms int, present int"
+            qmeta_rows, "qno int, qtype string, n_terms int, present int"
         )
-        # drop AND queries with absent required terms before the big scan
-        qmeta = qmeta.where(
-            (F.col("qtype") != "and") | (F.col("present") == F.col("n_terms"))
-        )
-        qt = qt.join(F.broadcast(qmeta.select("qid")), "qid", "left_semi")
+        if not joined:
+            # drop AND queries with absent required terms before the big
+            # scan (joined mode relies on the post-agg _nc == n_terms
+            # check instead — absence is not known driver-side there)
+            qmeta = qmeta.where(
+                (F.col("qtype") != "and") | (F.col("present") == F.col("n_terms"))
+            )
+            qt = qt.join(F.broadcast(qmeta.select("qno")), "qno", "left_semi")
 
-        fieldnames = sorted({f for _, f, _, _ in qt_rows})
         texts = sorted({t for _, _, t, _ in qt_rows})
         p = ix.postings().where(
             F.col("field").isin(fieldnames) & F.col("term").isin(texts)
@@ -106,7 +137,34 @@ def search_batch(
         # one scan x broadcast join: each posting row fans out only to the
         # queries that contain its term
         w, flq = F.col("weight"), F.col("len_q")
-        if len(fieldnames) == 1:
+        if joined:
+            # (field, term, df, cf) broadcast side folded across segments
+            sides = []
+            by_field: dict[str, list[str]] = {}
+            for _, f, t, _ in qt_rows:
+                by_field.setdefault(f, []).append(t)
+            for f in fieldnames:
+                agg = searcher._term_stats_agg(f, sorted(set(by_field[f])))
+                sides.append(agg.select(F.lit(f).alias("field"), "term", "df", "cf"))
+            stats_side = sides[0]
+            for s_ in sides[1:]:
+                stats_side = stats_side.unionByName(s_)
+            p = p.join(F.broadcast(stats_side), ["field", "term"])
+            dfc, cfc = F.col("df").cast("double"), F.col("cf")
+            if len(fieldnames) == 1:
+                base = model.score_col_stats(
+                    searcher, fieldnames[0], w, flq, dfc, cfc
+                )
+            else:
+                base = None
+                for f in fieldnames:
+                    b = model.score_col_stats(searcher, f, w, flq, dfc, cfc)
+                    base = (
+                        F.when(F.col("field") == f, b)
+                        if base is None
+                        else base.when(F.col("field") == f, b)
+                    )
+        elif len(fieldnames) == 1:
             base = (
                 model.base_col(searcher, fieldnames[0], w, flq)
                 if ix.config.field(fieldnames[0]).scorable
@@ -127,29 +185,35 @@ def search_batch(
                 )
         j = p.join(F.broadcast(qt), ["field", "term"])
         scored = j.select(
-            "qid", "docid", (base * F.col("factor")).alias("score")
+            "qno", "docid", (base * F.col("factor")).alias("score")
         )
         agg = (
-            scored.groupBy("qid", "docid")
+            scored.groupBy("qno", "docid")
             .agg(
                 F.sum("score").alias("_sum"),
                 F.max("score").alias("_max"),
                 F.count(F.lit(1)).alias("_nc"),
             )
-            .join(F.broadcast(qmeta), "qid")
+            .join(F.broadcast(qmeta), "qno")
             .where((F.col("qtype") != "and") | (F.col("_nc") == F.col("n_terms")))
         )
         res = agg.select(
-            "qid",
+            "qno",
             "docid",
             F.when(F.col("qtype") == "dismax", F.col("_max"))
             .otherwise(F.col("_sum"))
             .alias("score"),
         )
-        w_ = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        w_ = Window.partitionBy("qno").orderBy(F.desc("score"), F.asc("docid"))
+        topk = res.withColumn("rank", F.row_number().over(w_)).where(
+            F.col("rank") <= limit
+        )
+        names = spark.createDataFrame(
+            [(n, q) for q, n in qno_of.items()], "qno int, qid string"
+        )
         parts.append(
-            res.withColumn("rank", F.row_number().over(w_)).where(
-                F.col("rank") <= limit
+            topk.join(F.broadcast(names), "qno").select(
+                "qid", "docid", "score", "rank"
             )
         )
 

@@ -799,14 +799,47 @@ class Searcher:
             return boost(sub.score_df(q.child), q.boost)
 
         if isinstance(q, ast.Otherwise):
-            # compound.py:578-590.  Deviation: the reference chooses a-vs-b
-            # PER SEGMENT (matcher is_active at segment granularity); with
-            # global docids the choice is global — identical behavior on
-            # single-segment indexes.  The probe is a bounded limit(1) job.
+            # compound.py:578-590: the reference chooses a-vs-b PER
+            # SEGMENT (a segment uses a's matcher iff it is_active there,
+            # i.e. has ANY posting — deleted docs included, since whoosh
+            # matchers see deletions only at collect time).  Single
+            # segment: a bounded take(1) probe.  Multi segment: one
+            # bounded aggregation over a's docid-only probe plan (no
+            # stats join) collects the <=n_segments active segment
+            # ordinals, then each side is range-filtered (r3 VERDICT #9 —
+            # the r3 global-choice deviation is gone).
+            segs = self.index.manifest.segments
+            if len(segs) <= 1:
+                a = self._compile(q.a, stats)
+                if a.take(1):
+                    return boost(a, q.boost)
+                return boost(self._compile(q.b, stats), q.boost)
+
+            def seg_ord(col):
+                expr = F.lit(-1)
+                for i, s in enumerate(segs):
+                    expr = F.when(
+                        col.between(s.min_docid, s.max_docid), F.lit(i)
+                    ).otherwise(expr)
+                return expr
+
+            probe = self._compile_ids(q.a)  # apply_deletes=False: is_active
+            active = {
+                r["seg"]
+                for r in probe.select(seg_ord(F.col("docid")).alias("seg"))
+                .distinct()
+                .collect()
+            }
+            if len(active) == len(segs):
+                return boost(self._compile(q.a, stats), q.boost)
+            if not active:
+                return boost(self._compile(q.b, stats), q.boost)
             a = self._compile(q.a, stats)
-            if a.take(1):
-                return boost(a, q.boost)
-            return boost(self._compile(q.b, stats), q.boost)
+            b = self._compile(q.b, stats)
+            out = a.where(seg_ord(F.col("docid")).isin(sorted(active))).unionByName(
+                b.where(~seg_ord(F.col("docid")).isin(sorted(active)))
+            )
+            return boost(out, q.boost)
 
         if isinstance(q, ast.Sequence):
             kids = q.subqueries
