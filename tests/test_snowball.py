@@ -18,13 +18,20 @@ from whoosh_novo_spark.functions import snowball as sb
 from whoosh_novo_spark.functions.analysis import ANALYZERS
 from whoosh_novo_spark.functions.stopwords import STOPWORDS
 
-LANGS = ("en", "de", "fr", "es")
+LANGS = ("en", "de", "fr", "es", "da", "no", "sv", "nl", "it", "pt", "ru")
 
 _ALPHA = {
     "en": "abcdefghijklmnopqrstuvwxyy'e",
     "de": "abcdefghijklmnopqrstuvwxyzaeiouäöüß",
     "fr": "abcdefghijklmnopqrstuvwxyzaeiouâàëéêèïîôûùçy",
     "es": "abcdefghijklmnopqrstuvwxyzaeiouáéíóúüñy",
+    "da": "abcdefghijklmnopqrstuvwxyzaeiouæåø",
+    "no": "abcdefghijklmnopqrstuvwxyzaeiouæåø",
+    "sv": "abcdefghijklmnopqrstuvwxyzaeiouäåö",
+    "nl": "abcdefghijklmnopqrstuvwxyzaeiouèyäáëéíïöóüú",
+    "it": "abcdefghijklmnopqrstuvwxyzaeiouàèìòùáéíóú",
+    "pt": "abcdefghijklmnopqrstuvwxyzaeiouáéíóúâêôãõç",
+    "ru": "абвгдежзийклмнопрстуфхцчшщъыьэюяёаоие",
 }
 
 _BASES = (
@@ -46,6 +53,18 @@ _SUFFIXES = {
     "en": ("'s'", "'s", "'", "sses", "ied", "ies", "us", "ss", "s",
            "eedly", "ingly", "edly", "eed", "ing", "ed")
     + sb._EN_STEP2 + sb._EN_STEP3 + sb._EN_STEP4 + ("e", "l"),
+    "da": sb._DA_STEP1 + sb._DA_STEP2 + sb._DA_STEP3 + ("igst", "løst"),
+    "no": sb._NO_STEP1 + sb._NO_STEP2 + sb._NO_STEP3,
+    "sv": sb._SV_STEP1 + sb._SV_STEP2 + sb._SV_STEP3,
+    "nl": sb._NL_STEP1 + sb._NL_STEP3B
+    + ("heid", "heden", "gem", "e", "kk", "dd", "tt", "aas", "eet", "ook"),
+    "it": sb._IT_STEP0 + sb._IT_STEP1
+    + tuple(s for s in sb._IT_STEP2 if s != "Yamo")
+    + ("ch", "gh", "i", "ando", "endo"),
+    "pt": sb._PT_STEP1 + sb._PT_STEP2 + sb._PT_STEP4
+    + ("e", "é", "ê", "gu", "ci", "ç"),
+    "ru": ("ость", "ейше", "нн", "вшись", "ывшись", "ившись", " само",
+           "ующими", "ениями", "ость'", "и", "ь", "ъ"),
 }
 
 
@@ -83,6 +102,12 @@ def test_stopword_lists_match_reference(whoosh_ref, lang):
 
 SAMPLE_TEXTS = [
     "Die Katzen liefen schneller als die Hunde der Nachbarn",
+    "De katten liepen sneller dan de honden lopende gemeenten",
+    "Hundene løb hurtigere end kattene i haven",
+    "Hundarna sprang snabbare än katterna i trädgården",
+    "I gatti correvano velocemente nelle organizzazioni",
+    "Os gatos corriam rapidamente nas organizações",
+    "Пользователи быстро читали важные документы",
     "Les chevaux mangeaient rapidement des pommes délicieuses",
     "Las organizaciones trabajaban lentamente con los clientes",
     "The organizations were quickly running comprehensive benchmarks",

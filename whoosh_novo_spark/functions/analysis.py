@@ -755,7 +755,7 @@ ANALYZERS = {
 
 # LanguageAnalyzer chains for the corpus languages (lang_* keys are also
 # registered on demand by language_analyzer())
-for _lang in ("en", "de", "fr", "es", "zh"):
+for _lang in ("en", "de", "fr", "es", "da", "no", "sv", "nl", "it", "pt", "ru", "zh"):
     ANALYZERS[f"lang_{_lang}"] = make_language_analyzer_batch(_lang)
 del _lang
 

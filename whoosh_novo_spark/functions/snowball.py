@@ -1,5 +1,6 @@
 """Clean-room Snowball-family stemmers: English (porter2), German,
-French, Spanish.
+French, Spanish, Italian, Portuguese, Dutch, Danish, Norwegian,
+Swedish, Russian.
 
 Written from the published Snowball algorithm descriptions
 (https://snowballstem.org/algorithms/).  The parity target, however, is
@@ -833,6 +834,725 @@ def stem_en(word: str) -> str:  # noqa: C901
     return w.replace("Y", "y")
 
 
+# --------------------------------------------------------------- italian
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_STEP0 = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene", "gli", "ci", "la", "le", "li", "lo", "mi",
+    "ne", "si", "ti", "vi",
+)
+_IT_STEP1 = (
+    "atrice", "atrici", "azione", "azioni", "uzione", "uzioni",
+    "usione", "usioni", "amento", "amenti", "imento", "imenti",
+    "amente", "abile", "abili", "ibile", "ibili", "mente", "atore",
+    "atori", "logia", "logie", "anza", "anze", "iche", "ichi", "ismo",
+    "ismi", "ista", "iste", "isti", "istà", "istè", "istì", "ante",
+    "anti", "enza", "enze", "ico", "ici", "ica", "ice", "oso", "osi",
+    "osa", "ose", "ità", "ivo", "ivi", "iva", "ive",
+)
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+    "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo", "immo",
+    "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+    "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere",
+    "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita",
+    "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute",
+    "uti", "uto", "ar", "ir",
+)
+
+
+def stem_it(word: str) -> str:
+    """Italian Snowball (snowballstem.org/algorithms/italian/)."""
+    w = word.lower()
+    step1_hit = False
+    for a, b in (("á", "à"), ("é", "è"), ("í", "ì"), ("ó", "ò"), ("ú", "ù")):
+        w = w.replace(a, b)
+
+    cs = list(w)
+    for i in range(1, len(cs)):
+        if cs[i - 1] == "q" and cs[i] == "u":
+            cs[i] = "U"
+    for i in range(1, len(cs) - 1):
+        if cs[i - 1] in _IT_VOWELS and cs[i + 1] in _IT_VOWELS:
+            if cs[i] == "u":
+                cs[i] = "U"
+            elif cs[i] == "i":
+                cs[i] = "I"
+    w = "".join(cs)
+
+    reg1, reg2 = _std_regions(w, _IT_VOWELS)
+    rvr = _std_rv(w, _IT_VOWELS)
+
+    # step 0 — attached pronoun (after a gerund or infinitive in RV)
+    for sfx in _IT_STEP0:
+        if rvr.endswith(sfx):
+            k = len(sfx)
+            if rvr[-k - 4 : -k] in ("ando", "endo"):
+                w, reg1, reg2, rvr = w[:-k], reg1[:-k], reg2[:-k], rvr[:-k]
+            elif rvr[-k - 2 : -k] in ("ar", "er", "ir"):
+                w = w[:-k] + "e"
+                reg1 = reg1[:-k] + "e"
+                reg2 = reg2[:-k] + "e"
+                rvr = rvr[:-k] + "e"
+            break
+
+    # step 1 — standard suffixes
+    for sfx in _IT_STEP1:
+        if w.endswith(sfx):
+            k = len(sfx)
+            if sfx == "amente" and reg1.endswith(sfx):
+                step1_hit = True
+                w, reg2, rvr = w[:-6], reg2[:-6], rvr[:-6]
+                if reg2.endswith("iv"):
+                    w, reg2, rvr = w[:-2], reg2[:-2], rvr[:-2]
+                    if reg2.endswith("at"):
+                        w, rvr = w[:-2], rvr[:-2]
+                elif reg2.endswith(("os", "ic")):
+                    w, rvr = w[:-2], rvr[:-2]
+                elif reg2.endswith("abil"):
+                    w, rvr = w[:-4], rvr[:-4]
+            elif sfx in ("amento", "amenti", "imento", "imenti") and rvr.endswith(
+                sfx
+            ):
+                step1_hit = True
+                w, rvr = w[:-6], rvr[:-6]
+            elif reg2.endswith(sfx):
+                step1_hit = True
+                if sfx in ("azione", "azioni", "atore", "atori"):
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    if reg2.endswith("ic"):
+                        w, rvr = w[:-2], rvr[:-2]
+                elif sfx in ("logia", "logie"):
+                    # port quirk: rv is reassigned from WORD here, not
+                    # truncated from rv (reference italian.py logia arm)
+                    w = w[:-2]
+                    rvr = w[:-2]
+                elif sfx in ("uzione", "uzioni", "usione", "usioni"):
+                    w, rvr = w[:-5], rvr[:-5]
+                elif sfx in ("enza", "enze"):
+                    w = w[:-2] + "te"
+                    rvr = rvr[:-2] + "te"
+                elif sfx == "ità":
+                    w, reg2, rvr = w[:-3], reg2[:-3], rvr[:-3]
+                    if reg2.endswith(("ic", "iv")):
+                        w, rvr = w[:-2], rvr[:-2]
+                    elif reg2.endswith("abil"):
+                        w, rvr = w[:-4], rvr[:-4]
+                elif sfx in ("ivo", "ivi", "iva", "ive"):
+                    w, reg2, rvr = w[:-3], reg2[:-3], rvr[:-3]
+                    if reg2.endswith("at"):
+                        w, reg2, rvr = w[:-2], reg2[:-2], rvr[:-2]
+                        if reg2.endswith("ic"):
+                            w, rvr = w[:-2], rvr[:-2]
+                else:
+                    w, rvr = w[:-k], rvr[:-k]
+            break
+
+    # step 2 — verb suffixes
+    if not step1_hit:
+        for sfx in _IT_STEP2:
+            if rvr.endswith(sfx):
+                w, rvr = w[: -len(sfx)], rvr[: -len(sfx)]
+                break
+
+    # step 3a — final vowel (and a following i)
+    if rvr.endswith(("a", "e", "i", "o", "à", "è", "ì", "ò")):
+        w, rvr = w[:-1], rvr[:-1]
+        if rvr.endswith("i"):
+            w, rvr = w[:-1], rvr[:-1]
+
+    # step 3b — ch/gh -> c/g
+    if rvr.endswith(("ch", "gh")):
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ------------------------------------------------------------- portuguese
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+_PT_STEP1 = (
+    "amentos", "imentos", "uciones", "amento", "imento", "adoras",
+    "adores", "aço~es", "logías", "ências", "amente", "idades",
+    "ismos", "istas", "adora", "aça~o", "antes", "ância", "logía",
+    "ución", "ência", "mente", "idade", "ezas", "icos", "icas",
+    "ismo", "ável", "ível", "ista", "osos", "osas", "ador", "ante",
+    "ivas", "ivos", "iras", "eza", "ico", "ica", "oso", "osa", "iva",
+    "ivo", "ira",
+)
+_PT_STEP2 = (
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "ara~o", "era~o", "ira~o", "arias", "erias", "irias", "ardes",
+    "erdes", "irdes", "asses", "esses", "isses", "astes", "estes",
+    "istes", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "áveis", "íamos", "armos", "ermos", "irmos", "aria", "eria",
+    "iria", "asse", "esse", "isse", "aste", "este", "iste", "arei",
+    "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+    "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras",
+    "erás", "eras", "irás", "avas", "ares", "eres", "ires", "íeis",
+    "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+    "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+    "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+    "er", "ir", "as", "es", "is", "eu", "iu", "ou",
+)
+_PT_STEP4 = ("os", "a", "i", "o", "á", "í", "ó")
+
+
+def stem_pt(word: str) -> str:
+    """Portuguese Snowball (snowballstem.org/algorithms/portuguese/);
+    nasal vowels are shuttled through the a~/o~ digraphs like the
+    published algorithm does."""
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    step1_hit = False
+    step2_hit = False
+
+    reg1, reg2 = _std_regions(w, _PT_VOWELS)
+    rvr = _std_rv(w, _PT_VOWELS)
+
+    # step 1 — standard suffixes
+    for sfx in _PT_STEP1:
+        if w.endswith(sfx):
+            k = len(sfx)
+            if sfx == "amente" and reg1.endswith(sfx):
+                step1_hit = True
+                w, reg2, rvr = w[:-6], reg2[:-6], rvr[:-6]
+                if reg2.endswith("iv"):
+                    w, reg2, rvr = w[:-2], reg2[:-2], rvr[:-2]
+                    if reg2.endswith("at"):
+                        w, rvr = w[:-2], rvr[:-2]
+                elif reg2.endswith(("os", "ic", "ad")):
+                    w, rvr = w[:-2], rvr[:-2]
+            elif (
+                sfx in ("ira", "iras")
+                and rvr.endswith(sfx)
+                and w[-k - 1 : -k] == "e"
+            ):
+                step1_hit = True
+                w = w[:-k] + "ir"
+                rvr = rvr[:-k] + "ir"
+            elif reg2.endswith(sfx):
+                step1_hit = True
+                if sfx in ("logía", "logías"):
+                    w, rvr = w[:-2], rvr[:-2]
+                elif sfx in ("ución", "uciones"):
+                    w = w[:-k] + "u"
+                    rvr = rvr[:-k] + "u"
+                elif sfx in ("ência", "ências"):
+                    w = w[:-k] + "ente"
+                    rvr = rvr[:-k] + "ente"
+                elif sfx == "mente":
+                    w, reg2, rvr = w[:-5], reg2[:-5], rvr[:-5]
+                    if reg2.endswith(("ante", "avel", "ível")):
+                        w, rvr = w[:-4], rvr[:-4]
+                elif sfx in ("idade", "idades"):
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    if reg2.endswith(("ic", "iv")):
+                        w, rvr = w[:-2], rvr[:-2]
+                    elif reg2.endswith("abil"):
+                        w, rvr = w[:-4], rvr[:-4]
+                elif sfx in ("iva", "ivo", "ivas", "ivos"):
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    if reg2.endswith("at"):
+                        w, rvr = w[:-2], rvr[:-2]
+                else:
+                    w, rvr = w[:-k], rvr[:-k]
+            break
+
+    # step 2 — verb suffixes
+    if not step1_hit:
+        for sfx in _PT_STEP2:
+            if rvr.endswith(sfx):
+                step2_hit = True
+                w, rvr = w[: -len(sfx)], rvr[: -len(sfx)]
+                break
+
+    # step 3 — i after c
+    if (step1_hit or step2_hit) and rvr.endswith("i") and w[-2] == "c":
+        w, rvr = w[:-1], rvr[:-1]
+
+    # step 4 — residual suffix
+    if not step1_hit and not step2_hit:
+        for sfx in _PT_STEP4:
+            if rvr.endswith(sfx):
+                w, rvr = w[: -len(sfx)], rvr[: -len(sfx)]
+                break
+
+    # step 5 — final e, with gu/ci undouble
+    if rvr.endswith(("e", "é", "ê")):
+        w, rvr = w[:-1], rvr[:-1]
+        if (w.endswith("gu") and rvr.endswith("u")) or (
+            w.endswith("ci") and rvr.endswith("i")
+        ):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ----------------------------------------------------- scandinavian family
+
+
+def _r1_scand(w: str, vowels: str) -> str:
+    """Scandinavian R1: standard R1 but the region before it must hold
+    at least three letters."""
+    for i in range(1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            if i + 1 < 3:
+                return w[3:]
+            return w[i + 1 :]
+    return ""
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_ENDING = "abcdfghjklmnoprtvyzå"
+_DA_STEP1 = (
+    "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
+    "endes", "ernes", "erens", "erets", "ered", "ende", "erne", "eren",
+    "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
+    "ers", "ets", "en", "er", "es", "et", "e", "s",
+)
+_DA_STEP2 = ("gd", "dt", "gt", "kt")
+_DA_STEP3 = ("elig", "løst", "lig", "els", "ig")
+_DA_DOUBLES = frozenset("bcdfghjklmnpqrstvwxz")
+
+
+def stem_da(word: str) -> str:
+    """Danish Snowball (snowballstem.org/algorithms/danish/)."""
+    w = word.lower()
+    reg1 = _r1_scand(w, _DA_VOWELS)
+
+    for sfx in _DA_STEP1:
+        if reg1.endswith(sfx):
+            if sfx == "s":
+                if w[-2] in _DA_S_ENDING:
+                    w, reg1 = w[:-1], reg1[:-1]
+            else:
+                k = len(sfx)
+                w, reg1 = w[:-k], reg1[:-k]
+            break
+
+    for sfx in _DA_STEP2:
+        if reg1.endswith(sfx):
+            w, reg1 = w[:-1], reg1[:-1]
+            break
+
+    if reg1.endswith("igst"):
+        w, reg1 = w[:-2], reg1[:-2]
+    for sfx in _DA_STEP3:
+        if reg1.endswith(sfx):
+            if sfx == "løst":
+                w, reg1 = w[:-1], reg1[:-1]
+            else:
+                k = len(sfx)
+                w, reg1 = w[:-k], reg1[:-k]
+                if reg1.endswith(_DA_STEP2):
+                    w, reg1 = w[:-1], reg1[:-1]
+            break
+
+    # undouble a final double consonant (words longer than 3)
+    if len(w) > 3 and w[-1] == w[-2] and w[-1] in _DA_DOUBLES:
+        w = w[:-1]
+    return w
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_ENDING = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = (
+    "hetenes", "hetene", "hetens", "heter", "heten", "endes", "ande",
+    "ende", "edes", "enes", "erte", "ede", "ane", "ene", "ens", "ers",
+    "ets", "het", "ast", "ert", "en", "ar", "er", "as", "es", "et",
+    "a", "e", "s",
+)
+_NO_STEP2 = ("dt", "vt")
+_NO_STEP3 = (
+    "hetslov", "eleg", "elig", "elov", "slov", "leg", "eig", "lig",
+    "els", "lov", "ig",
+)
+
+
+def stem_no(word: str) -> str:
+    """Norwegian Snowball (snowballstem.org/algorithms/norwegian/)."""
+    w = word.lower()
+    reg1 = _r1_scand(w, _NO_VOWELS)
+
+    for sfx in _NO_STEP1:
+        if reg1.endswith(sfx):
+            k = len(sfx)
+            if sfx in ("erte", "ert"):
+                w, reg1 = w[:-k] + "er", reg1[:-k] + "er"
+            elif sfx == "s":
+                if w[-2] in _NO_S_ENDING or (
+                    w[-2] == "k" and w[-3] not in _NO_VOWELS
+                ):
+                    w, reg1 = w[:-1], reg1[:-1]
+            else:
+                w, reg1 = w[:-k], reg1[:-k]
+            break
+
+    for sfx in _NO_STEP2:
+        if reg1.endswith(sfx):
+            w, reg1 = w[:-1], reg1[:-1]
+            break
+
+    for sfx in _NO_STEP3:
+        if reg1.endswith(sfx):
+            w = w[: -len(sfx)]
+            break
+    return w
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_ENDING = "bcdfghjklmnoprtvy"
+_SV_STEP1 = (
+    "heterna", "hetens", "heter", "heten", "anden", "arnas", "ernas",
+    "ornas", "andes", "andet", "arens", "arna", "erna", "orna", "ande",
+    "arne", "aste", "aren", "ades", "erns", "ade", "are", "ern", "ens",
+    "het", "ast", "ad", "en", "ar", "er", "or", "as", "es", "at",
+    "a", "e", "s",
+)
+_SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_STEP3 = ("fullt", "löst", "els", "lig", "ig")
+
+
+def stem_sv(word: str) -> str:
+    """Swedish Snowball (snowballstem.org/algorithms/swedish/)."""
+    w = word.lower()
+    reg1 = _r1_scand(w, _SV_VOWELS)
+
+    for sfx in _SV_STEP1:
+        if reg1.endswith(sfx):
+            if sfx == "s":
+                if w[-2] in _SV_S_ENDING:
+                    w, reg1 = w[:-1], reg1[:-1]
+            else:
+                k = len(sfx)
+                w, reg1 = w[:-k], reg1[:-k]
+            break
+
+    for sfx in _SV_STEP2:
+        if reg1.endswith(sfx):
+            w, reg1 = w[:-1], reg1[:-1]
+            break
+
+    for sfx in _SV_STEP3:
+        if reg1.endswith(sfx):
+            if sfx in ("els", "lig", "ig"):
+                w = w[: -len(sfx)]
+            else:  # fullt, löst
+                w = w[:-1]
+            break
+    return w
+
+
+# ----------------------------------------------------------------- dutch
+
+_NL_VOWELS = "aeiouyè"
+_NL_STEP1 = ("heden", "ene", "en", "se", "s")
+_NL_STEP3B = ("baar", "lijk", "bar", "end", "ing", "ig")
+_NL_KDT = ("kk", "dd", "tt")
+
+
+def stem_nl(word: str) -> str:
+    """Dutch Snowball (snowballstem.org/algorithms/dutch/)."""
+    w = word.lower()
+    step2_hit = False
+    for a, b in (
+        ("ä", "a"), ("á", "a"), ("ë", "e"), ("é", "e"), ("í", "i"),
+        ("ï", "i"), ("ö", "o"), ("ó", "o"), ("ü", "u"), ("ú", "u"),
+    ):
+        w = w.replace(a, b)
+
+    # initial y, y after a vowel, and i between vowels act as consonants
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+    for i in range(1, len(w)):
+        if w[i - 1] in _NL_VOWELS and w[i] == "y":
+            w = w[:i] + "Y" + w[i + 1 :]
+    for i in range(1, len(w) - 1):
+        if w[i - 1] in _NL_VOWELS and w[i] == "i" and w[i + 1] in _NL_VOWELS:
+            w = w[:i] + "I" + w[i + 1 :]
+
+    reg1, reg2 = _std_regions(w, _NL_VOWELS)
+    # 3-letter floor on the region before R1 (same as German)
+    for i in range(1, len(w)):
+        if w[i] not in _NL_VOWELS and w[i - 1] in _NL_VOWELS:
+            if i + 1 < 3:
+                reg1 = w[3:]
+            break
+
+    def undouble():
+        nonlocal w, reg1, reg2
+        if w.endswith(_NL_KDT):
+            w, reg1, reg2 = w[:-1], reg1[:-1], reg2[:-1]
+
+    # step 1
+    for sfx in _NL_STEP1:
+        if reg1.endswith(sfx):
+            k = len(sfx)
+            if sfx == "heden":
+                w, reg1 = w[:-5] + "heid", reg1[:-5] + "heid"
+                if reg2.endswith("heden"):
+                    reg2 = reg2[:-5] + "heid"
+            elif (
+                sfx in ("ene", "en")
+                and not w.endswith("heden")
+                and w[-k - 1] not in _NL_VOWELS
+                and w[-k - 3 : -k] != "gem"
+            ):
+                w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+                undouble()
+            elif (
+                sfx in ("se", "s")
+                and w[-k - 1] not in _NL_VOWELS
+                and w[-k - 1] != "j"
+            ):
+                w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+            break
+
+    # step 2
+    if reg1.endswith("e") and w[-2] not in _NL_VOWELS:
+        step2_hit = True
+        w, reg1, reg2 = w[:-1], reg1[:-1], reg2[:-1]
+        undouble()
+
+    # step 3a
+    if reg2.endswith("heid") and w[-5] != "c":
+        w, reg1, reg2 = w[:-4], reg1[:-4], reg2[:-4]
+        if reg1.endswith("en") and w[-3] not in _NL_VOWELS and w[-5:-2] != "gem":
+            w, reg1, reg2 = w[:-2], reg1[:-2], reg2[:-2]
+            undouble()
+
+    # step 3b — derivational
+    for sfx in _NL_STEP3B:
+        if reg2.endswith(sfx):
+            if sfx in ("end", "ing"):
+                w, reg2 = w[:-3], reg2[:-3]
+                if reg2.endswith("ig") and w[-3] != "e":
+                    w = w[:-2]
+                elif w.endswith(_NL_KDT):
+                    w = w[:-1]
+            elif sfx == "ig":
+                if w[-3] != "e":
+                    w = w[:-2]
+            elif sfx == "lijk":
+                w, reg1 = w[:-4], reg1[:-4]
+                if reg1.endswith("e") and w[-2] not in _NL_VOWELS:
+                    w = w[:-1]
+                    if w.endswith(_NL_KDT):
+                        w = w[:-1]
+            elif sfx == "baar":
+                w = w[:-4]
+            elif sfx == "bar":
+                if step2_hit:
+                    w = w[:-3]
+            break
+
+    # step 4 — undouble vowel (CVVC with equal vowels -> CVC)
+    if (
+        len(w) >= 4
+        and w[-1] not in _NL_VOWELS
+        and w[-1] != "I"
+        and w[-3:-1] in ("aa", "ee", "oo", "uu")
+        and w[-4] not in _NL_VOWELS
+    ):
+        w = w[:-3] + w[-3] + w[-1]
+
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# --------------------------------------------------------------- russian
+
+_RU_VOWELS = ("A", "U", "E", "a", "e", "i", "o", "u", "y")
+# gerund/adjectival/verb suffixes whose removal is gated on a preceding
+# a / i^a (the algorithm's "group 1" endings)
+_RU_GERUND_G1 = ("v", "vshi", "vshis'")
+_RU_VERB_G1 = (
+    "la", "na", "ete", "i`te", "li", "i`", "l", "em", "n", "lo", "no",
+    "et", "i^ut", "ny", "t'", "esh'", "nno",
+)
+
+
+def _ru_regions(w: str) -> tuple[str, str]:
+    """(RV, R2) with the i^a/i^u/e` digraphs temporarily collapsed so
+    they count as single vowels (the port's A/U/E substitution)."""
+    t = w.replace("i^a", "A").replace("i^u", "U").replace("e`", "E")
+    reg1 = ""
+    for i in range(1, len(t)):
+        if t[i] not in _RU_VOWELS and t[i - 1] in _RU_VOWELS:
+            reg1 = t[i + 1 :]
+            break
+    reg2 = ""
+    for i in range(1, len(reg1)):
+        if reg1[i] not in _RU_VOWELS and reg1[i - 1] in _RU_VOWELS:
+            reg2 = reg1[i + 1 :]
+            break
+    rvr = ""
+    for i in range(len(t)):
+        if t[i] in _RU_VOWELS:
+            rvr = t[i + 1 :]
+            break
+    expand = lambda s: (
+        s.replace("A", "i^a").replace("U", "i^u").replace("E", "e`")
+    )
+    return expand(rvr), expand(reg2)
+
+
+def _ru_adjectival_g1() -> frozenset:
+    """Adjectival suffixes in the a/i^a-gated group (the algorithm's
+    group-1 participle endings — pinned data in _ru_data)."""
+    from whoosh_novo_spark.functions._ru_data import ADJECTIVAL_G1_SUFFIXES
+
+    return frozenset(ADJECTIVAL_G1_SUFFIXES)
+
+
+_RU_ADJ_G1 = None
+
+
+def stem_ru(word: str) -> str:
+    """Russian Snowball (snowballstem.org/algorithms/russian/).  The
+    oracle port stems over a Roman transliteration (i^a/i^u digraphs)
+    and converts back; pure-ASCII input is stemmed as-is."""
+    global _RU_ADJ_G1
+    from whoosh_novo_spark.functions._ru_data import (
+        DERIVATIONAL_SUFFIXES,
+        NOUN_SUFFIXES,
+        PERFECTIVE_GERUND_SUFFIXES,
+        REFLEXIVE_SUFFIXES,
+        SUPERLATIVE_SUFFIXES,
+        VERB_SUFFIXES,
+    )
+
+    if _RU_ADJ_G1 is None:
+        _RU_ADJ_G1 = _ru_adjectival_g1()
+
+    cyrillic = any(ord(c) > 255 for c in word)
+    w = word
+    if cyrillic:
+        from whoosh_novo_spark.functions._ru_data import CYR2ROM_ORDERED
+
+        for a, b in CYR2ROM_ORDERED:
+            w = w.replace(a, b)
+
+    rvr, reg2 = _ru_regions(w)
+
+    def gated(sfx: str) -> bool:
+        k = len(sfx)
+        return rvr[-k - 3 : -k] == "i^a" or rvr[-k - 1 : -k] == "a"
+
+    step1_hit = False
+    for sfx in PERFECTIVE_GERUND_SUFFIXES:
+        if rvr.endswith(sfx):
+            if sfx in _RU_GERUND_G1:
+                if gated(sfx):
+                    k = len(sfx)
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    step1_hit = True
+                    break
+            else:
+                k = len(sfx)
+                w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                step1_hit = True
+                break
+
+    if not step1_hit:
+        for sfx in REFLEXIVE_SUFFIXES:
+            if rvr.endswith(sfx):
+                k = len(sfx)
+                w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                break
+
+        adjectival_hit = False
+        from whoosh_novo_spark.functions._ru_data import ADJECTIVAL_SUFFIXES
+
+        for sfx in ADJECTIVAL_SUFFIXES:
+            if rvr.endswith(sfx):
+                if sfx in _RU_ADJ_G1:
+                    if gated(sfx):
+                        k = len(sfx)
+                        w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                        adjectival_hit = True
+                        break
+                else:
+                    k = len(sfx)
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    adjectival_hit = True
+                    break
+
+        verb_hit = False
+        if not adjectival_hit:
+            for sfx in VERB_SUFFIXES:
+                if rvr.endswith(sfx):
+                    if sfx in _RU_VERB_G1:
+                        if gated(sfx):
+                            k = len(sfx)
+                            w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                            verb_hit = True
+                            break
+                    else:
+                        k = len(sfx)
+                        w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                        verb_hit = True
+                        break
+
+        if not adjectival_hit and not verb_hit:
+            for sfx in NOUN_SUFFIXES:
+                if rvr.endswith(sfx):
+                    k = len(sfx)
+                    w, reg2, rvr = w[:-k], reg2[:-k], rvr[:-k]
+                    break
+
+    # step 2 — final i
+    if rvr.endswith("i"):
+        w, reg2 = w[:-1], reg2[:-1]
+
+    # step 3 — derivational (in R2)
+    for sfx in DERIVATIONAL_SUFFIXES:
+        if reg2.endswith(sfx):
+            w = w[: -len(sfx)]
+            break
+
+    # step 4 — undouble nn / superlative / soft sign
+    undoubled = False
+    if w.endswith("nn"):
+        w = w[:-1]
+        undoubled = True
+    superlative_hit = False
+    if not undoubled:
+        for sfx in SUPERLATIVE_SUFFIXES:
+            if w.endswith(sfx):
+                w = w[: -len(sfx)]
+                superlative_hit = True
+                break
+        if w.endswith("nn"):
+            w = w[:-1]
+    if not undoubled and not superlative_hit and w.endswith("'"):
+        w = w[:-1]
+
+    if cyrillic:
+        w = _ru_roman_to_cyrillic(w)
+    return w
+
+
+def _ru_roman_to_cyrillic(w: str) -> str:
+    from whoosh_novo_spark.functions._ru_data import ROM2CYR_ORDERED
+
+    for a, b in ROM2CYR_ORDERED:
+        w = w.replace(a, b)
+    return w
+
+
 # --------------------------------------------------------------- registry
 
 SNOWBALL_STEMMERS = {
@@ -840,6 +1560,13 @@ SNOWBALL_STEMMERS = {
     "de": stem_de,
     "fr": stem_fr,
     "es": stem_es,
+    "da": stem_da,
+    "no": stem_no,
+    "sv": stem_sv,
+    "nl": stem_nl,
+    "it": stem_it,
+    "pt": stem_pt,
+    "ru": stem_ru,
 }
 
 LANG_ALIASES = {
@@ -847,6 +1574,13 @@ LANG_ALIASES = {
     "deu": "de", "german": "de", "deutsch": "de",
     "fra": "fr", "french": "fr", "français": "fr",
     "spa": "es", "spanish": "es", "español": "es",
+    "dan": "da", "danish": "da", "dansk": "da",
+    "nor": "no", "norwegian": "no", "norsk": "no",
+    "swe": "sv", "swedish": "sv", "svenska": "sv",
+    "nld": "nl", "dutch": "nl", "nederlands": "nl",
+    "ita": "it", "italian": "it", "italiano": "it",
+    "por": "pt", "portuguese": "pt", "português": "pt",
+    "rus": "ru", "russian": "ru", "русский язык": "ru",
 }
 
 
