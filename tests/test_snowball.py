@@ -18,7 +18,8 @@ from whoosh_novo_spark.functions import snowball as sb
 from whoosh_novo_spark.functions.analysis import ANALYZERS
 from whoosh_novo_spark.functions.stopwords import STOPWORDS
 
-LANGS = ("en", "de", "fr", "es", "da", "no", "sv", "nl", "it", "pt", "ru")
+LANGS = ("en", "de", "fr", "es", "da", "no", "sv", "nl", "it", "pt", "ru",
+         "fi", "ro", "hu")
 
 _ALPHA = {
     "en": "abcdefghijklmnopqrstuvwxyy'e",
@@ -32,6 +33,9 @@ _ALPHA = {
     "it": "abcdefghijklmnopqrstuvwxyzaeiouàèìòùáéíóú",
     "pt": "abcdefghijklmnopqrstuvwxyzaeiouáéíóúâêôãõç",
     "ru": "абвгдежзийклмнопрстуфхцчшщъыьэюяёаоие",
+    "fi": "abcdefghijklmnopqrstuvwxyzaeiouäö",
+    "ro": "abcdefghijklmnopqrstuvwxyzaeiouăâîţş",
+    "hu": "abcdefghijklmnopqrstuvwxyzaeiouöüáéíóõúûőű",
 }
 
 _BASES = (
@@ -63,8 +67,15 @@ _SUFFIXES = {
     + ("ch", "gh", "i", "ando", "endo"),
     "pt": sb._PT_STEP1 + sb._PT_STEP2 + sb._PT_STEP4
     + ("e", "é", "ê", "gu", "ci", "ç"),
-    "ru": ("ость", "ейше", "нн", "вшись", "ывшись", "ившись", " само",
+    "ru": ("ость", "ейше", "нн", "вшись", "ывшись", "ившись", "само",
            "ующими", "ениями", "ость'", "и", "ь", "ъ"),
+    "fi": sb._FI_STEP1 + sb._FI_STEP2 + sb._FI_STEP3 + sb._FI_STEP4
+    + ("t", "kse", "poimma"),
+    "ro": ("ul", "ului", "ile", "aţie", "abilitate", "icitate", "ator",
+           "itate", "iune", "ist", "are", "ând", "ează", "eşti", "a",
+           "e", "i", "ă", "seserăţi"),
+    "hu": sb._HU_STEP2 + sb._HU_STEP3 + sb._HU_STEP4 + sb._HU_STEP6
+    + sb._HU_STEP7 + sb._HU_STEP9 + ("al", "el", "ttal", "á", "é"),
 }
 
 
@@ -97,6 +108,11 @@ def test_stemmer_golden_vs_reference(whoosh_ref, lang):
 def test_stopword_lists_match_reference(whoosh_ref, lang):
     from whoosh.lang.stopwords import stoplists
 
+    if lang == "ro":
+        # Romanian has a stemmer but NO stop list on either side — the
+        # chain just omits the stop stage (NoStopWords)
+        assert "ro" not in STOPWORDS and "ro" not in stoplists
+        return
     assert STOPWORDS[lang] == frozenset(stoplists[lang])
 
 
@@ -108,6 +124,9 @@ SAMPLE_TEXTS = [
     "I gatti correvano velocemente nelle organizzazioni",
     "Os gatos corriam rapidamente nas organizações",
     "Пользователи быстро читали важные документы",
+    "Koirat juoksivat nopeammin kuin kissat organisaatioissa",
+    "Organizaţiile lucrau repede cu clienţii",
+    "A kutyák gyorsabban futottak a kertekben",
     "Les chevaux mangeaient rapidement des pommes délicieuses",
     "Las organizaciones trabajaban lentamente con los clientes",
     "The organizations were quickly running comprehensive benchmarks",

@@ -1,6 +1,8 @@
 """Clean-room Snowball-family stemmers: English (porter2), German,
 French, Spanish, Italian, Portuguese, Dutch, Danish, Norwegian,
-Swedish, Russian.
+Swedish, Russian, Finnish, Romanian, Hungarian — the oracle's entire
+Snowball family.  (Turkish has a stop list but no stemmer on either
+side; Arabic's ISRI stemmer is outside the Snowball family.)
 
 Written from the published Snowball algorithm descriptions
 (https://snowballstem.org/algorithms/).  The parity target, however, is
@@ -1372,6 +1374,500 @@ def stem_nl(word: str) -> str:
     return w.replace("I", "i").replace("Y", "y")
 
 
+# -------------------------------------------------------------- hungarian
+
+_HU_VOWELS = "aeiouöüáéíóõúû"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "ty", "zs")
+_HU_DOUBLES = (
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+    "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
+    "vv", "zz", "zzs",
+)
+_HU_STEP2 = (
+    "képpen", "onként", "enként", "anként", "képp", "ként", "ban",
+    "ben", "nak", "nek", "val", "vel", "tól", "tõl", "ról", "rõl",
+    "ból", "bõl", "hoz", "hez", "höz", "nál", "nél", "ért", "kor",
+    "ba", "be", "ra", "re", "ig", "at", "et", "ot", "öt", "ul", "ül",
+    "vá", "vé", "en", "on", "an", "ön", "n", "t",
+)
+_HU_STEP3 = ("ánként", "án", "én")
+_HU_STEP4 = ("astul", "estül", "ástul", "éstül", "stul", "stül")
+_HU_STEP6 = (
+    "oké", "öké", "aké", "eké", "áké", "áéi", "éké", "ééi", "ké",
+    "éi", "éé", "é",
+)
+_HU_STEP7 = (
+    "ájuk", "éjük", "ünk", "unk", "juk", "jük", "ánk", "énk", "nk",
+    "uk", "ük", "em", "om", "am", "od", "ed", "ad", "öd", "ja", "je",
+    "ám", "ád", "ém", "éd", "m", "d", "a", "e", "o", "á", "é",
+)
+_HU_STEP8 = (
+    "jaitok", "jeitek", "jaink", "jeink", "aitok", "eitek", "áitok",
+    "éitek", "jaim", "jeim", "jaid", "jeid", "eink", "aink", "itek",
+    "jeik", "jaik", "áink", "éink", "aim", "eim", "aid", "eid",
+    "jai", "jei", "ink", "aik", "eik", "áim", "áid", "áik", "éim",
+    "éid", "éik", "im", "id", "ai", "ei", "ik", "ái", "éi", "i",
+)
+_HU_STEP9 = ("ák", "ék", "ök", "ok", "ek", "ak", "k")
+
+
+def _hu_r1(w: str) -> str:
+    """Hungarian R1.  port quirk: for vowel-initial words the digraph
+    scan locates the digraph's LAST letter with index() over the WHOLE
+    word — i.e. the first occurrence of that single character anywhere,
+    not the digraph's own position."""
+    if not w:
+        return ""
+    if w[0] in _HU_VOWELS:
+        for dg in _HU_DIGRAPHS:
+            if dg in w[1:]:
+                return w[w.index(dg[-1]) + 1 :]
+        for i in range(1, len(w)):
+            if w[i] not in _HU_VOWELS:
+                return w[i + 1 :]
+        return ""
+    for i in range(1, len(w)):
+        if w[i] in _HU_VOWELS:
+            return w[i + 1 :]
+    return ""
+
+
+def stem_hu(word: str) -> str:  # noqa: C901
+    """Hungarian Snowball (snowballstem.org/algorithms/hungarian/)."""
+    w = word.lower()
+    reg1 = _hu_r1(w)
+
+    # step 1 — instrumental case: undouble before the al/el ending.
+    # port quirk: the replacement is always w[:-4] + w[-3] regardless of
+    # digraph length, and the first double-consonant in TABLE order wins
+    if reg1.endswith(("al", "el")):
+        for dc in _HU_DOUBLES:
+            if w[-2 - len(dc) : -2] == dc:
+                w = w[:-4] + w[-3]
+                if reg1[-2 - len(dc) : -2] == dc:
+                    reg1 = reg1[:-4] + reg1[-3]
+                break
+
+    # step 2 — frequent cases (+ final á/é normalization)
+    for sfx in _HU_STEP2:
+        if w.endswith(sfx):
+            if reg1.endswith(sfx):
+                k = len(sfx)
+                w, reg1 = w[:-k], reg1[:-k]
+                if reg1.endswith("á"):
+                    w, reg1 = w[:-1] + "a", reg1[:-1] + "a"
+                elif reg1.endswith("é"):
+                    w, reg1 = w[:-1] + "e", reg1[:-1] + "e"
+            break
+
+    # step 3 — special cases
+    for sfx in _HU_STEP3:
+        if reg1.endswith(sfx):
+            if sfx == "én":
+                w, reg1 = w[:-2] + "e", reg1[:-2] + "e"
+            else:
+                k = len(sfx)
+                w, reg1 = w[:-k] + "a", reg1[:-k] + "a"
+            break
+
+    # step 4 — other cases
+    for sfx in _HU_STEP4:
+        if reg1.endswith(sfx):
+            if sfx == "ástul":
+                w, reg1 = w[:-5] + "a", reg1[:-5] + "a"
+            elif sfx == "éstül":
+                w, reg1 = w[:-5] + "e", reg1[:-5] + "e"
+            else:
+                k = len(sfx)
+                w, reg1 = w[:-k], reg1[:-k]
+            break
+
+    # step 5 — factive case: undouble before a final á/é
+    if reg1.endswith(("á", "é")):
+        for dc in _HU_DOUBLES:
+            if w[-1 - len(dc) : -1] == dc:
+                w = w[:-3] + w[-2]
+                if reg1[-1 - len(dc) : -1] == dc:
+                    reg1 = reg1[:-3] + reg1[-2]
+                break
+
+    # step 6 — owned
+    for sfx in _HU_STEP6:
+        if reg1.endswith(sfx):
+            k = len(sfx)
+            if sfx in ("áké", "áéi"):
+                w, reg1 = w[:-3] + "a", reg1[:-3] + "a"
+            elif sfx in ("éké", "ééi", "éé"):
+                w, reg1 = w[:-k] + "e", reg1[:-k] + "e"
+            else:
+                w, reg1 = w[:-k], reg1[:-k]
+            break
+
+    # step 7 — singular owner
+    for sfx in _HU_STEP7:
+        if w.endswith(sfx):
+            if reg1.endswith(sfx):
+                k = len(sfx)
+                if sfx in ("ánk", "ájuk", "ám", "ád", "á"):
+                    w, reg1 = w[:-k] + "a", reg1[:-k] + "a"
+                elif sfx in ("énk", "éjük", "ém", "éd", "é"):
+                    w, reg1 = w[:-k] + "e", reg1[:-k] + "e"
+                else:
+                    w, reg1 = w[:-k], reg1[:-k]
+            break
+
+    # step 8 — plural owner
+    for sfx in _HU_STEP8:
+        if w.endswith(sfx):
+            if reg1.endswith(sfx):
+                k = len(sfx)
+                if sfx in ("áim", "áid", "ái", "áink", "áitok", "áik"):
+                    w, reg1 = w[:-k] + "a", reg1[:-k] + "a"
+                elif sfx in ("éim", "éid", "éi", "éink", "éitek", "éik"):
+                    w, reg1 = w[:-k] + "e", reg1[:-k] + "e"
+                else:
+                    w, reg1 = w[:-k], reg1[:-k]
+            break
+
+    # step 9 — plural
+    for sfx in _HU_STEP9:
+        if w.endswith(sfx):
+            if reg1.endswith(sfx):
+                if sfx == "ák":
+                    w = w[:-2] + "a"
+                elif sfx == "ék":
+                    w = w[:-2] + "e"
+                else:
+                    w = w[: -len(sfx)]
+            break
+
+    return w
+
+
+# -------------------------------------------------------------- romanian
+
+_RO_VOWELS = "aeiouăâî"
+
+_RO_ST1_ABIL = ("abilitate", "abilitati", "abilităi", "abilităţi")
+_RO_ST1_IV = ("ivitate", "ivitati", "ivităi", "ivităţi")
+_RO_ST1_IC = (
+    "icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+    "iciv", "iciva", "icive", "icivi", "icivă", "ical", "icala",
+    "icale", "icali", "icală",
+)
+_RO_ST1_AT = (
+    "ativ", "ativa", "ative", "ativi", "ativă", "aţiune", "atoare",
+    "ator", "atori", "ătoare", "ător", "ători",
+)
+_RO_ST1_IT = (
+    "itiv", "itiva", "itive", "itivi", "itivă", "iţiune", "itoare",
+    "itor", "itori",
+)
+_RO_ST3_G1 = (
+    "seserăţi", "seserăm", "serăţi", "seseşi", "seseră", "serăm",
+    "sesem", "seşi", "seră", "sese", "aţi", "eţi", "iţi", "âţi",
+    "sei", "ăm", "em", "im", "âm", "se",
+)
+
+
+def stem_ro(word: str) -> str:  # noqa: C901
+    """Romanian Snowball (snowballstem.org/algorithms/romanian/).
+
+    port quirks replicated: the region gates are substring CONTAINMENT
+    against the ORIGINAL (never truncated) R1/R2; step 1 loops until no
+    replacement and RESETS its success flag when a word-suffix match
+    falls outside R1; step 3's consonant guard locates the suffix with
+    index() (FIRST occurrence) and tests against a vowel set missing
+    'u'."""
+    from whoosh_novo_spark.functions._ro_data import (
+        STEP0_SUFFIXES,
+        STEP1_SUFFIXES,
+        STEP2_SUFFIXES,
+        STEP3_SUFFIXES,
+    )
+
+    w = word.lower()
+    step1_hit = False
+    step2_hit = False
+
+    cs = list(w)
+    for i in range(1, len(cs) - 1):
+        if cs[i - 1] in _RO_VOWELS and cs[i + 1] in _RO_VOWELS:
+            if cs[i] == "u":
+                cs[i] = "U"
+            elif cs[i] == "i":
+                cs[i] = "I"
+    w = "".join(cs)
+
+    reg1, reg2 = _std_regions(w, _RO_VOWELS)
+    rvr = _std_rv(w, _RO_VOWELS)
+
+    # step 0 — plurals and simplifications
+    for sfx in STEP0_SUFFIXES:
+        if w.endswith(sfx):
+            k = len(sfx)
+            if sfx in reg1:
+                if sfx in ("ul", "ului"):
+                    w = w[:-k]
+                    rvr = rvr[:-k] if sfx in rvr else ""
+                elif sfx in ("aua", "atei") or (
+                    sfx == "ile" and w[-5:-3] != "ab"
+                ):
+                    w = w[:-2]
+                elif sfx in ("ea", "ele", "elor"):
+                    w = w[:-k] + "e"
+                    rvr = rvr[:-k] + "e" if sfx in rvr else ""
+                elif sfx in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+                    w = w[:-k] + "i"
+                    rvr = rvr[:-k] + "i" if sfx in rvr else ""
+                elif sfx in ("aţie", "aţia"):
+                    w = w[:-1]
+            break
+
+    # step 1 — combining suffixes, repeated until stable
+    while True:
+        changed = False
+        for sfx in STEP1_SUFFIXES:
+            if w.endswith(sfx):
+                if sfx in reg1:
+                    step1_hit = True
+                    changed = True
+                    k = len(sfx)
+                    if sfx in _RO_ST1_ABIL:
+                        w = w[:-k] + "abil"
+                    elif sfx == "ibilitate":
+                        w = w[:-5]
+                    elif sfx in _RO_ST1_IV:
+                        w = w[:-k] + "iv"
+                    elif sfx in _RO_ST1_IC:
+                        w = w[:-k] + "ic"
+                    elif sfx in _RO_ST1_AT:
+                        w = w[:-k] + "at"
+                        if sfx in reg2:
+                            reg2 = reg2[:-k] + "at"
+                    elif sfx in _RO_ST1_IT:
+                        w = w[:-k] + "it"
+                        if sfx in reg2:
+                            reg2 = reg2[:-k] + "it"
+                else:
+                    # port quirk: an out-of-region match RESETS the flag
+                    step1_hit = False
+                break
+        if not changed:
+            break
+
+    # step 2 — standard suffixes
+    for sfx in STEP2_SUFFIXES:
+        if w.endswith(sfx):
+            if sfx in reg2:
+                step2_hit = True
+                if sfx in ("iune", "iuni"):
+                    if w[-5] == "ţ":
+                        w = w[:-5] + "t"
+                elif sfx in (
+                    "ism", "isme", "ist", "ista", "iste", "isti", "istă",
+                    "işti",
+                ):
+                    w = w[: -len(sfx)] + "ist"
+                else:
+                    w = w[: -len(sfx)]
+            break
+
+    # step 3 — verb suffixes
+    if not step1_hit and not step2_hit:
+        for sfx in STEP3_SUFFIXES:
+            if w.endswith(sfx):
+                if sfx in rvr:
+                    k = len(sfx)
+                    if sfx in _RO_ST3_G1:
+                        w, rvr = w[:-k], rvr[:-k]
+                    else:
+                        if (
+                            not rvr.startswith(sfx)
+                            and rvr[rvr.index(sfx) - 1] not in "aeioăâ"
+                            and rvr[rvr.index(sfx) - 1] != "î"
+                        ):
+                            w = w[:-k]
+                    break
+
+    # step 4 — final vowel
+    for sfx in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(sfx):
+            if sfx in rvr:
+                w = w[: -len(sfx)]
+            break
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# --------------------------------------------------------------- finnish
+
+_FI_VOWELS = "aeiouyäö"
+_FI_RESTRICTED = "aeiouäö"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+_FI_DOUBLES = frozenset(
+    c + c for c in "bcdfghjklmnpqrstvwxz"
+)
+_FI_STEP1 = (
+    "kaan", "kään", "sti", "kin", "han", "hän", "ko", "kö", "pa", "pä",
+)
+_FI_STEP2 = ("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+_FI_STEP3 = (
+    "siin", "tten", "seen", "han", "hen", "hin", "hon", "hän", "hön",
+    "den", "tta", "ttä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+    "lta", "ltä", "lle", "ksi", "ine", "ta", "tä", "na", "nä",
+    "a", "ä", "n",
+)
+_FI_STEP4 = (
+    "impi", "impa", "impä", "immi", "imma", "immä", "mpi", "mpa",
+    "mpä", "mmi", "mma", "mmä", "eja", "ejä",
+)
+_FI_H_VOWEL = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+               "hän": "ä", "hön": "ö"}
+
+
+def stem_fi(word: str) -> str:  # noqa: C901
+    """Finnish Snowball (snowballstem.org/algorithms/finnish/)."""
+    w = word.lower()
+    step3_hit = False
+    reg1, reg2 = _std_regions(w, _FI_VOWELS)
+
+    # step 1 — particles
+    for sfx in _FI_STEP1:
+        if reg1.endswith(sfx):
+            if sfx == "sti":
+                # port quirk: containment test against R2, not endswith
+                if sfx in reg2:
+                    w, reg1, reg2 = w[:-3], reg1[:-3], reg2[:-3]
+            else:
+                k = len(sfx)
+                if w[-k - 1] in "ntaeiouyäö":
+                    w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+            break
+
+    # step 2 — possessives
+    for sfx in _FI_STEP2:
+        if reg1.endswith(sfx):
+            if sfx == "si":
+                if w[-3] != "k":
+                    w, reg1, reg2 = w[:-2], reg1[:-2], reg2[:-2]
+            elif sfx == "ni":
+                w, reg1, reg2 = w[:-2], reg1[:-2], reg2[:-2]
+                if w.endswith("kse"):
+                    w = w[:-3] + "ksi"
+                if reg1.endswith("kse"):
+                    reg1 = reg1[:-3] + "ksi"
+                if reg2.endswith("kse"):
+                    reg2 = reg2[:-3] + "ksi"
+            elif sfx == "an":
+                if w[-4:-2] in ("ta", "na") or w[-5:-2] in (
+                    "ssa", "sta", "lla", "lta",
+                ):
+                    w, reg1, reg2 = w[:-2], reg1[:-2], reg2[:-2]
+            elif sfx == "än":
+                if w[-4:-2] in ("tä", "nä") or w[-5:-2] in (
+                    "ssä", "stä", "llä", "ltä",
+                ):
+                    w, reg1, reg2 = w[:-2], reg1[:-2], reg2[:-2]
+            elif sfx == "en":
+                if w[-5:-2] in ("lle", "ine"):
+                    w, reg1, reg2 = w[:-2], reg1[:-2], reg2[:-2]
+            else:  # nsa/nsä/mme/nne
+                w, reg1, reg2 = w[:-3], reg1[:-3], reg2[:-3]
+            break
+
+    # step 3 — cases.  Gate failures on siin/den/tten/seen CONTINUE the
+    # scan (port behavior); other gate failures stop it.
+    for sfx in _FI_STEP3:
+        if reg1.endswith(sfx):
+            if sfx in _FI_H_VOWEL:
+                if w[-4] == _FI_H_VOWEL[sfx]:
+                    w, reg1, reg2 = w[:-3], reg1[:-3], reg2[:-3]
+                    step3_hit = True
+            elif sfx in ("siin", "den", "tten"):
+                k = len(sfx)
+                if w[-k - 1] == "i" and w[-k - 2] in _FI_RESTRICTED:
+                    w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+                    step3_hit = True
+                else:
+                    continue
+            elif sfx == "seen":
+                if w[-6:-4] in _FI_LONG:
+                    w, reg1, reg2 = w[:-4], reg1[:-4], reg2[:-4]
+                    step3_hit = True
+                else:
+                    continue
+            elif sfx in ("a", "ä"):
+                if w[-2] in _FI_VOWELS and w[-3] in _FI_CONS:
+                    w, reg1, reg2 = w[:-1], reg1[:-1], reg2[:-1]
+                    step3_hit = True
+            elif sfx in ("tta", "ttä"):
+                if w[-4] == "e":
+                    w, reg1, reg2 = w[:-3], reg1[:-3], reg2[:-3]
+                    step3_hit = True
+            elif sfx == "n":
+                w, reg1, reg2 = w[:-1], reg1[:-1], reg2[:-1]
+                step3_hit = True
+                if w[-2:] == "ie" or w[-2:] in _FI_LONG:
+                    w, reg1, reg2 = w[:-1], reg1[:-1], reg2[:-1]
+            else:
+                k = len(sfx)
+                w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+                step3_hit = True
+            break
+
+    # step 4 — other endings (comparatives), in R2
+    for sfx in _FI_STEP4:
+        if reg2.endswith(sfx):
+            if sfx in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+                if w[-5:-3] != "po":
+                    w, reg1, reg2 = w[:-3], reg1[:-3], reg2[:-3]
+            else:
+                k = len(sfx)
+                w, reg1, reg2 = w[:-k], reg1[:-k], reg2[:-k]
+            break
+
+    # step 5 — plurals
+    if step3_hit and len(reg1) >= 1 and reg1[-1] in "ij":
+        w, reg1 = w[:-1], reg1[:-1]
+    elif (
+        not step3_hit
+        and len(reg1) >= 2
+        and reg1[-1] == "t"
+        and reg1[-2] in _FI_VOWELS
+    ):
+        w, reg1, reg2 = w[:-1], reg1[:-1], reg2[:-1]
+        if reg2.endswith("imma"):
+            w, reg1 = w[:-4], reg1[:-4]
+        elif reg2.endswith("mma") and reg2[-5:-3] != "po":
+            w, reg1 = w[:-3], reg1[:-3]
+
+    # step 6 — tidying
+    if reg1[-2:] in _FI_LONG:
+        w, reg1 = w[:-1], reg1[:-1]
+    if len(reg1) >= 2 and reg1[-2] in _FI_CONS and reg1[-1] in "aäei":
+        w, reg1 = w[:-1], reg1[:-1]
+    if reg1.endswith(("oj", "uj")):
+        w, reg1 = w[:-1], reg1[:-1]
+    if reg1.endswith("jo"):
+        w, reg1 = w[:-1], reg1[:-1]
+
+    # undouble the final double consonant (possibly followed by vowels)
+    for i in range(1, len(w)):
+        if w[-i] in _FI_VOWELS:
+            continue
+        if i == 1:
+            if w[-i - 1 :] in _FI_DOUBLES:
+                w = w[:-1]
+        else:
+            if w[-i - 1 : -i + 1] in _FI_DOUBLES:
+                w = w[:-i] + w[-i + 1 :]
+        break
+
+    return w
+
+
 # --------------------------------------------------------------- russian
 
 _RU_VOWELS = ("A", "U", "E", "a", "e", "i", "o", "u", "y")
@@ -1567,6 +2063,9 @@ SNOWBALL_STEMMERS = {
     "it": stem_it,
     "pt": stem_pt,
     "ru": stem_ru,
+    "fi": stem_fi,
+    "ro": stem_ro,
+    "hu": stem_hu,
 }
 
 LANG_ALIASES = {
@@ -1581,6 +2080,10 @@ LANG_ALIASES = {
     "ita": "it", "italian": "it", "italiano": "it",
     "por": "pt", "portuguese": "pt", "português": "pt",
     "rus": "ru", "russian": "ru", "русский язык": "ru",
+    "fin": "fi", "finnish": "fi", "suomi": "fi",
+    "ron": "ro", "romanian": "ro",
+    "hun": "hu", "hungarian": "hu", "magyar": "hu",
+    "tur": "tr", "turkish": "tr", "türkçe": "tr",
 }
 
 
