@@ -361,3 +361,27 @@ def test_exact_duplicates_capped_pathological_group(spark):
     )
     got = {r["fp"]: r["ids"] for r in exact_duplicates(small).collect()}
     assert list(got.values()) == [[1, 2]]
+
+
+def test_simhash_bucket_cap_guards_skew(spark):
+    """max_bucket drops only over-hot chunk buckets (boilerplate);
+    near-pairs of distinctive docs survive through their other chunks."""
+    from whoosh_novo_spark.operators.dedup import simhash_near_pairs
+
+    boiler = [(i, "identical boilerplate page content repeated") for i in range(120)]
+    distinct = [
+        (1000, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1001, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"])
+        for r in simhash_near_pairs(df, max_hamming=10, max_bucket=50).collect()
+    }
+    assert (1000, 1001) in pairs
+    # boilerplate pairs were suppressed by the cap (all four of their
+    # chunk buckets are hot) — they belong to exact dedup
+    assert not any(a < 120 and b < 120 for a, b in pairs)
+    # without the guard the boilerplate pairs all appear
+    full = simhash_near_pairs(df, max_hamming=10, max_bucket=None).count()
+    assert full >= (120 * 119) // 2

@@ -131,3 +131,24 @@ def test_driver_dm_map_pinned():
 
     for tok, codes in entry._DM_MAP_PINNED.items():
         assert double_metaphone(tok) == codes, tok
+
+
+def test_soundex_esp_ar_golden_vs_reference(whoosh_ref):
+    """Spanish and Arabic soundex parity (lang/phonetic.py), including
+    the Arabic port's unmapped-char code-reuse quirk."""
+    import random
+
+    from whoosh.lang.phonetic import soundex_ar as ref_ar
+    from whoosh.lang.phonetic import soundex_esp as ref_esp
+
+    from whoosh_novo_spark.functions.phonetic import soundex_ar, soundex_esp
+
+    rng = random.Random(17)
+    esp_alpha = "abcdefghijklmnopqrstuvwxyzáéíóúüñ"
+    ar_alpha = "ابتثجحخدذرزسشصضطظعغفقكلمنهويأإآ"
+    for _ in range(4000):
+        w = "".join(rng.choice(esp_alpha) for _ in range(rng.randint(1, 12)))
+        assert soundex_esp(w) == ref_esp(w), w
+    for _ in range(4000):
+        w = "".join(rng.choice(ar_alpha) for _ in range(rng.randint(1, 12)))
+        assert soundex_ar(w) == ref_ar(w), w

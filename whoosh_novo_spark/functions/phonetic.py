@@ -514,3 +514,80 @@ def dmetaphone_filter(
         tb.n_rows,
         boost=np.asarray(boosts, dtype=np.float64),
     )
+
+
+# Spanish quasi-phonetic coder — regex rule table applied left-to-right
+# with repeated-code collapse (public recipe the reference also uses:
+# Sebastian Ferreyra's javalobby version).
+_ESP_RULES = tuple(
+    (re.compile(pat), repl)
+    for pat, repl in (
+        (r"\Aw?[uh]?([aeiou])", ""),
+        (r"c[eiéí]|z|ll|sh|ch|sch|cc|y[aeiouáéíóú]|ps|bs|x|j|g[eiéí]", "s"),
+        (r"[aeiouhwáéíóúü]+", ""),
+        (r"y", ""),
+        (r"ñ|gn", "n"),
+        (r"[dpc]t", "t"),
+        (r"c[aouáóú]|ck|q", "k"),
+        (r"v", "b"),
+        (r"d$", "t"),
+    )
+)
+
+
+def soundex_esp(word: str) -> str:
+    """Spanish soundex: first matching rule at each position emits its
+    code; runs of the same code collapse."""
+    w = word.lower()
+    out = ""
+    prev = None
+    i = 0
+    while i < len(w):
+        code = None
+        for rx, ecode in _ESP_RULES:
+            mt = rx.match(w, i)
+            if mt:
+                i = mt.end()
+                code = ecode
+                break
+        if code is None:
+            code = w[i]
+            i += 1
+        if code != prev:
+            out += code
+        prev = code
+    return out
+
+
+# Arabic soundex (public recipe: Tammam Koujan's C# ArabicSoundex) —
+# letter-class digits, initial alef forms dropped, vowels (class 0)
+# skipped, repeats collapsed
+_AR_CLASSES = {
+    "ايأإآحخهعغشوي": "0",
+    "فب": "1",
+    "جزسصظقك": "2",
+    "تثدذضط": "3",
+    "ل": "4",
+    "من": "5",
+    "ر": "6",
+}
+_AR_CODES = {ch: code for chars, code in _AR_CLASSES.items() for ch in chars}
+
+
+def soundex_ar(word: str) -> str:
+    if word and word[0] in "اأإآ":
+        word = word[1:]
+    out = "0"
+    prev = "0"
+    if len(word) > 1:
+        code = None
+        for ch in word[1:]:
+            if ch in _AR_CODES:
+                code = _AR_CODES[ch]
+            # port quirk: an unmapped char REUSES the previous mapped
+            # char's code value (the lookup only runs inside the guard)
+            if code != prev:
+                if code != "0" and code is not None:
+                    out += code
+            prev = code
+    return out

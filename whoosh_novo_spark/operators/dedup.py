@@ -280,11 +280,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def simhash_near_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
     chunks (a pair within hamming<=3 must agree on >=1 of 4 chunks —
-    pigeonhole), so no quadratic join."""
+    pigeonhole), so no quadratic join.
+
+    ``max_bucket`` skew guard (r4): template-heavy corpora concentrate
+    many near-identical signatures into a few chunk values, making one
+    bucket's self-join quadratic (measured 449 s at 110k synthetic docs
+    without the guard).  Buckets larger than the cap are dropped from
+    the CANDIDATE side only; a pair inside a dropped bucket is still
+    found through any of its other 3 chunks unless all four of its
+    buckets are that hot (then the docs are boilerplate-grade similar
+    and belong to exact-dedup anyway).  None disables the guard."""
     sh = simhash64(docs, id_col, text_col)
     chunks = sh.select(
         "id",
@@ -301,6 +314,14 @@ def simhash_near_pairs(
             )
         ).alias("ck"),
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("chunk", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("chunk", "key")
+        )
+        chunks = chunks.join(F.broadcast(hot), ["chunk", "key"], "left_anti")
     a = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "chunk", "key")
     b = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "chunk", "key")
     pairs = (
