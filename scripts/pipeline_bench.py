@@ -72,7 +72,7 @@ def main() -> None:
     print("LEG exact_dedup done", res["exact_dedup_sec"], file=sys.stderr)
 
     t0 = time.time()
-    n_pairs = minhash_dedup_pairs(corpus, id_col="url", tau=0.8).count()
+    n_pairs = minhash_dedup_pairs(corpus, id_col="url", tau=0.8, hash_fn="xxhash64").count()
     el = time.time() - t0
     res["minhash_lsh_sec"] = round(el, 2)
     res["minhash_docs_per_sec"] = round(total_docs / el)
