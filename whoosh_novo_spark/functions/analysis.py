@@ -756,7 +756,7 @@ ANALYZERS = {
 # LanguageAnalyzer chains for the corpus languages (lang_* keys are also
 # registered on demand by language_analyzer())
 for _lang in ("en", "de", "fr", "es", "da", "no", "sv", "nl", "it", "pt",
-              "ru", "fi", "ro", "hu", "tr", "zh"):
+              "ru", "fi", "ro", "hu", "tr", "ar", "zh"):
     ANALYZERS[f"lang_{_lang}"] = make_language_analyzer_batch(_lang)
 del _lang
 

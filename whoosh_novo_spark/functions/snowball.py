@@ -2051,7 +2051,16 @@ def _ru_roman_to_cyrillic(w: str) -> str:
 
 # --------------------------------------------------------------- registry
 
+def _stem_ar(word: str) -> str:
+    from whoosh_novo_spark.functions.isri import stem as isri_stem
+
+    return isri_stem(word)
+
+
+# language -> stemmer registry (snowball family + the ISRI Arabic
+# stemmer, mirroring the reference's stemmer_for_language dispatch)
 SNOWBALL_STEMMERS = {
+    "ar": _stem_ar,
     "en": stem_en,
     "de": stem_de,
     "fr": stem_fr,
@@ -2084,6 +2093,7 @@ LANG_ALIASES = {
     "ron": "ro", "romanian": "ro",
     "hun": "hu", "hungarian": "hu", "magyar": "hu",
     "tur": "tr", "turkish": "tr", "türkçe": "tr",
+    "ara": "ar", "arabic": "ar", "العربية": "ar",
 }
 
 
