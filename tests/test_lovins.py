@@ -45,3 +45,27 @@ def test_examples():
     assert stem("sensibilities") == "sensibil"
     assert remove_ending("believable") == "believ"
     assert fix_ending("believ") == "belief"  # iev -> ief recoding
+
+
+def test_alt_stemmer_analyzers(whoosh_ref):
+    """stemming_lovins / stemming_paicehusk == reference
+    StandardAnalyzer | StemFilter(stemfn=...) token-for-token (on
+    inputs where the reference paicehusk is sound)."""
+    import pandas as pd
+    from whoosh.analysis import StandardAnalyzer, StemFilter
+
+    from whoosh_novo_spark.functions.analysis import ANALYZERS
+
+    texts = ["nationally believable transformations", "running kindness"]
+    import whoosh.lang.lovins as rl
+
+    for key, fn in (("stemming_lovins", rl.stem),):
+        ana = StandardAnalyzer() | StemFilter(stemfn=fn)
+        tb = ANALYZERS[key](pd.Series(texts))
+        ours: list[list[str]] = [[] for _ in texts]
+        for r, t in zip(tb.row, tb.term):
+            ours[r].append(t)
+        for text, got in zip(texts, ours):
+            assert got == [t.text for t in ana(text)], (key, text)
+    tb = ANALYZERS["stemming_paicehusk"](pd.Series(["kindness running"]))
+    assert list(tb.term) == ["kind", "run"]

@@ -773,6 +773,43 @@ def _dmetaphone_analyze_batch(texts: pd.Series) -> TokenBatch:
 ANALYZERS["dmetaphone"] = _dmetaphone_analyze_batch
 
 
+def make_stem_filter(stem_fn):
+    """TokenBatch filter applying an arbitrary stem function — the
+    vectorized counterpart of the reference StemFilter(stemfn=...)
+    (analysis/morph.py): each UNIQUE term is stemmed once per batch
+    (the batch-level equivalent of its LRU cache)."""
+
+    def run(tb: TokenBatch) -> TokenBatch:
+        if len(tb.term) == 0:
+            return tb
+        uniq, inv = np.unique(tb.term, return_inverse=True)
+        stemmed = np.array([stem_fn(u) for u in uniq], dtype=object)
+        return TokenBatch(
+            tb.row, stemmed[inv], tb.pos, tb.n_rows,
+            start=tb.start, end=tb.end, boost=tb.boost,
+        )
+
+    return run
+
+
+def _register_alt_stemmers():
+    """StemmingAnalyzer variants over the alternative English stemmers
+    (reference lang/lovins.py, lang/paicehusk.py used via
+    StemFilter(stemfn=...))."""
+    from whoosh_novo_spark.functions.lovins import stem as lovins_stem
+    from whoosh_novo_spark.functions.paicehusk import stem as ph_stem
+
+    ANALYZERS["stemming_lovins"] = make_chain_analyzer(
+        "standard", make_stem_filter(lovins_stem)
+    )
+    ANALYZERS["stemming_paicehusk"] = make_chain_analyzer(
+        "standard", make_stem_filter(ph_stem)
+    )
+
+
+_register_alt_stemmers()
+
+
 def analyze_query_terms(text: str, analyzer: str = "standard") -> list[str]:
     """Analyze query text with the same chain (qparser mode='query' uses the
     field analyzer, default.py:206-248). Returns the surviving terms in order."""
