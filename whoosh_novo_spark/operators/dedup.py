@@ -86,6 +86,36 @@ def exact_duplicate_stats(
     )
 
 
+def shingle_array_udf(k: int = 3):
+    """Arrow-batched distinct-k-shingle generator: text -> array<string>
+    (the row-wise building block shared by shingles() and the
+    streaming-safe row-wise MinHash signatures)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    rx = _re.compile(r"[\w*]+(?:\.?[\w*]+)*", _re.ASCII)
+
+    def sh_fn(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s.fillna(""):
+            toks = [t.lower() for t in rx.findall(text)]
+            if len(toks) < k:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(sh_fn, "array<string>")
+
+
 def shingles(
     docs: DataFrame, id_col: str, text_col: str, k: int = 3, impl: str = "pandas"
 ) -> DataFrame:
@@ -101,30 +131,7 @@ def shingles(
     pure-SQL deployments.  Both tokenize with the Java-regex semantics
     of tokens_sql (ASCII \w), matching the DuckDB oracle."""
     if impl == "pandas":
-        import re as _re
-
-        from pyspark.sql.functions import pandas_udf
-
-        rx = _re.compile(r"[\w*]+(?:\.?[\w*]+)*", _re.ASCII)
-
-        def sh_fn(s: pd.Series) -> pd.Series:
-            out = []
-            for text in s.fillna(""):
-                toks = [t.lower() for t in rx.findall(text)]
-                if len(toks) < k:
-                    out.append([])
-                    continue
-                out.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(toks[i : i + k])
-                            for i in range(len(toks) - k + 1)
-                        )
-                    )
-                )
-            return pd.Series(out, dtype=object)
-
-        arr = pandas_udf(sh_fn, "array<string>")(F.col(text_col))
+        arr = shingle_array_udf(k)(F.col(text_col))
         return docs.select(
             F.col(id_col).alias("id"), F.explode(arr).alias("shingle")
         )
@@ -214,6 +221,43 @@ def minhash_signatures(
         ]
     g = sh.groupBy("id").agg(*aggs)
     return g.select("id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_signatures_rowwise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Row-wise MinHash signatures — NO shuffle: the shingle set stays a
+    per-row array and each sig component is array_min over a transform.
+    Same hash family as minhash_signatures (identical signatures,
+    parity-tested), but streaming-safe: usable before a stateful
+    operator where a streaming groupBy aggregation is not.  Documents
+    with fewer than k tokens (empty shingle set) are dropped, matching
+    the groupBy variant's behavior."""
+    arr = shingle_array_udf(k)(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), arr.alias("_sh")).where(
+        F.size("_sh") > 0
+    )
+    # NB: the lambda must take exactly ONE parameter — pyspark inspects
+    # the lambda arity, and a second (default) parameter turns it into
+    # the (element, index) form, silently shadowing the closure
+    def _hash_lambda(i):
+        if hash_fn == "xxhash64":
+            return lambda s: F.xxhash64(F.lit(i), s)
+        prefix = str(i) + "\x1f"
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 15), 16, 10
+        ).cast("bigint")
+
+    comps = [
+        F.array_min(F.transform(F.col("_sh"), _hash_lambda(i)))
+        for i in range(n_hashes)
+    ]
+    return base.select("id", F.array(*comps).alias("sig"))
 
 
 def lsh_candidate_pairs(
