@@ -209,3 +209,22 @@ def test_pseudo_field_plugin_parity(built, p_oracle, whoosh_ref):
             assert [d for d, _ in ours] == [d for d, _ in theirs], qs
             for (_, s1), (_, s2) in zip(ours, theirs):
                 assert s1 == pytest.approx(s2, rel=1e-9), qs
+
+
+def test_require_operator_parses(whoosh_ref):
+    """OperatorsPlugin's default set includes REQUIRE (plugins.py:941+).
+    Execution parity can't be checked — the reference's Require matcher
+    crashes (COVERAGE.md bug #1) — so this compares parse STRUCTURE."""
+    from whoosh import fields
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    q = QueryParser("text").parse("alpha REQUIRE beta")
+    assert isinstance(q, ast.Require)
+    assert (q.a.text, q.b.text) == ("alpha", "beta")
+
+    schema = fields.Schema(text=fields.TEXT)
+    wq = WQP("text", schema).parse("alpha REQUIRE beta")
+    assert type(wq).__name__ == "Require"

@@ -5,7 +5,8 @@ Covers the default plugin set's common syntax
 
 - whitespace-separated items grouped with the default group (And)
 - infix operators with the reference's effective precedence: explicit
-  ``AND`` binds tighter than ``OR``, then ``ANDNOT`` / ``ANDMAYBE``;
+  ``AND`` binds tighter than ``OR``, then ``ANDNOT`` / ``ANDMAYBE`` /
+  ``REQUIRE``;
   prefix ``NOT``; juxtaposition is loosest ("a b OR c" == And(a, Or(b,c)))
 - ``field:term``, parenthesized groups, ``"quoted phrases"`` with
   optional ``~slop``, trailing-``*`` prefix, ``*``/``?`` wildcards,
@@ -50,7 +51,7 @@ _FREE_FIELD_RX = re.compile(r"([A-Za-z][A-Za-z_0-9]*):(?!['\"\[{])")
 # closing quote, followed by whitespace/quote/end
 _RANGE_TO_RX = re.compile(r"(?:(?<=\s)|(?<=')|^)[tT][oO](?=\s|'|$)")
 
-_OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE"}
+_OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
 
 
 def replace_boost(q: ast.Query, boost: float) -> ast.Query:
@@ -375,6 +376,9 @@ class QueryParser:
             ("OR", ast.Or),
             ("ANDNOT", ast.AndNot),
             ("ANDMAYBE", ast.AndMaybe),
+            # OperatorsPlugin default set includes REQUIRE (plugins.py:
+            # 941+: Require pattern registered unless clean=True)
+            ("REQUIRE", ast.Require),
         ):
             j = 1
             while j < len(out) - 0:
