@@ -188,6 +188,25 @@ def main() -> None:
         ).collect()
     res["ivf_query_p50_sec"] = round((time.time() - t0) / 5, 3)
 
+    # PQ: train + encode all + ADC query (+rerank)
+    from whoosh_novo_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    t0 = time.time()
+    books = train_pq_codebooks(emb, m=8, n_codes=256)
+    pq_path = f"/tmp/wns_pipe_pq_{n_vecs}"
+    pq_encode(emb, books).write.mode("overwrite").parquet(pq_path)
+    res["pq_build_sec"] = round(time.time() - t0, 2)
+    enc = spark.read.parquet(pq_path)
+    t0 = time.time()
+    for i in range(5):
+        qv = [float(x) for x in np.random.default_rng(19 + i).standard_normal(dim)]
+        pq_ann_topk(enc, qv, books, k=10, rerank=emb).collect()
+    res["pq_query_rerank_p50_sec"] = round((time.time() - t0) / 5, 3)
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "pipeline.json"), "w") as f:
         json.dump(res, f, indent=1)
