@@ -119,7 +119,7 @@ def shingle_array_udf(k: int = 3):
 def shingles(
     docs: DataFrame, id_col: str, text_col: str, k: int = 3, impl: str = "pandas"
 ) -> DataFrame:
-    """Distinct k-word shingles per doc: (id, shingle).
+    r"""Distinct k-word shingles per doc: (id, shingle).
 
     ``impl="pandas"`` (default) generates shingles in an Arrow-batched
     UDF — Catalyst evaluates higher-order lambda functions INTERPRETED

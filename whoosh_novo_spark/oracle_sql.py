@@ -153,7 +153,7 @@ def boosted_term_topk(term: str, k: int = 10) -> str:
     lengths is re-derived as usual; dl counts all tokens (the
     delimited-boost chain has no stop filter)."""
     flq = quantized_len_sql("doclens.dl", "duckdb")
-    return f"""WITH toks AS (
+    return rf"""WITH toks AS (
   SELECT doc_id, t AS term, (1 + length(t) % 3)::DOUBLE AS boost
   FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents)
   WHERE t <> ''
