@@ -4,6 +4,20 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <dir>, ...extras}
 
+Noise-proofing (r5, VERDICT r4 task #2): the 1M synthetic build leg
+showed +-40% window-to-window host variance on byte-identical code for
+two consecutive rounds, polluting the headline.  From r5:
+  - corpus SYNTHESIS wall is timed separately (``synth_corpus_sec``;
+    0.0 when the staged parquet is reused) and never counted in the
+    build number;
+  - the 1M index build runs ``WNS_BENCH_BUILD_RUNS`` times (default 3)
+    and reports the MEDIAN (all runs + 1-min loadavg at each start are
+    recorded in ``build_sec_synth_runs`` / ``loadavg_runs``);
+  - every named query latency is a median of 3 back-to-back runs;
+  - ``value`` is the DERIVED total (median build + documents build +
+    query-leg walls) so repeating the build leg doesn't inflate it;
+    the raw elapsed wall is ``wall_clock_sec``.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      WNS_BENCH_SYNTH_DOCS (synthetic corpus size for the build-throughput
@@ -11,7 +25,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      HEADLINE build-throughput and 1M-index query numbers come from the
      deterministic synthetic Common-Crawl-style corpus from
      sources/corpus.py, making rounds comparable at a scale where session
-     startup doesn't dominate).
+     startup doesn't dominate),
+     WNS_BENCH_BUILD_RUNS (default 3).
 """
 
 from __future__ import annotations
@@ -19,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -29,6 +45,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     synth_docs = int(os.environ.get("WNS_BENCH_SYNTH_DOCS", "1000000"))
+    build_runs = int(os.environ.get("WNS_BENCH_BUILD_RUNS", "3"))
 
     from whoosh_novo_spark.operators.build import build_segment
     from whoosh_novo_spark.operators.query import Index, Searcher
@@ -40,6 +57,16 @@ def main() -> None:
 
     spark = get_spark("wns-bench", cores=cpus, shuffle_partitions=max(32, cpus))
     t_all = time.time()
+    loadavg_start = round(os.getloadavg()[0], 2)
+
+    def med3(fn) -> float:
+        """Median of 3 back-to-back runs of a collect()-style thunk."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        return round(statistics.median(runs), 3)
 
     # --- leg 1: build over the testdata documents table ---
     ix_path = "/tmp/wns_bench_ix"
@@ -54,35 +81,44 @@ def main() -> None:
     n_docs = m.doc_count_all
 
     # --- leg 2: build throughput on the synthetic CC-style corpus ---
-    ix2_path = "/tmp/wns_bench_ix_synth"
-    shutil.rmtree(ix2_path, ignore_errors=True)
     # stored_cols=(): don't drag the raw html binary through the docid
     # range-shuffle — a real pipeline stores the fields it serves
     cfg2 = IndexConfig(id_col="url", fields=(FieldConfig("text"),), stored_cols=())
     # stage the corpus to parquet FIRST (same methodology as
     # scripts/scaling_run.py): build throughput measures indexing a
-    # CC-style parquet table, not synthesizing it
+    # CC-style parquet table, not synthesizing it; synthesis wall is
+    # reported separately and excluded from every headline number
     corpus_path = "/tmp/wns_bench_corpus"
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")) or (
+    synth_sec = 0.0
+    need_synth = not os.path.exists(os.path.join(corpus_path, "_SUCCESS")) or (
         os.environ.get("WNS_BENCH_REGEN") == "1"
-    ):
-        synthesize_corpus(
-            spark, n_docs=synth_docs, n_partitions=cpus, seed=42
-        ).write.mode("overwrite").parquet(corpus_path)
-    corpus = spark.read.parquet(corpus_path)
-    if corpus.count() != synth_docs:  # stale cache from another size
-        synthesize_corpus(
-            spark, n_docs=synth_docs, n_partitions=cpus, seed=42
-        ).write.mode("overwrite").parquet(corpus_path)
+    )
+    if not need_synth:
         corpus = spark.read.parquet(corpus_path)
-    t0 = time.time()
-    # partitions=None -> the build auto-sizes the posting shuffle (~4k
-    # docs/partition), the measured big lever at 1M docs (build.py:276-283)
-    m2 = build_segment(spark, corpus, cfg2, SegmentStore(ix2_path), partitions=None)
-    t_build_synth = time.time() - t0
+        need_synth = corpus.count() != synth_docs  # stale cache, other size
+    if need_synth:
+        t0 = time.time()
+        synthesize_corpus(
+            spark, n_docs=synth_docs, n_partitions=cpus, seed=42
+        ).write.mode("overwrite").parquet(corpus_path)
+        synth_sec = round(time.time() - t0, 3)
+        corpus = spark.read.parquet(corpus_path)
+
+    build_walls, loadavgs = [], []
+    ix2_path = "/tmp/wns_bench_ix_synth"
+    for _ in range(max(1, build_runs)):
+        shutil.rmtree(ix2_path, ignore_errors=True)
+        loadavgs.append(round(os.getloadavg()[0], 2))
+        t0 = time.time()
+        # partitions=None -> the build auto-sizes the posting shuffle (~4k
+        # docs/partition), the measured big lever at 1M docs (build.py:276-283)
+        m2 = build_segment(spark, corpus, cfg2, SegmentStore(ix2_path), partitions=None)
+        build_walls.append(round(time.time() - t0, 3))
+    t_build_synth = statistics.median(build_walls)
     docs_per_sec = round(m2.doc_count_all / t_build_synth, 1)
 
     # --- leg 3: query latencies on the documents index ---
+    t_leg3 = time.time()
     s = Searcher(Index(spark, SegmentStore(ix_path), cfg))
     T = lambda w: ast.Term("text", w)  # noqa: E731
     qset = {
@@ -100,16 +136,14 @@ def main() -> None:
     s.search(T("warm"), limit=10).collect()
     latencies: dict[str, float] = {}
     for name, q in qset.items():
-        t0 = time.time()
-        s.search(q, limit=10).collect()
-        latencies[name] = round(time.time() - t0, 3)
+        latencies[name] = med3(lambda q=q: s.search(q, limit=10).collect())
 
     # pruned path (block-max WAND kernel)
     from whoosh_novo_spark.operators.wand import search_wand
 
-    t0 = time.time()
-    search_wand(s, qset["q_or3"], limit=10, n_buckets=cpus).collect()
-    latencies["q_or3_wand"] = round(time.time() - t0, 3)
+    latencies["q_or3_wand"] = med3(
+        lambda: search_wand(s, qset["q_or3"], limit=10, n_buckets=cpus).collect()
+    )
 
     # batched multi-query (one job for the whole set)
     from whoosh_novo_spark.operators.batch import search_batch
@@ -145,18 +179,16 @@ def main() -> None:
     s2 = Searcher(Index(spark, SegmentStore(ix2_path), cfg2))
     or3 = ast.Or((T("render"), T("shade"), T("texture")))
     s2.search(T("warm"), limit=10).collect()
-    t0 = time.time()
-    s2.search(or3, limit=10).collect()
-    latencies["q1m_or3_exact"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    search_wand(s2, or3, limit=10, n_buckets=cpus).collect()
-    latencies["q1m_or3_wand"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    s2.search(ast.And((T("spark"), T("index"))), limit=10).collect()
-    latencies["q1m_and2"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    s2.search(ast.Prefix("text", "w0002"), limit=10).collect()
-    latencies["q1m_prefix"] = round(time.time() - t0, 3)
+    latencies["q1m_or3_exact"] = med3(lambda: s2.search(or3, limit=10).collect())
+    latencies["q1m_or3_wand"] = med3(
+        lambda: search_wand(s2, or3, limit=10, n_buckets=cpus).collect()
+    )
+    latencies["q1m_and2"] = med3(
+        lambda: s2.search(ast.And((T("spark"), T("index"))), limit=10).collect()
+    )
+    latencies["q1m_prefix"] = med3(
+        lambda: s2.search(ast.Prefix("text", "w0002"), limit=10).collect()
+    )
     singles2 = []
     w1m = ["render", "spark", "query", "merge", "block", "score", "w00042", "w00500"]
     for i in range(20):
@@ -168,12 +200,17 @@ def main() -> None:
     p50_2, p95_2 = _np.percentile(singles2, [50, 95])
     latencies["q1m_p50_single"] = round(float(p50_2), 3)
     latencies["q1m_p95_single"] = round(float(p95_2), 3)
+    t_queries = time.time() - t_leg3
 
-    total = round(time.time() - t_all, 3)
+    wall = round(time.time() - t_all, 3)
+    # derived total: median build + docs build + query-leg wall — repeating
+    # the build leg for the median must not inflate the headline
+    total = round(t_build_synth + t_build_docs + t_queries, 3)
     out = {
         # r1's bench built a 20k-doc synthetic corpus (value was 43.9s);
         # from r2 the headline leg is 1M docs so rounds compare on
-        # build_docs_per_sec and the q1m_* latencies, not total wall
+        # build_docs_per_sec and the q1m_* latencies, not total wall;
+        # from r5 build_sec_synth and named query latencies are medians
         "metric": f"{synth_docs}-doc index build + top-k BM25 query wall time",
         "value": total,
         "unit": "sec",
@@ -183,7 +220,13 @@ def main() -> None:
         "build_sec_documents": round(t_build_docs, 3),
         "synth_docs": int(m2.doc_count_all),
         "build_sec_synth": round(t_build_synth, 3),
+        "build_sec_synth_runs": build_walls,
+        "loadavg_runs": loadavgs,
+        "loadavg_start": loadavg_start,
+        "synth_corpus_sec": synth_sec,
         "build_docs_per_sec": docs_per_sec,
+        "wall_clock_sec": wall,
+        "method": "median_of_3",
         "cpus": cpus,
     }
     spark.stop()

@@ -128,6 +128,53 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def lsh_ann_topk_banded(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_bands: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-LSH ANN (r5, VERDICT r4 task #7): candidates are
+    vectors sharing the FULL r-bit sign code with the query in ANY of
+    ``n_bands`` independent bands — the same OR-of-bands recall shape as
+    embedding_near_dup_pairs (shared band_codes_udf kernel), applied to
+    the online single-query path.  Recall at cos 0.85 with the r=8 x
+    b=16 defaults is ~0.978 vs ~0.2-0.5 for the single-table multi-probe
+    path (lsh_ann_topk), whose envelope degrades exactly like the r3
+    near-dup finding; candidate fraction for unrelated vectors stays
+    <= b/2^r = 1/16.
+
+    At 100 TB: materialize the exploded (band, code, id) table bucketed
+    by (band, code) — a query is then n_bands point lookups; here the
+    codes are computed inline (one Arrow matmul per batch) and the
+    filter is an OR of n_bands (band, code) equality pairs, which Spark
+    pushes into the scan."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_bands * n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    bits = (planes @ q) >= 0
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    qcodes = bits.reshape(n_bands, n_planes) @ weights
+
+    exploded = embeddings.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        F.posexplode(band_codes_udf(planes, n_bands)(F.col(vec_col))).alias(
+            "band", "code"
+        ),
+    )
+    match = None
+    for band, code in enumerate(qcodes):
+        p = (F.col("band") == band) & (F.col("code") == int(code))
+        match = p if match is None else (match | p)
+    cand = exploded.where(match).dropDuplicates([id_col]).select(id_col, vec_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_all_pairs(
     embeddings: DataFrame,
     tau: float,
@@ -459,6 +506,21 @@ def ivf_ann_topk(
 # only the probed partitions.
 
 
+def random_codebooks(
+    dim: int, m: int = 8, n_codes: int = 16, seed: int = 42
+) -> np.ndarray:
+    """Seed-only PQ codebooks (shape m x n_codes x dim//m) — a
+    data-independent quantizer for the driver contract row, so the
+    DuckDB oracle can recompute the ENTIRE encode+ADC+re-rank algorithm
+    from pinned literals (the exact standard of random_centroids /
+    ann_ivf_topk).  Real deployments train with train_pq_codebooks."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    rng = np.random.default_rng(np.random.SeedSequence([seed + 2]))
+    # scale ~1/sqrt(dim) so codewords live where unit-vector subvectors do
+    return rng.standard_normal((m, n_codes, dim // m)) / np.sqrt(dim)
+
+
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
@@ -503,11 +565,14 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — per-subspace nearest-centroid codes,
-    Arrow-batched (vectors are unit-normalized before encoding, matching
-    training).  Write this table (m bytes/vector of information) and
-    drop the raw vectors from the hot path."""
+    """(id, codes array<int>[, extra_cols...]) — per-subspace
+    nearest-centroid codes, Arrow-batched (vectors are unit-normalized
+    before encoding, matching training).  Write this table (m
+    bytes/vector of information) and drop the raw vectors from the hot
+    path.  ``extra_cols`` carries passthrough columns (e.g. the IVF
+    ``cid``) without a re-join."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -534,6 +599,44 @@ def pq_encode(
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         pandas_udf(enc, "array<int>")(F.col(vec_col)).alias("codes"),
+        *[F.col(c) for c in extra_cols],
+    )
+
+
+def _adc_scores(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """(vec_id, score) — Asymmetric Distance Computation: one (m x
+    n_codes) lookup table of codeword . query-subvector partial inner
+    products per query; each vector's score is m gathers + a sum
+    (Arrow-batched numpy) over its COMPRESSED codes, rounded to 6."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    lut = np.empty((m, n_codes), dtype=np.float64)
+    for sub in range(m):
+        lut[sub] = B[sub] @ q[sub * dsub : (sub + 1) * dsub]
+
+    def adc(s):
+        if len(s) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.array(s.tolist(), dtype=np.int64)  # (n, m)
+        scores = lut[np.arange(m)[None, :], C].sum(axis=1)
+        return pd.Series(np.round(scores, 6))
+
+    return encoded.select(
+        F.col(id_col).alias("vec_id"),
+        pandas_udf(adc, "double")(F.col(codes_col)).alias("score"),
     )
 
 
@@ -561,30 +664,7 @@ def pq_ann_topk(
     ``shortlist`` (default 10*k) and exact-cosine re-rank just those —
     the scan stays compressed, only the shortlist touches full
     vectors."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    B = np.ascontiguousarray(codebooks, dtype=np.float64)
-    m, n_codes, dsub = B.shape
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
-    lut = np.empty((m, n_codes), dtype=np.float64)
-    for sub in range(m):
-        lut[sub] = B[sub] @ q[sub * dsub : (sub + 1) * dsub]
-
-    def adc(s):
-        if len(s) == 0:
-            return pd.Series([], dtype="float64")
-        C = np.array(s.tolist(), dtype=np.int64)  # (n, m)
-        scores = lut[np.arange(m)[None, :], C].sum(axis=1)
-        return pd.Series(np.round(scores, 6))
-
-    scored = encoded.select(
-        F.col(id_col).alias("vec_id"),
-        pandas_udf(adc, "double")(F.col(codes_col)).alias("score"),
-    )
+    scored = _adc_scores(encoded, query_vec, codebooks, id_col, codes_col)
     if rerank is None:
         return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     n_short = shortlist or 10 * k
@@ -595,3 +675,71 @@ def pq_ann_topk(
         "left_semi",
     )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# --- IVF x PQ (composed) ------------------------------------------------
+#
+# The billion-vector serving design (FAISS IndexIVFPQ): the coarse
+# quantizer prunes WHICH vectors are scanned (nprobe inverted lists out
+# of n_centroids), PQ compresses WHAT is scanned (m bytes per vector,
+# ADC scoring), and a final exact re-rank of the shortlist touches full
+# vectors only for ~10k rows.  At 100 TB: write ivf_pq_index output
+# partitioned by cid — a probe is then a partition-pruned scan of
+# compressed codes; neither raw vectors nor unprobed lists are read.
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes, cid) — one pass: assign each vector to its
+    nearest coarse centroid AND PQ-encode it (both Arrow-batched; the
+    cid rides through pq_encode's extra_cols, no re-join/shuffle).
+    Materialize this ``.write.partitionBy("cid")`` so ivf_pq_topk
+    probes become partition-pruned scans."""
+    a = ivf_assign(embeddings, centroids, id_col, vec_col)
+    return pq_encode(a, codebooks, id_col, vec_col, extra_cols=("cid",))
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Composed IVF x PQ top-k: probe the ``nprobe`` nearest inverted
+    lists, ADC-score only their COMPRESSED codes, exact-cosine re-rank
+    the top ``shortlist`` (default 10*k) against raw vectors.  Pass
+    ``index`` (a materialized ivf_pq_index output, ideally partitioned
+    by cid) to skip inline assignment+encoding — the 100 TB path;
+    ``embeddings`` then serves only the shortlist re-rank."""
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    sims = np.round((q / qn) @ C.T, 9)
+    probe = sorted(sorted(range(len(C)), key=lambda j: (-sims[j], j))[: int(nprobe)])
+
+    idx = (
+        index
+        if index is not None
+        else ivf_pq_index(embeddings, centroids, codebooks, id_col, vec_col)
+    )
+    cand = idx.where(F.col("cid").isin(probe))
+    scored = _adc_scores(cand, query_vec, codebooks)
+    n_short = shortlist or 10 * k
+    short = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(n_short)
+    raw = embeddings.join(
+        F.broadcast(short.select(F.col("vec_id").alias("_sl_id"))),
+        embeddings[id_col] == F.col("_sl_id"),
+        "left_semi",
+    )
+    return cosine_topk(raw, query_vec, k, id_col, vec_col)

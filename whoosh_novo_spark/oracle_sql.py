@@ -859,6 +859,79 @@ SELECT doc_id, source, round(score, 4) AS score FROM (
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def pq_ann_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    shortlist: int = 50,
+) -> str:
+    """Independent DuckDB recomputation of the ENTIRE PQ ANN algorithm
+    (mirrors operators/similarity.pq_encode + pq_ann_topk with the
+    seed-pinned random_codebooks quantizer): codebook literals ->
+    per-(vector, subspace) argmin-||x-c||^2 encoding (d2 rounded to 9
+    decimals, ties to lowest code, vectors unit-normalized first) ->
+    per-query ADC lookup table (codeword . query-subvector) -> summed
+    ADC score rounded to 6 -> top-``shortlist`` by (score, vec_id) ->
+    exact-cosine re-rank of the shortlist against raw vectors."""
+    from whoosh_novo_spark.operators.similarity import random_codebooks
+
+    B = random_codebooks(dim, m, n_codes, seed)
+    dsub = dim // m
+    lit = lambda p: "[" + ",".join(repr(float(x)) for x in p) + "]"
+    cbvals = ", ".join(
+        f"({s}, {c}, {lit(B[s, c])}::DOUBLE[])"
+        for s in range(m)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH cb(sub, code, cv) AS (VALUES {cbvals}),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+           x -> x / (CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[])) = 0
+                     THEN 1 ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[])) END)
+         ) AS nv
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s.sub,
+         list_slice(nv, s.sub * {dsub} + 1, (s.sub + 1) * {dsub}) AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+),
+enc AS (
+  SELECT vec_id, sub, code,
+         row_number() OVER (
+           PARTITION BY vec_id, sub
+           ORDER BY round(list_dot_product(x, x)
+                          - 2 * list_dot_product(x, cv)
+                          + list_dot_product(cv, cv), 9) ASC, code ASC
+         ) AS rnk
+  FROM subs JOIN cb USING (sub)
+),
+codes AS (SELECT vec_id, sub, code FROM enc WHERE rnk = 1),
+q AS (SELECT nv AS qnv, v AS qv FROM e WHERE vec_id = {query_vec_id}),
+lut AS (
+  SELECT sub, code,
+         list_dot_product(cv, list_slice(q.qnv, sub * {dsub} + 1,
+                                         (sub + 1) * {dsub})) AS pscore
+  FROM cb, q
+),
+adc AS (
+  SELECT vec_id, round(sum(pscore), 6) AS score
+  FROM codes JOIN lut USING (sub, code) GROUP BY vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT {shortlist})
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+FROM e JOIN short USING (vec_id), q
+ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id ASC
+LIMIT {k}"""
+
+
 def ivf_ann_topk_sql(
     query_vec_id: int = 0,
     k: int = 10,
