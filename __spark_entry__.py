@@ -122,6 +122,64 @@ def _lang_index_for(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(_LANG_INDEXES[key])
 
 
+_LANG_STEM_MAP_PINNED_EN = {
+    "agg": "agg", "batch": "batch", "big": "big", "column": "column",
+    "customer": "custom", "data": "data", "dup": "dup", "fast": "fast",
+    "filter": "filter", "group": "group", "hash": "hash", "join": "join",
+    "key": "key", "line": "line", "merge": "merg", "order": "order",
+    "part": "part", "query": "queri", "row": "row", "scan": "scan",
+    "slow": "slow", "small": "small", "sort": "sort", "spark": "spark",
+    "stream": "stream", "table": "tabl", "value": "valu",
+    "vector": "vector", "window": "window",
+}
+_MIXED_CONFIG = IndexConfig(
+    id_col="doc_id", fields=(FieldConfig("text", lang_routed=True),)
+)
+_MIXED_INDEXES: dict[str, Index] = {}
+
+
+def _mixed_index_for(spark: SparkSession, sf_dir: str) -> Searcher:
+    """ONE lang-routed build over the whole documents table (all five
+    corpus languages): every row is analyzed by its own LanguageAnalyzer
+    chain into the virtual field text@<lang>, with per-language BM25
+    statistics (build.py _routed_outs / Manifest.doc_count_for)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MIXED_INDEXES:
+        ship_package(spark)
+        safe = key.strip("/").replace("/", "_")
+        path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), f"wns_entry_mix1_{safe}"
+        )
+        store = SegmentStore(path)
+        if store.current_generation() == 0:
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).select("doc_id", "text", "lang")
+            build_segment(spark, docs, _MIXED_CONFIG, store)
+        _MIXED_INDEXES[key] = Index(spark, store, _MIXED_CONFIG)
+    return Searcher(_MIXED_INDEXES[key])
+
+
+def q_mixed_lang(spark, sf_dir):
+    """Mixed-language routed build: 'custom' is BOTH the lang_de and the
+    lang_en stem of 'customer', so one cross-language query
+    Or(text@de:custom, text@en:custom) ranks German and English docs
+    together — each scored with its own chain and per-language
+    idf/avgfl.  Supersedes the r4 lang_stem_topk contract row (its de
+    leg is this query's de leg: same chain, same slice, same scores —
+    proven by tests/test_lang_routing.py score parity) and adds the en
+    chain plus the per-language statistics routing."""
+    s = _mixed_index_for(spark, sf_dir)
+    q = ast.Or((ast.Term("text@de", "custom"), ast.Term("text@en", "custom")))
+    out = s.search(q, limit=10)
+    dm = s.index.docmap(columns=["docid", "doc_id"])
+    return (
+        F.broadcast(out)
+        .join(dm, "docid")
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
 def q_lang_stem(spark, sf_dir):
     """BM25 over the German-stemmed index: 'custom' is the lang_de stem
     of 'customer' (snowball de drops the r1 'er' suffix).  The index
@@ -821,7 +879,7 @@ def q_phrase(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25_topk": q_term,
-        "lang_stem_topk": q_lang_stem,
+        "mixed_lang_topk": q_mixed_lang,
         "phonetic_topk": q_phonetic,
         "synonym_topk": q_synonym,
         "and3_bm25_topk": q_and3,
@@ -888,7 +946,10 @@ _VARIATIONS_QUERIES_PINNED = [
 def oracle_sql() -> dict[str, str]:
     return {
         "term_bm25_topk": osql.topk_term("spark"),
-        "lang_stem_topk": osql.lang_stem_topk("custom", "de", _LANG_STEM_MAP_PINNED),
+        "mixed_lang_topk": osql.mixed_lang_topk(
+            "custom",
+            {"de": _LANG_STEM_MAP_PINNED, "en": _LANG_STEM_MAP_PINNED_EN},
+        ),
         "phonetic_topk": osql.phonetic_topk("KSTMR", _DM_MAP_PINNED),
         "synonym_topk": osql.topk_or(["data", "row", "value"]),
         "and3_bm25_topk": osql.topk_and(["spark", "data", "query"]),

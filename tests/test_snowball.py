@@ -161,10 +161,14 @@ def test_language_analyzer_registry_aliases():
 
 
 def test_driver_stem_map_pinned():
-    """The lang_stem_topk oracle's literal stem map must match the live
-    German stemmer over the corpus's closed vocabulary (the pin makes
-    the DuckDB oracle self-contained; this test keeps it honest)."""
+    """The mixed_lang_topk oracle's literal stem maps must match the
+    live German AND English stemmers over the corpus's closed
+    vocabulary (the pins make the DuckDB oracle self-contained; this
+    test keeps them honest)."""
     import __spark_entry__ as entry
 
     for tok, stemmed in entry._LANG_STEM_MAP_PINNED.items():
         assert sb.stem_de(tok) == stemmed, tok
+    assert set(entry._LANG_STEM_MAP_PINNED_EN) == set(entry._LANG_STEM_MAP_PINNED)
+    for tok, stemmed in entry._LANG_STEM_MAP_PINNED_EN.items():
+        assert sb.stem_en(tok) == stemmed, tok

@@ -87,6 +87,10 @@ def _stage_docmap(
             c for c in config.stored_cols
             if c != id_col and c not in {f.name for f in config.fields}
         ]
+        # lang-routed builds need the routing column through the docmap
+        # even when the caller projected stored columns away
+        if any(f.lang_routed for f in config.fields) and config.lang_col not in keep:
+            keep.append(config.lang_col)
         docs = docs.select(*[c for c in keep if c in docs.columns])
     sorted_docs = docs.repartitionByRange(partitions, id_col).sortWithinPartitions(id_col)
 
@@ -189,13 +193,46 @@ def read_docmap(
 
 # ---------------------------------------------------------------- stage 2+3
 
+def _lang_code(v) -> str:
+    """Normalize a lang-column value to the analyzer-registry code:
+    lowercase two-letter via snowball aliases; null/empty -> "und"
+    (ISO 639 undetermined, analyzed with the plain fallback chain)."""
+    from whoosh_novo_spark.functions.snowball import two_letter_code
+
+    if v is None:
+        return "und"
+    s = str(v).strip().lower()
+    return two_letter_code(s) if s else "und"
+
+
+def _routed_analyzer(code: str, fc):
+    """LanguageAnalyzer chain for a routed row's language; unknown
+    languages degrade to tokenize+lower (exactly make_language_analyzer
+    semantics — no stop list, no stemmer) rather than failing a build
+    over a web crawl's long language tail."""
+    from whoosh_novo_spark.functions.analysis import (
+        ANALYZERS,
+        make_language_analyzer_batch,
+    )
+
+    fn = ANALYZERS.get(f"lang_{code}")
+    return fn if fn is not None else make_language_analyzer_batch(code)
+
+
 def _analyze_partition(config: IndexConfig, want_positions: bool):
     """Returns the mapInPandas function: doc batches -> posting rows.
     Only text fields are analyzed; typed fields (numeric/datetime/boolean)
-    stay native docmap columns queried by pushed-down predicates."""
+    stay native docmap columns queried by pushed-down predicates.
+
+    lang_routed fields dispatch PER ROW on the ``config.lang_col`` value:
+    each language's rows are analyzed with its LanguageAnalyzer chain and
+    emitted under the virtual field "<name>@<code>", so term stats /
+    lengths / doc counts stay per-language downstream (all in-batch —
+    routing adds no shuffle)."""
     fields = tuple(f for f in config.fields if f.type == "text")
     any_chars = any(f.chars for f in fields)
     any_boosts = any(f.boosts for f in fields)
+    lang_col = config.lang_col
 
     from whoosh_novo_spark.functions.analysis import AGGREGATE_ANALYZERS, CHAR_ANALYZERS
 
@@ -205,12 +242,65 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                 f"analyzer {fc.analyzer!r} has no chars-capable variant "
                 f"(field {fc.name!r}); chars=True supports {sorted(CHAR_ANALYZERS)}"
             )
+        if fc.lang_routed and (fc.chars or fc.boosts):
+            raise ValueError(
+                f"field {fc.name!r}: lang_routed is incompatible with "
+                "chars/boosts payloads"
+            )
+
+    def _routed_outs(fc, pdf, docids):
+        """Postings for one lang-routed field: per-language sub-batches
+        through their chains, virtual field names, tf + optional
+        positions (the generic path below, minus chars/boosts)."""
+        outs = []
+        codes = pdf[lang_col].map(_lang_code).to_numpy(dtype=object)
+        for code in sorted(set(codes)):
+            sel = np.flatnonzero(codes == code)
+            fn = _routed_analyzer(code, fc)
+            tb = fn(pdf[fc.name].iloc[sel].reset_index(drop=True))
+            if len(tb.term) == 0:
+                continue
+            tdf = pd.DataFrame({"row": tb.row, "term": tb.term, "pos": tb.pos})
+            aggs = {"tf": ("pos", "size")}
+            if want_positions and fc.positions:
+                aggs["positions"] = ("pos", lambda s: list(s))
+            agg = tdf.groupby(["row", "term"], sort=False).agg(**aggs)
+            if "positions" not in agg.columns:
+                agg["positions"] = None
+            agg = agg.reset_index()
+            lens = tb.doc_lengths()
+            len_q = quantized_length_np(np.maximum(lens, 0))
+            rows = agg["row"].to_numpy(dtype=np.int64)
+            sub_docids = docids[sel]
+            out = pd.DataFrame(
+                {
+                    "field": f"{fc.name}@{code}",
+                    "term": agg["term"],
+                    "docid": sub_docids[rows],
+                    "weight": agg["tf"].to_numpy(dtype=np.float64) * fc.boost,
+                    "tf": agg["tf"].to_numpy(dtype=np.int32),
+                    "len_q": len_q[rows].astype(np.int32),
+                    "positions": agg["positions"],
+                    "_true_len": np.where(
+                        _first_of_row(rows), lens[rows], 0
+                    ).astype(np.int64),
+                }
+            )
+            if any_chars:
+                out["chars"] = None
+            if any_boosts:
+                out["boosts"] = None
+            outs.append(out)
+        return outs
 
     def analyze(iterator):
         for pdf in iterator:
             docids = pdf["docid"].to_numpy(dtype=np.int64)
             outs = []
             for fc in fields:
+                if fc.lang_routed:
+                    outs.extend(_routed_outs(fc, pdf, docids))
+                    continue
                 # tf-aggregated fast path (no per-occurrence token stream)
                 # for analyzers that provide it, when positions aren't kept
                 if fc.analyzer in AGGREGATE_ANALYZERS and not (
@@ -484,10 +574,12 @@ def _build_segment_locked(
     ):
         want_pos = seg.has_positions
         _widen_input_splits(spark, store.table_path(segment_id, "docmap"), sp)
-        docmap = read_docmap(
-            spark, store, seg,
-            columns=["docid"] + [f.name for f in config.fields if f.type == "text"],
-        )
+        analyze_cols = ["docid"] + [
+            f.name for f in config.fields if f.type == "text"
+        ]
+        if any(f.lang_routed for f in config.fields):
+            analyze_cols.append(config.lang_col)
+        docmap = read_docmap(spark, store, seg, columns=analyze_cols)
         t_r = time.time()
         docmap.mapInPandas(
             _analyze_partition(config, want_pos),
@@ -557,6 +649,28 @@ def _build_segment_locked(
         )
     totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
     seg.field_length = {k: int(v) for k, v in totals.items()}
+
+    # lang-routed fields: per-virtual-field doc counts ("text@de" -> the
+    # number of docs whose row routed to de, INCLUDING docs whose text
+    # produced no postings), so idf/avgfl over a virtual field match a
+    # single-language build of the same docs.  One narrow scan of the
+    # docmap's lang column; language values normalize driver-side with
+    # the same _lang_code the analyzer dispatch uses.
+    routed = [f for f in config.fields if f.lang_routed]
+    if routed:
+        lang_counts_raw = (
+            spark.read.parquet(store.table_path(segment_id, "docmap"))
+            .groupBy(config.lang_col)
+            .count()
+            .collect()
+        )
+        by_code: dict[str, int] = {}
+        for r in lang_counts_raw:
+            code = _lang_code(r[config.lang_col])
+            by_code[code] = by_code.get(code, 0) + int(r["count"])
+        seg.meta["field_doc_count"] = {
+            f"{fc.name}@{code}": n for fc in routed for code, n in by_code.items()
+        }
 
     # stage 3c: range-sorted sink.  tf/_true_len are stats-only — dropping
     # them slims every shuffled/sorted/written row (the stats above came

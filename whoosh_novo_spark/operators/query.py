@@ -136,8 +136,27 @@ class Index:
     def doc_count_all(self) -> int:
         return self.manifest.doc_count_all
 
+    def doc_count_for(self, fieldname: str | None) -> int:
+        """BM25's dc statistic: per-language doc count for a lang-routed
+        virtual field ("text@de"), doc_count_all otherwise."""
+        return self.manifest.doc_count_for(fieldname)
+
     def avg_field_length(self, fieldname: str) -> float:
         return self.manifest.avg_field_length(fieldname) or 1.0
+
+    def lang_variants(self, base_field: str) -> list[str]:
+        """The virtual per-language fields a lang-routed build produced
+        for ``base_field`` (e.g. ["text@de", "text@en"]) — expand a
+        cross-language query as Or(Term(v, w) for v in variants)."""
+        prefix = base_field + "@"
+        return sorted(
+            {
+                f
+                for s in self.manifest.segments
+                for f in s.field_length
+                if f.startswith(prefix)
+            }
+        )
 
     def term_stats(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], TermStats]:
         """Aggregate per-(field,term) stats across segments for the given
@@ -259,9 +278,10 @@ class Searcher:
         return {p: s for p in pairs if (s := self._stats_cache[p]) is not None}
 
     # --- scoring expressions -------------------------------------------
-    def idf(self, df: int) -> float:
-        """scoring.py:50-56: log(dc / (df+1)) + 1, natural log."""
-        return math.log(self.index.doc_count_all / (df + 1)) + 1.0
+    def idf(self, df: int, fieldname: str | None = None) -> float:
+        """scoring.py:50-56: log(dc / (df+1)) + 1, natural log; dc is
+        per-language for lang-routed virtual fields."""
+        return math.log(self.index.doc_count_for(fieldname) / (df + 1)) + 1.0
 
     def _bm25_col(self, idf: float, fieldname: str, w=None, flq=None):
         """BM25 column expression over postings columns weight/len_q

@@ -227,7 +227,10 @@ def search_wand(
 
     avgfl = ix.avg_field_length(fieldname)
     B, K1 = searcher.model.field_b(fieldname), searcher.model.K1
-    idf = {t.text: searcher.idf(stats[(t.fieldname, t.text)].df) for t in present}
+    idf = {
+        t.text: searcher.idf(stats[(t.fieldname, t.text)].df, t.fieldname)
+        for t in present
+    }
     # whole-list max quality (scoring.py:205-212: score(max_weight, min_length))
     mq = {
         t.text: float(

@@ -747,6 +747,81 @@ FROM scored WHERE term = '{stem_term}'
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def mixed_lang_topk(
+    stem_term: str,
+    stem_maps: dict[str, dict[str, str]],
+    k: int = 10,
+) -> str:
+    """Mixed-language routed-build BM25 recompute: one corpus, each
+    language's docs scored with ITS OWN LanguageAnalyzer chain (merged
+    stop list + snowball stem via the pinned closed-vocabulary map, the
+    lang_stem_topk standard) and ITS OWN per-language statistics — dc =
+    that language's doc count, avgfl = that language's length total /
+    count, df within the language — exactly the virtual-field semantics
+    of a lang_routed build (operators/build.py _routed_outs +
+    Manifest.doc_count_for).  The query hits ``stem_term`` in every
+    language of ``stem_maps`` and the union ranks globally."""
+    from whoosh_novo_spark.functions.stopwords import STOPWORDS
+
+    blocks, selects = [], []
+    for L, stem_map in sorted(stem_maps.items()):
+        stops = ",".join(f"'{w}'" for w in sorted(STOP_WORDS | STOPWORDS[L]))
+        case = (
+            "CASE x "
+            + " ".join(f"WHEN '{w}' THEN '{s}'" for w, s in sorted(stem_map.items()))
+            + " ELSE x END"
+        )
+        flq_l = quantized_len_sql(f"doclens_{L}.dl", "duckdb")
+        blocks.append(f"""docs_{L} AS (
+  SELECT doc_id, text FROM documents WHERE lang = '{L}'
+),
+toks_{L} AS (
+  SELECT doc_id, unnest(terms) AS term
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_filter(
+               list_transform(regexp_extract_all(text, '[\\w*]+(\\.?[\\w*]+)*'), x -> lower(x)),
+               x -> length(x) >= 2 AND x NOT IN ({stops})
+             ),
+             x -> {case}
+           ) AS terms
+    FROM docs_{L}
+  )
+),
+postings_{L} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS w FROM toks_{L} GROUP BY doc_id, term
+),
+doclens_{L} AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks_{L} GROUP BY doc_id
+),
+consts_{L} AS (
+  SELECT (SELECT count(*) FROM docs_{L})::DOUBLE AS dc,
+         (SELECT coalesce(sum(dl), 0) FROM doclens_{L})::DOUBLE AS total_len
+),
+scored_{L} AS (
+  SELECT p.doc_id,
+         (ln(c.dc / (df.df + 1)) + 1)
+         * (p.w * ({K1} + 1))
+         / (p.w + {K1} * ((1 - {B}) + {B} * {flq_l}
+              / (CASE WHEN c.total_len = 0 THEN 1
+                      WHEN c.total_len / c.dc = 0 THEN 1
+                      ELSE c.total_len / c.dc END))) AS score
+  FROM postings_{L} p
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM postings_{L} GROUP BY term) df
+    USING (term)
+  JOIN doclens_{L} ON p.doc_id = doclens_{L}.doc_id
+  CROSS JOIN consts_{L} c
+  WHERE p.term = '{stem_term}'
+)""")
+        selects.append(f"SELECT doc_id, score FROM scored_{L}")
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""WITH {', '.join(blocks)}
+SELECT doc_id, round(score, 4) AS score
+FROM ({union})
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def phonetic_topk(code: str, dm_map: dict[str, tuple], k: int = 10) -> str:
     """DoubleMetaphone-field BM25 recompute: the standard analysis chain
     feeds a phonetic expansion — each surviving token emits its primary

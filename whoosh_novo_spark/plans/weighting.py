@@ -30,12 +30,17 @@ from pyspark.sql import functions as F
 class WeightingModel:
     """Base: build a score Column for one (field, term)."""
 
-    def idf(self, searcher, df: int) -> float:
-        return math.log(searcher.index.doc_count_all / (df + 1)) + 1.0
+    def idf(self, searcher, df: int, fieldname: str | None = None) -> float:
+        # dc is per-field for lang-routed virtual fields ("text@de" ->
+        # de doc count), doc_count_all otherwise (scoring.py:50-56)
+        return math.log(searcher.index.doc_count_for(fieldname) / (df + 1)) + 1.0
 
-    def idf_col(self, searcher, df: Column) -> Column:
+    def idf_col(self, searcher, df: Column, fieldname: str | None = None) -> Column:
         """Column twin of ``idf`` for per-term stats joined in as columns."""
-        return F.log(F.lit(float(searcher.index.doc_count_all)) / (df + 1.0)) + 1.0
+        return (
+            F.log(F.lit(float(searcher.index.doc_count_for(fieldname))) / (df + 1.0))
+            + 1.0
+        )
 
     def separable(self) -> bool:
         return False
@@ -84,7 +89,7 @@ class BM25F(WeightingModel):
         return True
 
     def factor(self, searcher, fieldname, stats) -> float:
-        return self.idf(searcher, stats.df)
+        return self.idf(searcher, stats.df, fieldname)
 
     def base_col(self, searcher, fieldname, w, flq) -> Column:
         avgfl = searcher.index.avg_field_length(fieldname)
@@ -93,7 +98,9 @@ class BM25F(WeightingModel):
         return (w * (K1 + 1)) / denom
 
     def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
-        return self.base_col(searcher, fieldname, w, flq) * self.idf_col(searcher, df)
+        return self.base_col(searcher, fieldname, w, flq) * self.idf_col(
+            searcher, df, fieldname
+        )
 
 
 @dataclass(frozen=True)
@@ -102,13 +109,13 @@ class TF_IDF(WeightingModel):
         return True
 
     def factor(self, searcher, fieldname, stats) -> float:
-        return self.idf(searcher, stats.df)
+        return self.idf(searcher, stats.df, fieldname)
 
     def base_col(self, searcher, fieldname, w, flq) -> Column:
         return w
 
     def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
-        return w * self.idf_col(searcher, df)
+        return w * self.idf_col(searcher, df, fieldname)
 
 
 @dataclass(frozen=True)
@@ -168,7 +175,7 @@ class PL2(WeightingModel):
 
     def score_col(self, searcher, fieldname, stats, w, flq) -> Column:
         rec_log2_e = 1.0 / math.log(2)
-        dc = searcher.index.doc_count_all
+        dc = searcher.index.doc_count_for(fieldname)
         avgfl = searcher.index.avg_field_length(fieldname)
         f = float(stats.cf) / dc
         TF = w * F.log(1.0 + (self.c * avgfl) / flq.cast("double"))
@@ -182,7 +189,7 @@ class PL2(WeightingModel):
 
     def score_col_stats(self, searcher, fieldname, w, flq, df, cf) -> Column:
         rec_log2_e = 1.0 / math.log(2)
-        dc = searcher.index.doc_count_all
+        dc = searcher.index.doc_count_for(fieldname)
         avgfl = searcher.index.avg_field_length(fieldname)
         f = cf / F.lit(float(dc))
         TF = w * F.log(1.0 + (self.c * avgfl) / flq.cast("double"))

@@ -55,6 +55,16 @@ class FieldConfig:
     # per-document term-vector lookup prunes to one parquet row group
     # instead of scanning term-sorted postings.
     vector: bool = False
+    # Mixed-language corpus routing (r5; beyond the reference, which — like
+    # a single-analyzer build here — binds one analyzer per field): each
+    # document row is analyzed with the LanguageAnalyzer chain named by its
+    # ``IndexConfig.lang_col`` value, and its postings land in the VIRTUAL
+    # field "<name>@<lang>" (e.g. "text@de").  Term stats, field lengths
+    # and per-field doc counts are therefore kept per (field, language),
+    # so BM25 idf/avgfl over "text@de" exactly match a de-only build.
+    # Query with Term("text@de", ...) or expand over
+    # Index.lang_variants("text").  Incompatible with chars/boosts.
+    lang_routed: bool = False
 
 
 @dataclass(frozen=True)
@@ -78,10 +88,15 @@ class IndexConfig:
     # build knobs
     shuffle_partitions: int | None = None  # None -> leave session setting
     block_limit: int = 128  # postings per block, mirrors W3Codec blocklimit=128 (whoosh3.py:85)
+    # source column giving each row's language for lang_routed fields
+    lang_col: str = "lang"
 
     def field(self, name: str) -> FieldConfig:
+        # virtual per-language field of a lang-routed build: "text@de"
+        # resolves to the "text" FieldConfig
+        base = name.split("@", 1)[0] if "@" in name else name
         for f in self.fields:
-            if f.name == name:
+            if f.name == name or (f.name == base and f.lang_routed):
                 return f
         raise KeyError(name)
 

@@ -89,9 +89,28 @@ class Manifest:
     def field_length(self, fld: str) -> int:
         return sum(s.field_length.get(fld, 0) for s in self.segments)
 
+    def doc_count_for(self, fld: str | None) -> int:
+        """Per-field document count for BM25's dc statistic.  Plain
+        fields: doc_count_all (whoosh semantics).  Virtual per-language
+        fields of a lang-routed build (segment meta carries
+        ``field_doc_count``): the number of docs whose row routed to
+        that language — so idf/avgfl over "text@de" match a de-only
+        build exactly.  A segment without routing info contributes its
+        full doc_count (its docs all expose the plain field)."""
+        counts = [
+            s.meta.get("field_doc_count", {}).get(fld) for s in self.segments
+        ]
+        if fld is None or all(c is None for c in counts):
+            return self.doc_count_all
+        return sum(
+            c if c is not None else s.doc_count
+            for c, s in zip(counts, self.segments)
+        )
+
     def avg_field_length(self, fld: str) -> float:
-        """searching.py:275-278: field_length / doc_count (or 1)."""
-        return self.field_length(fld) / (self.doc_count_all or 1)
+        """searching.py:275-278: field_length / doc_count (or 1);
+        lang-routed virtual fields divide by their per-language count."""
+        return self.field_length(fld) / (self.doc_count_for(fld) or 1)
 
 
 class LockError(Exception):
