@@ -187,6 +187,22 @@ def search_batch(
         scored = j.select(
             "qno", "docid", (base * F.col("factor")).alias("score")
         )
+        import os as _os
+
+        if _os.environ.get("WNS_BATCH_ONE_SHUFFLE", "0") == "1":
+            # MEASURED NEGATIVE (r5, VERDICT r4 task #6 A/B, kept as an
+            # opt-in for shuffle-bound clusters): hash partitioning on
+            # qno alone satisfies both the groupBy(qno, docid)
+            # ClusteredDistribution (subset rule) and the top-k window's
+            # partitionBy(qno), collapsing two exchanges to one — but
+            # interleaved same-session medians at the 1M index /
+            # 50-query batches were 2.84 s (two-shuffle) vs 2.86 s
+            # (one-shuffle): AQE already coalesces the small second
+            # exchange, and the single-key shuffle forgoes map-side
+            # (qno, docid) combining.  Results identical up to fp
+            # summation order (<=3 ulp).  Full A/B in
+            # BENCH/BASELINE.md §r5.
+            scored = scored.repartition("qno")
         agg = (
             scored.groupBy("qno", "docid")
             .agg(
