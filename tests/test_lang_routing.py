@@ -153,3 +153,36 @@ def test_lang_routed_rejects_payload_formats(spark):
     )
     with pytest.raises(ValueError, match="lang_routed"):
         _analyze_partition(cfg, want_positions=False)
+
+
+def test_merge_preserves_per_language_counts(spark, tmp_path):
+    """Compacting routed segments must recompute field_doc_count from
+    the merged (tombstone-purged) docmap — without it, doc_count_for
+    falls back to doc_count_all and inflates per-language idf."""
+    from whoosh_novo_spark.operators.merge import delete_docs, merge_segments
+
+    cfg = IndexConfig(id_col="rid", fields=(FieldConfig("text", lang_routed=True),))
+    store = SegmentStore(str(tmp_path / "m"))
+    rows = _rows()
+    half = len(rows) // 2
+    docs1 = spark.createDataFrame(rows[:half], "rid string, text string, lang string")
+    docs2 = spark.createDataFrame(rows[half:], "rid string, text string, lang string")
+    build_segment(spark, docs1, cfg, store, partitions=2)
+    build_segment(spark, docs2, cfg, store, partitions=2)
+    ix = Index(spark, store, cfg)
+    assert ix.doc_count_for("text@de") == len(DE)
+    assert ix.doc_count_for("text@en") == len(EN)
+
+    # delete one de doc, then fully optimize: counts follow the purge
+    dm = ix.docmap(columns=["docid", "rid"])
+    delete_docs(spark, store, dm.where(dm.rid == "d000").select("docid"))
+    merge_segments(spark, store, cfg)
+    ix2 = Index(spark, store, cfg)
+    assert len(ix2.manifest.segments) == 1
+    assert ix2.doc_count_for("text@de") == len(DE) - 1
+    assert ix2.doc_count_for("text@en") == len(EN)
+    assert ix2.lang_variants("text") == ["text@de", "text@en"]
+    # queries on virtual fields still work over the compacted segment
+    s = Searcher(ix2)
+    hits = s.search(ast.Term("text@en", "water"), limit=50).count()
+    assert hits >= 3

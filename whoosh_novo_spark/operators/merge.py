@@ -285,6 +285,27 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
         },
     )
 
+    # lang-routed victims: recompute per-virtual-field doc counts from
+    # the merged (tombstone-purged) docmap, matching the merged
+    # doc_count's post-purge basis — otherwise Manifest.doc_count_for
+    # would fall back to doc_count_all and inflate per-language idf
+    # after compaction (one narrow scan of the lang column, as at build)
+    routed_bases = sorted(
+        {k.split("@", 1)[0] for s in victims for k in s.meta.get("field_doc_count", {})}
+    )
+    if routed_bases:
+        from whoosh_novo_spark.operators.build import _lang_code
+
+        dm_new = spark.read.parquet(store.table_path(new_id, "docmap"))
+        if config.lang_col in dm_new.columns:
+            by_code: dict[str, int] = {}
+            for r in dm_new.groupBy(config.lang_col).count().collect():
+                code = _lang_code(r[config.lang_col])
+                by_code[code] = by_code.get(code, 0) + int(r["count"])
+            seg.meta["field_doc_count"] = {
+                f"{b}@{c}": n for b in routed_bases for c, n in by_code.items()
+            }
+
     manifest.segments = keep + [seg]
     if not keep:
         # full optimize: all deletes purged -> the new manifest simply

@@ -95,17 +95,24 @@ class Manifest:
         fields of a lang-routed build (segment meta carries
         ``field_doc_count``): the number of docs whose row routed to
         that language — so idf/avgfl over "text@de" match a de-only
-        build exactly.  A segment without routing info contributes its
-        full doc_count (its docs all expose the plain field)."""
-        counts = [
-            s.meta.get("field_doc_count", {}).get(fld) for s in self.segments
-        ]
-        if fld is None or all(c is None for c in counts):
+        build exactly.  Per segment: a routed segment missing the key
+        holds ZERO docs of that language; a segment with no routing
+        info at all (legacy / plain build) contributes its full
+        doc_count."""
+        if fld is None:
             return self.doc_count_all
-        return sum(
-            c if c is not None else s.doc_count
-            for c, s in zip(counts, self.segments)
-        )
+        base_prefix = fld.split("@", 1)[0] + "@"
+        total, any_routed = 0, False
+        for s in self.segments:
+            fdc = s.meta.get("field_doc_count", {})
+            if fld in fdc:
+                total += int(fdc[fld])
+                any_routed = True
+            elif any(k.startswith(base_prefix) for k in fdc):
+                any_routed = True  # routed segment, zero docs of this lang
+            else:
+                total += s.doc_count
+        return total if any_routed else self.doc_count_all
 
     def avg_field_length(self, fld: str) -> float:
         """searching.py:275-278: field_length / doc_count (or 1);
