@@ -207,6 +207,27 @@ def main() -> None:
         pq_ann_topk(enc, qv, books, k=10, rerank=emb).collect()
     res["pq_query_rerank_p50_sec"] = round((time.time() - t0) / 5, 3)
 
+    # IVF x PQ composed (r5): one-pass assign+encode serving index
+    # written partitionBy(cid), probe-pruned ADC + exact re-rank —
+    # the billion-vector serving shape
+    from whoosh_novo_spark.operators.similarity import ivf_pq_index, ivf_pq_topk
+
+    t0 = time.time()
+    ivfpq_path = f"/tmp/wns_pipe_ivfpq_{n_vecs}"
+    ivf_pq_index(emb, cents, books).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(ivfpq_path)
+    res["ivf_pq_build_sec"] = round(time.time() - t0, 2)
+    ivfpq_tbl = spark.read.parquet(ivfpq_path)
+    t0 = time.time()
+    for i in range(5):
+        qv = [float(x) for x in np.random.default_rng(29 + i).standard_normal(dim)]
+        ivf_pq_topk(
+            emb, qv, cents, books, k=10, nprobe=8, index=ivfpq_tbl
+        ).collect()
+    res["ivf_pq_query_p50_sec"] = round((time.time() - t0) / 5, 3)
+    print("LEG ivf_pq done", res["ivf_pq_build_sec"], file=sys.stderr)
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "pipeline.json"), "w") as f:
         json.dump(res, f, indent=1)

@@ -96,3 +96,30 @@ def test_ivf_pq_index_schema_and_compression(spark, clustered, trained):
     assert all(len(r["codes"]) == 8 for r in rows)
     assert all(0 <= r["cid"] < len(C) for r in rows)
     assert len(rows) == df.count()
+
+
+def test_ivf_pq_partitioned_scan_prunes(spark, clustered, trained, tmp_path):
+    """The 100 TB property made literal: write the serving index
+    partitionBy('cid') and verify the probe's PHYSICAL PLAN carries the
+    cid partition filters (only nprobe of n_centroids partitions are
+    read) and scans the compressed codes, not raw vectors."""
+    df, vecs = clustered
+    C, books = trained
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_index(df, C, books).write.partitionBy("cid").parquet(path)
+    tbl = spark.read.parquet(path)
+    qv = [float(x) for x in vecs[7]]
+    out = ivf_pq_topk(df, qv, C, books, k=10, nprobe=2, index=tbl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "codes" in ln
+    ]
+    assert scans, plan[:2000]
+    for ln in scans:
+        # nprobe=2 of 8 lists: the probe is a partition-pruned scan...
+        assert "PartitionFilters: [cid" in ln and " IN (" in ln, ln
+        # ...of the compressed codes only (column pruning drops vectors)
+        assert "embedding" not in ln, ln
+    assert out.count() == 10
