@@ -227,3 +227,30 @@ def test_streaming_routed_ingest(spark, tmp_path):
     s = Searcher(ix)
     hits = s.search(ast.Term("text@en", "water"), limit=50).count()
     assert hits >= 3
+
+
+def test_parser_virtual_field_syntax(spark, built):
+    """The query language reaches virtual fields with zero parser
+    changes: 'text@de:wass' explicit-field syntax, a virtual default
+    field, and a multifield parser over Index.lang_variants for
+    cross-language search."""
+    from whoosh_novo_spark.plans.parser import QueryParser
+
+    mixed_store, mixed_cfg, _ = built
+    ix = Index(spark, mixed_store, mixed_cfg)
+    s = Searcher(ix)
+
+    q = QueryParser("text@en").parse("water valley")
+    assert s.search(q, limit=10).count() >= 1
+
+    q2 = QueryParser("text@en").parse("text@de:wass")
+    got_explicit = {r["docid"] for r in s.search(q2, limit=50).collect()}
+    got_direct = {
+        r["docid"] for r in s.search(ast.Term("text@de", "wass"), limit=50).collect()
+    }
+    assert got_explicit == got_direct and got_explicit
+
+    mf = QueryParser(None, multifield=ix.lang_variants("text"))
+    q3 = mf.parse("wass OR water")
+    cross = {r["docid"] for r in s.search(q3, limit=50).collect()}
+    assert got_direct <= cross  # de hits present alongside en hits
