@@ -114,7 +114,12 @@ def main() -> None:
         # docs/partition), the measured big lever at 1M docs (build.py:276-283)
         m2 = build_segment(spark, corpus, cfg2, SegmentStore(ix2_path), partitions=None)
         build_walls.append(round(time.time() - t0, 3))
-    t_build_synth = statistics.median(build_walls)
+    # run 1 is a recorded WARM-UP (cold JVM codegen + page cache: measured
+    # +15-45% vs the later runs in back-to-back r5 sessions); the headline
+    # is the median of the warmed runs, with the min alongside as the
+    # least-interference estimate.  All walls stay in build_sec_synth_runs.
+    warmed = build_walls[1:] or build_walls
+    t_build_synth = statistics.median(warmed)
     docs_per_sec = round(m2.doc_count_all / t_build_synth, 1)
 
     # --- leg 3: query latencies on the documents index ---
@@ -220,6 +225,7 @@ def main() -> None:
         "build_sec_documents": round(t_build_docs, 3),
         "synth_docs": int(m2.doc_count_all),
         "build_sec_synth": round(t_build_synth, 3),
+        "build_sec_synth_min": min(build_walls),
         "build_sec_synth_runs": build_walls,
         "loadavg_runs": loadavgs,
         "loadavg_start": loadavg_start,
