@@ -254,3 +254,54 @@ def test_parser_virtual_field_syntax(spark, built):
     q3 = mf.parse("wass OR water")
     cross = {r["docid"] for r in s.search(q3, limit=50).collect()}
     assert got_direct <= cross  # de hits present alongside en hits
+
+
+def test_randomized_routed_parity(spark, tmp_path):
+    """Randomized sweep (property-style): random bilingual corpora from
+    a shared vocabulary — for EVERY term in each language's index, the
+    mixed routed build's (doc, score) map over text@<code> must equal
+    the single-language build's.  Catches stats-denominator and routing
+    mistakes beyond the fixed-text cases above."""
+    import random
+
+    rng = random.Random(77)
+    vocab = ["wasser", "wald", "kalt", "stein", "licht", "berg", "fluss",
+             "water", "forest", "cold", "stone", "light", "mountain"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(8, 20)):
+            lang = rng.choice(["de", "en"])
+            n = rng.randint(0, 12)  # empty docs count in dc but not postings
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((f"t{trial}r{i:03d}", text, lang))
+        if not any(r[2] == "de" for r in rows) or not any(r[2] == "en" for r in rows):
+            continue
+        docs = spark.createDataFrame(rows, "rid string, text string, lang string")
+        mixed_cfg = IndexConfig(
+            id_col="rid", fields=(FieldConfig("text", lang_routed=True),)
+        )
+        mixed_store = SegmentStore(str(tmp_path / f"mx{trial}"))
+        build_segment(spark, docs, mixed_cfg, mixed_store, partitions=2)
+        for code in ("de", "en"):
+            cfg = IndexConfig(
+                id_col="rid", fields=(FieldConfig("text", analyzer=f"lang_{code}"),)
+            )
+            st = SegmentStore(str(tmp_path / f"s{trial}{code}"))
+            build_segment(
+                spark, docs.where(docs.lang == code), cfg, st, partitions=2
+            )
+            # query every term the single build indexed
+            terms = {
+                r["term"]
+                for r in Index(spark, st, cfg).terms().select("term").collect()
+            }
+            for term in sorted(terms):
+                mixed = _scores_by_key(
+                    spark, mixed_store, mixed_cfg, "text", f"text@{code}", term
+                )
+                single = _scores_by_key(spark, st, cfg, "text", "text", term)
+                assert set(mixed) == set(single), (trial, code, term)
+                for k in mixed:
+                    assert mixed[k] == pytest.approx(single[k], rel=1e-12), (
+                        trial, code, term, k,
+                    )
