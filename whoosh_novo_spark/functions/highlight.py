@@ -386,7 +386,14 @@ def highlights(
     minscore: int = 1,
 ) -> str:
     """Mirror of ``whoosh.highlight.highlight`` / ``Hit.highlights``
-    defaults (ContextFragmenter + HtmlFormatter, top=3)."""
+    defaults (ContextFragmenter + HtmlFormatter, top=3).
+
+    Retokenizes with the STANDARD chain, so query terms match literal
+    (lowercased) tokens.  For stemmed / language-analyzed / routed
+    fields — where the index term differs from the surface token — use
+    ``chars=True`` at build and ``index_highlights``: the stored
+    per-occurrence char offsets reproduce any analyzer's matches
+    exactly, with no retokenization at all (the scale path besides)."""
     fragmenter = fragmenter or ContextFragmenter()
     formatter = formatter or HtmlFormatter(tagname="b")
     tokens = char_tokens(text, {t.lower() for t in terms})
