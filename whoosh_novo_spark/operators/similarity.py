@@ -334,7 +334,15 @@ def embedding_near_dup_pairs(
     (b) within-cap buckets verify through a TILED Gram kernel
     (``tile`` x ``tile`` blocks, peak O(tile^2) = ~134 MB at the 4096
     default) instead of one m x m allocation, so even the cap-sized
-    bucket stays bounded."""
+    bucket stays bounded.
+
+    Cost note: the pre-filter evaluates the band-code UDF a second time
+    (the count agg and the verify groupBy each scan ``exploded``) — one
+    extra Arrow matmul pass, chosen over the in-kernel alternative
+    (len(pdf) > cap -> return empty) because that would still Arrow-load
+    the ENTIRE hot bucket into one task before dropping it.  At ingest
+    scale, materialize the codes once (store them alongside the vectors,
+    as ivf_pq_index does for cid) and both passes read a column."""
     import pandas as pd
 
     if dim is None:
