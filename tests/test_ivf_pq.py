@@ -123,3 +123,28 @@ def test_ivf_pq_partitioned_scan_prunes(spark, clustered, trained, tmp_path):
         # ...of the compressed codes only (column pruning drops vectors)
         assert "embedding" not in ln, ln
     assert out.count() == 10
+
+
+def test_ivf_pq_batch_matches_single(spark, clustered, trained):
+    """The batched serving path returns EXACTLY each query's
+    single-query ivf_pq_topk result (same probes, ADC rounding and
+    re-rank), with rank 1..k per qid."""
+    from whoosh_novo_spark.operators.similarity import ivf_pq_topk_batch
+
+    df, vecs = clustered
+    C, books = trained
+    index = ivf_pq_index(df, C, books).cache()
+    queries = [(f"q{j}", [float(x) for x in vecs[qid]]) for j, qid in enumerate((3, 99, 250, 401))]
+    batch = ivf_pq_topk_batch(
+        df, queries, C, books, k=10, nprobe=3, index=index
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qid, qv in queries:
+        single = ivf_pq_topk(df, qv, C, books, k=10, nprobe=3, index=index).collect()
+        got = [v for _, v, _ in sorted(by_qid[qid])]
+        cos_got = [c for _, _, c in sorted(by_qid[qid])]
+        assert got == [r["vec_id"] for r in single], qid
+        assert cos_got == [r["cos"] for r in single], qid
+    index.unpersist()

@@ -751,3 +751,117 @@ def ivf_pq_topk(
         "left_semi",
     )
     return cosine_topk(raw, query_vec, k, id_col, vec_col)
+
+
+def ivf_pq_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """MANY queries through the IVF x PQ index in ONE job — the serving
+    throughput shape (per-query cost amortizes to its probed lists).
+    ``queries`` = [(qid, vector)].  Plan: per-query probe lists are
+    metadata-scale driver math; a broadcast (qid, cid) probe frame fans
+    each index row out ONLY to the queries probing its list; one Arrow
+    kernel ADC-scores every (query, candidate) pair against a stacked
+    per-query LUT tensor; a window takes each query's shortlist; one
+    broadcast semi-join + JVM-side exact cosine re-ranks.  Returns
+    (qid, vec_id, cos, rank) with rank 1..k per qid.
+
+    Exactness per query matches ivf_pq_topk (same probes, same ADC
+    rounding, same re-rank).  Scale: the shuffle moves only probed
+    (row x query) pairs — nprobe/n_centroids of the index per query —
+    and the LUT tensor is (n_queries x m x n_codes) floats broadcast
+    once (~1 MB per 64 queries at m=8, n_codes=256)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    spark = embeddings.sparkSession
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = B.shape
+
+    qids, luts, probe_rows, qvec_rows = [], [], [], []
+    for qi, (qid, qv) in enumerate(queries):
+        q = np.asarray(qv, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        sims = np.round(q @ C.T, 9)
+        for cid in sorted(
+            sorted(range(len(C)), key=lambda j: (-sims[j], j))[: int(nprobe)]
+        ):
+            probe_rows.append((qi, cid))
+        lut = np.empty((m, n_codes), dtype=np.float64)
+        for sub in range(m):
+            lut[sub] = B[sub] @ q[sub * dsub : (sub + 1) * dsub]
+        luts.append(lut)
+        qids.append(qid)
+        qvec_rows.append((qi, [float(x) for x in qv]))
+    LUT = np.stack(luts)  # (n_queries, m, n_codes)
+
+    idx = (
+        index
+        if index is not None
+        else ivf_pq_index(embeddings, centroids, codebooks, id_col, vec_col)
+    )
+    probes = spark.createDataFrame(probe_rows, "qi int, cid int")
+    cand = idx.join(F.broadcast(probes), "cid")
+
+    def adc(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf.assign(score=pd.Series(dtype="float64"))[
+                    ["qi", "vec_id", "score"]
+                ]
+                continue
+            Cm = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            qi = pdf["qi"].to_numpy(dtype=np.int64)
+            scores = LUT[qi[:, None], np.arange(m)[None, :], Cm].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "qi": pdf["qi"],
+                    "vec_id": pdf["vec_id"],
+                    "score": np.round(scores, 6),
+                }
+            )
+
+    id_type = idx.schema["vec_id"].dataType.simpleString()
+    scored = cand.select("qi", "vec_id", "codes").mapInPandas(
+        adc, f"qi int, vec_id {id_type}, score double"
+    )
+    n_short = shortlist or 10 * k
+    w = Window.partitionBy("qi").orderBy(F.desc("score"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_short)
+        .select("qi", "vec_id")
+    )
+    qv_df = spark.createDataFrame(qvec_rows, "qi int, _qv array<double>")
+    raw = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    joined = raw.join(F.broadcast(short), "vec_id").join(
+        F.broadcast(qv_df), "qi"
+    )
+    cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+    rescored = joined.select("qi", "vec_id", F.round(cos, 6).alias("cos"))
+    w2 = Window.partitionBy("qi").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+    names = spark.createDataFrame(
+        list(enumerate(qids)), "qi int, qid string"
+    ) if all(isinstance(q, str) for q in qids) else spark.createDataFrame(
+        list(enumerate(qids)), "qi int, qid long"
+    )
+    return topk.join(F.broadcast(names), "qi").select("qid", "vec_id", "cos", "rank")
