@@ -148,3 +148,119 @@ def test_ivf_pq_batch_matches_single(spark, clustered, trained):
         assert got == [r["vec_id"] for r in single], qid
         assert cos_got == [r["cos"] for r in single], qid
     index.unpersist()
+
+
+@pytest.fixture(scope="module")
+def dense_clusters(spark):
+    """Hierarchically clustered corpus (realistic embedding structure:
+    clusters with subclusters) at 2k members per coarse cluster — the
+    density regime that collapsed raw-vector PQ recall at 1M vectors
+    (BENCH/ann_scale.json r5).  Residual codes can exploit the
+    sub-cluster structure; raw codes spend their budget spanning the
+    whole sphere."""
+    rng = np.random.default_rng(61)
+    centers = rng.standard_normal((8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    subdirs = rng.standard_normal((8, 32, 64))
+    subdirs /= np.linalg.norm(subdirs, axis=2, keepdims=True)
+    rows, vecs = [], []
+    for i in range(16000):
+        c, sc = i % 8, (i // 8) % 32
+        u = rng.standard_normal(64)
+        v = centers[c] + 0.4 * subdirs[c][sc] + 0.15 * (u / np.linalg.norm(u))
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        vecs.append(v)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    df.count()
+    return df, np.asarray(vecs), centers
+
+
+def _recalls(df, vecs, C, raw_books, res_books, shortlist):
+    from whoosh_novo_spark.operators.similarity import ivf_pq_index, ivf_pq_topk
+
+    raw_idx = ivf_pq_index(df, C, raw_books).cache()
+    res_idx = ivf_pq_index(df, C, res_books, residual=True).cache()
+    raw_hits = res_hits = 0
+    qids = (3, 555, 1200, 7777, 15000)
+    for qid in qids:
+        qv = [float(x) for x in vecs[qid]]
+        exact = {r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()}
+        raw = {
+            r["vec_id"]
+            for r in ivf_pq_topk(
+                df, qv, C, raw_books, k=10, nprobe=2, shortlist=shortlist,
+                index=raw_idx,
+            ).collect()
+        }
+        res = {
+            r["vec_id"]
+            for r in ivf_pq_topk(
+                df, qv, C, res_books, k=10, nprobe=2, shortlist=shortlist,
+                index=res_idx, residual=True,
+            ).collect()
+        }
+        raw_hits += len(exact & raw)
+        res_hits += len(exact & res)
+    raw_idx.unpersist(); res_idx.unpersist()
+    return raw_hits / (10 * len(qids)), res_hits / (10 * len(qids))
+
+
+def test_residual_pq_recall_on_dense_clusters(spark, dense_clusters):
+    """FAISS-IndexIVFPQ residual encoding at a sensible budget (m=8 x 64
+    codes, shortlist 10*k): recall@10 >= 0.9 on the dense hierarchical
+    corpus, and never below the raw-vector path (measured 1.0 vs
+    0.98)."""
+    from whoosh_novo_spark.operators.similarity import (
+        train_pq_codebooks_residual,
+    )
+
+    df, vecs, _ = dense_clusters
+    C = train_ivf_centroids(df, n_centroids=8, iters=6, sample=2048)
+    raw_books = train_pq_codebooks(df, m=8, n_codes=64, sample=2048)
+    res_books = train_pq_codebooks_residual(df, C, m=8, n_codes=64, sample=2048)
+    raw_r, res_r = _recalls(df, vecs, C, raw_books, res_books, shortlist=100)
+    assert res_r >= 0.9, (res_r, raw_r)
+    assert res_r >= raw_r, (res_r, raw_r)
+
+
+def test_residual_beats_raw_at_tight_budget(spark, dense_clusters):
+    """Where the raw-vector codes actually break — a tight budget (m=8 x
+    16 codes, shortlist 50) on dense clusters — residual encoding holds
+    a decisive margin (measured 0.58 vs 0.30; gate at +0.15)."""
+    from whoosh_novo_spark.operators.similarity import (
+        train_pq_codebooks_residual,
+    )
+
+    df, vecs, _ = dense_clusters
+    C = train_ivf_centroids(df, n_centroids=8, iters=6, sample=2048)
+    raw_books = train_pq_codebooks(df, m=8, n_codes=16, sample=2048)
+    res_books = train_pq_codebooks_residual(df, C, m=8, n_codes=16, sample=2048)
+    raw_r, res_r = _recalls(df, vecs, C, raw_books, res_books, shortlist=50)
+    assert res_r >= raw_r + 0.15, (res_r, raw_r)
+
+
+def test_residual_batch_matches_single(spark, dense_clusters):
+    from whoosh_novo_spark.operators.similarity import (
+        ivf_pq_topk_batch,
+        train_pq_codebooks_residual,
+    )
+
+    df, vecs, _ = dense_clusters
+    C = train_ivf_centroids(df, n_centroids=8, iters=6, sample=2048)
+    books = train_pq_codebooks_residual(df, C, m=8, n_codes=64, sample=2048)
+    idx = ivf_pq_index(df, C, books, residual=True).cache()
+    queries = [(f"q{j}", [float(x) for x in vecs[qid]]) for j, qid in enumerate((9, 4321))]
+    batch = ivf_pq_topk_batch(
+        df, queries, C, books, k=10, nprobe=2, index=idx, residual=True
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qid, qv in queries:
+        single = ivf_pq_topk(
+            df, qv, C, books, k=10, nprobe=2, index=idx, residual=True
+        ).collect()
+        assert [v for _, v, _ in sorted(by_qid[qid])] == [r["vec_id"] for r in single]
+        assert [c for _, _, c in sorted(by_qid[qid])] == [r["cos"] for r in single]
+    idx.unpersist()

@@ -696,20 +696,159 @@ def pq_ann_topk(
 # compressed codes; neither raw vectors nor unprobed lists are read.
 
 
+def train_pq_codebooks_residual(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    sample: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """PQ codebooks trained on IVF RESIDUALS (x_unit - centroid[cid]) —
+    the FAISS IndexIVFPQ design.  Raw-vector PQ spends its 8 bits per
+    subspace spanning the WHOLE space, so inside a dense cluster the
+    quantization error exceeds the margins between near-identical
+    neighbors and the ADC shortlist misses them (measured: recall@10
+    collapsed 1.0 -> 0.21 going from ~200 to ~4k members per cluster,
+    BENCH/ann_scale.json r5).  Residuals concentrate the codebooks'
+    resolution where the candidates actually live.  Bounded driver-side
+    sample, deterministic, same shape (m, n_codes, dim//m)."""
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(int(sample)).collect()
+    )
+    X = _unit_rows(np.asarray([list(r[1]) for r in rows], dtype=np.float64))
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    a = np.argmax(np.round(X @ C.T, 9), axis=1)
+    R = X - C[a]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = R[:, s * dsub : (s + 1) * dsub]
+        k = min(n_codes, len(Xs))
+        Cb = Xs[np.linspace(0, len(Xs) - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+            aa = np.argmin(np.round(d2, 9), axis=1)
+            for j in range(k):
+                members = Xs[aa == j]
+                if len(members):
+                    Cb[j] = members.mean(axis=0)
+        if k < n_codes:
+            Cb = np.vstack([Cb, np.zeros((n_codes - k, dsub))])
+        books[s] = Cb
+    return books
+
+
 def ivf_pq_index(
     embeddings: DataFrame,
     centroids: np.ndarray,
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """(vec_id, codes, cid) — one pass: assign each vector to its
     nearest coarse centroid AND PQ-encode it (both Arrow-batched; the
     cid rides through pq_encode's extra_cols, no re-join/shuffle).
     Materialize this ``.write.partitionBy("cid")`` so ivf_pq_topk
-    probes become partition-pruned scans."""
-    a = ivf_assign(embeddings, centroids, id_col, vec_col)
-    return pq_encode(a, codebooks, id_col, vec_col, extra_cols=("cid",))
+    probes become partition-pruned scans.
+
+    ``residual=True`` (pass codebooks from train_pq_codebooks_residual)
+    encodes x_unit - centroid[cid] instead of the raw unit vector — one
+    fused Arrow kernel does assign + residual + encode, and ADC scoring
+    adds the exact per-list q . centroid term back
+    (score = q.c_cid + q.residual) — the dense-cluster recall fix."""
+    if not residual:
+        a = ivf_assign(embeddings, centroids, id_col, vec_col)
+        return pq_encode(a, codebooks, id_col, vec_col, extra_cols=("cid",))
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = B.shape
+
+    def _enc(v):
+        if len(v) == 0:
+            return pd.DataFrame({"cid": pd.Series(dtype="int32"),
+                                 "codes": pd.Series(dtype=object)})
+        X = _unit_rows(np.asarray([np.asarray(x, dtype=np.float64) for x in v]))
+        cid = np.argmax(np.round(X @ C.T, 9), axis=1)
+        R = X - C[cid]
+        n = len(X)
+        out = np.empty((n, m), dtype=np.int32)
+        for sub in range(m):
+            Xs = R[:, sub * dsub : (sub + 1) * dsub]
+            d2 = (
+                (Xs**2).sum(axis=1)[:, None]
+                - 2.0 * (Xs @ B[sub].T)
+                + (B[sub] ** 2).sum(axis=1)[None, :]
+            )
+            out[:, sub] = np.argmin(np.round(d2, 9), axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype("int32"), "codes": list(out.tolist())}
+        )
+
+    enc = pandas_udf(
+        _enc,
+        T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("_e")
+    ).select("vec_id", F.col("_e.codes").alias("codes"), F.col("_e.cid").alias("cid"))
+
+
+def _adc_scores_residual(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+) -> DataFrame:
+    """(vec_id, score) over RESIDUAL codes: score = q . centroid[cid]
+    (exact, per probed list) + ADC over the residual codebooks —
+    together an estimate of q . x with the coarse term exact."""
+    import pandas as pd
+
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    m, n_codes, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    lut = np.empty((m, n_codes), dtype=np.float64)
+    for sub in range(m):
+        lut[sub] = B[sub] @ q[sub * dsub : (sub + 1) * dsub]
+    qdotc = C @ q  # (n_centroids,)
+
+    def adc(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "score": pd.Series(dtype="float64")}
+                )
+                continue
+            Cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cid = pdf["cid"].to_numpy(dtype=np.int64)
+            scores = qdotc[cid] + lut[np.arange(m)[None, :], Cm].sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "score": np.round(scores, 6)})
+
+    id_type = encoded.schema["vec_id"].dataType.simpleString()
+    return encoded.select("vec_id", "codes", "cid").mapInPandas(
+        adc, f"vec_id {id_type}, score double"
+    )
 
 
 def ivf_pq_topk(
@@ -723,6 +862,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Composed IVF x PQ top-k: probe the ``nprobe`` nearest inverted
     lists, ADC-score only their COMPRESSED codes, exact-cosine re-rank
@@ -739,10 +879,16 @@ def ivf_pq_topk(
     idx = (
         index
         if index is not None
-        else ivf_pq_index(embeddings, centroids, codebooks, id_col, vec_col)
+        else ivf_pq_index(
+            embeddings, centroids, codebooks, id_col, vec_col, residual=residual
+        )
     )
     cand = idx.where(F.col("cid").isin(probe))
-    scored = _adc_scores(cand, query_vec, codebooks)
+    scored = (
+        _adc_scores_residual(cand, query_vec, codebooks, centroids)
+        if residual
+        else _adc_scores(cand, query_vec, codebooks)
+    )
     n_short = shortlist or 10 * k
     short = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(n_short)
     raw = embeddings.join(
@@ -764,6 +910,7 @@ def ivf_pq_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """MANY queries through the IVF x PQ index in ONE job — the serving
     throughput shape (per-query cost amortizes to its probed lists).
@@ -811,10 +958,20 @@ def ivf_pq_topk_batch(
     idx = (
         index
         if index is not None
-        else ivf_pq_index(embeddings, centroids, codebooks, id_col, vec_col)
+        else ivf_pq_index(
+            embeddings, centroids, codebooks, id_col, vec_col, residual=residual
+        )
     )
     probes = spark.createDataFrame(probe_rows, "qi int, cid int")
     cand = idx.join(F.broadcast(probes), "cid")
+    # residual ADC adds back the EXACT per-(query, list) coarse term:
+    # score = q . centroid[cid] + q . residual (see _adc_scores_residual)
+    QdotC = np.stack(
+        [
+            C @ (np.asarray(qv, dtype=np.float64) / (np.linalg.norm(qv) or 1.0))
+            for _, qv in queries
+        ]
+    )  # (n_queries, n_centroids)
 
     def adc(it):
         for pdf in it:
@@ -826,6 +983,8 @@ def ivf_pq_topk_batch(
             Cm = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
             qi = pdf["qi"].to_numpy(dtype=np.int64)
             scores = LUT[qi[:, None], np.arange(m)[None, :], Cm].sum(axis=1)
+            if residual:
+                scores = scores + QdotC[qi, pdf["cid"].to_numpy(dtype=np.int64)]
             yield pd.DataFrame(
                 {
                     "qi": pdf["qi"],
@@ -835,7 +994,7 @@ def ivf_pq_topk_batch(
             )
 
     id_type = idx.schema["vec_id"].dataType.simpleString()
-    scored = cand.select("qi", "vec_id", "codes").mapInPandas(
+    scored = cand.select("qi", "vec_id", "codes", "cid").mapInPandas(
         adc, f"qi int, vec_id {id_type}, score double"
     )
     n_short = shortlist or 10 * k
