@@ -13,8 +13,15 @@ clustered vectors (default 1M, dim 64), then:
      baseline the approximation must beat;
   5. recall@10 of (2)/(3) against (4).
 
+Also measures `recall_probe_ceiling` — exact re-rank over ALL probed
+candidates — which splits a recall shortfall into its two causes:
+coarse-probe misses (ceiling itself low -> raise n_centroids/nprobe)
+vs ADC-shortlist misses (ceiling high, ADC recall low -> raise
+shortlist or the code budget).
+
 Writes BENCH/ann_scale.json and prints one JSON line.
 Usage: python scripts/ann_scale_probe.py [n_vecs] [dim] [n_queries]
+           [n_centroids] [nprobe] [shortlist]
 """
 
 from __future__ import annotations
@@ -34,6 +41,9 @@ def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_centroids = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    nprobe = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    shortlist = int(sys.argv[6]) if len(sys.argv) > 6 else 300
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from pyspark.sql import functions as F
@@ -50,7 +60,8 @@ def main() -> None:
     from whoosh_novo_spark.session import get_spark
 
     spark = get_spark("ann-scale", cores=cores, shuffle_partitions=cores)
-    res = {"n_vecs": n_vecs, "dim": dim, "n_queries": n_queries, "cores": cores}
+    res = {"n_vecs": n_vecs, "dim": dim, "n_queries": n_queries, "cores": cores,
+           "n_centroids": n_centroids, "nprobe": nprobe, "shortlist": shortlist}
 
     # HIERARCHICALLY clustered synthetic corpus (real embedding spaces
     # are clusters-of-subclusters; ANN's use case) — generated
@@ -96,7 +107,7 @@ def main() -> None:
 
     # 1. serving-index build
     t0 = time.time()
-    cents = train_ivf_centroids(emb, n_centroids=128, sample=16384)
+    cents = train_ivf_centroids(emb, n_centroids=n_centroids, sample=max(16384, 32 * n_centroids))
     books = train_pq_codebooks_residual(emb, cents, m=8, n_codes=256, sample=16384)
     raw_books = train_pq_codebooks(emb, m=8, n_codes=256, sample=16384)
     res["train_sec"] = round(time.time() - t0, 2)
@@ -123,12 +134,12 @@ def main() -> None:
 
     # 2. single-query latency (median of 5, warm)
     qv0 = queries[0][1]
-    ivf_pq_topk(emb, qv0, cents, books, k=10, nprobe=16, shortlist=300, index=idx, residual=True).collect()
+    ivf_pq_topk(emb, qv0, cents, books, k=10, nprobe=nprobe, shortlist=shortlist, index=idx, residual=True).collect()
     lats = []
     for j in range(5):
         t0 = time.time()
         ivf_pq_topk(
-            emb, queries[j][1], cents, books, k=10, nprobe=16, shortlist=300,
+            emb, queries[j][1], cents, books, k=10, nprobe=nprobe, shortlist=shortlist,
             index=idx, residual=True,
         ).collect()
         lats.append(time.time() - t0)
@@ -137,7 +148,7 @@ def main() -> None:
     # 3. batched
     t0 = time.time()
     batch = ivf_pq_topk_batch(
-        emb, queries, cents, books, k=10, nprobe=16, shortlist=300, index=idx,
+        emb, queries, cents, books, k=10, nprobe=nprobe, shortlist=shortlist, index=idx,
         residual=True,
     ).collect()
     res["batch_sec"] = round(time.time() - t0, 2)
@@ -160,10 +171,41 @@ def main() -> None:
         approx.setdefault(int(str(r["qid"])), set()).add(r["vec_id"])
     recalls = [len(exact[j] & approx.get(j, set())) / 10 for j in exact]
     res["recall_at_10_residual"] = round(sum(recalls) / len(recalls), 3)
+
+    # probe CEILING: fraction of the true top-10 whose coarse list is
+    # probed at all — the best any shortlist/code budget could reach.
+    # ceiling low -> raise n_centroids/nprobe; ceiling high but ADC
+    # recall low -> raise shortlist / code budget.
+    from whoosh_novo_spark.operators.similarity import _unit_rows
+
+    Cn = _unit_rows(np.asarray(cents, dtype=np.float64))
+    hit_ids = sorted({v for s in exact.values() for v in s})
+    id_rows = emb.where(F.col("vec_id").isin([int(v) for v in hit_ids])).collect()
+    X = _unit_rows(
+        np.asarray([list(r["embedding"]) for r in id_rows], dtype=np.float64)
+    )
+    cid_of = dict(
+        zip(
+            [r["vec_id"] for r in id_rows],
+            np.argmax(np.round(X @ Cn.T, 9), axis=1).tolist(),
+        )
+    )
+    probe_sets = {}
+    for j, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        sims = np.round(q @ Cn.T, 9)
+        probe_sets[j] = set(
+            sorted(range(len(Cn)), key=lambda c: (-sims[c], c))[:nprobe]
+        )
+    ceil_hits = sum(
+        1 for j in exact for v in exact[j] if cid_of[v] in probe_sets[j]
+    )
+    res["recall_probe_ceiling"] = round(ceil_hits / (10 * len(exact)), 3)
     # raw-vector PQ comparison at the same budget (inline index)
     t0 = time.time()
     raw_batch = ivf_pq_topk_batch(
-        emb, queries, cents, raw_books, k=10, nprobe=16, shortlist=300
+        emb, queries, cents, raw_books, k=10, nprobe=nprobe, shortlist=shortlist
     ).collect()
     res["raw_batch_sec_inline_index"] = round(time.time() - t0, 2)
     raw_approx = {}
