@@ -810,6 +810,34 @@ def ivf_pq_index(
     ).select("vec_id", F.col("_e.codes").alias("codes"), F.col("_e.cid").alias("cid"))
 
 
+def ivf_pq_index_append(
+    new_embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> None:
+    """Incremental maintenance of a materialized serving index: encode
+    ONLY the new vectors and append their (vec_id, codes, cid) rows into
+    the ``partitionBy(cid)`` parquet dir at ``index_path``.
+
+    Per-row encoding is deterministic given (centroids, codebooks), so
+    N appends produce row-for-row the same index as one full build over
+    the union (parity-gated in tests/test_ann_serving.py) — the text
+    side's segment model (new batch = new segment, no rewrite of
+    committed data) applied to vectors.  Each append touches only the
+    cid partitions its vectors land in; readers see a consistent
+    snapshot per ``spark.read.parquet`` call.  Re-TRAINING (new
+    centroids/codebooks as the distribution drifts) is a rebuild by
+    design: codes are only meaningful against the codebooks that
+    produced them."""
+    ivf_pq_index(
+        new_embeddings, centroids, codebooks, id_col, vec_col, residual=residual
+    ).write.mode("append").partitionBy("cid").parquet(index_path)
+
+
 def _adc_scores_residual(
     encoded: DataFrame,
     query_vec: list[float],
