@@ -183,3 +183,75 @@ def test_served_results_cover_appended_vectors(spark, tmp_path, corpus):
     )
     assert top[0]["vec_id"] == target
     assert top[0]["cos"] == 1.0
+
+
+def test_deletes_tombstone_without_rewrite(spark, tmp_path, corpus):
+    """Deleting a vector id anti-joins it out before ADC: the deleted
+    top hit disappears, and the remaining ranking equals a query over
+    an index with the row physically absent (both single and batch)."""
+    df, rows, C, books = corpus
+    idx = ivf_pq_index(df, C, books, residual=True).cache()
+    qv = rows[42][1]
+    base = ivf_pq_topk(
+        df, qv, C, books, k=10, nprobe=2, shortlist=1200, index=idx, residual=True
+    ).collect()
+    assert base[0]["vec_id"] == 42  # its own twin tops the list
+    dead = [42, base[1]["vec_id"]]
+
+    got = ivf_pq_topk(
+        df, qv, C, books, k=10, nprobe=2, shortlist=1200, index=idx,
+        residual=True, deletes=dead,
+    ).collect()
+    # physically-filtered ground truth
+    phys = ivf_pq_topk(
+        df, qv, C, books, k=10, nprobe=2, shortlist=1200,
+        index=idx.where(~idx.vec_id.isin(dead)), residual=True,
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in phys
+    ]
+    assert not {r["vec_id"] for r in got} & set(dead)
+
+    batch = ivf_pq_topk_batch(
+        df, [("q", qv)], C, books, k=10, nprobe=2, shortlist=1200, index=idx,
+        residual=True,
+        deletes=spark.createDataFrame([(d,) for d in dead], "vec_id long"),
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in sorted(batch, key=lambda r: r["rank"])] == [
+        (r["vec_id"], r["cos"]) for r in got
+    ]
+    idx.unpersist()
+
+
+def test_compact_preserves_rows_and_results(spark, tmp_path, corpus):
+    """After several appends, compaction reduces per-partition file
+    count to one while leaving rows and query results bit-identical."""
+    from whoosh_novo_spark.operators.similarity import ivf_pq_index_compact
+
+    df, rows, C, books = corpus
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "ix_many")
+    for lo in range(0, 3000, 750):
+        ivf_pq_index_append(
+            spark.createDataFrame(rows[lo : lo + 750], schema), C, books, path,
+            residual=True,
+        )
+    key = lambda r: (r["vec_id"], tuple(r["codes"]), r["cid"])
+    before_rows = sorted(map(key, spark.read.parquet(path).collect()))
+    qv = rows[99][1]
+    before_q = ivf_pq_topk(
+        df, qv, C, books, k=10, nprobe=2, index=spark.read.parquet(path),
+        residual=True,
+    ).collect()
+
+    stats = ivf_pq_index_compact(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+
+    assert sorted(map(key, spark.read.parquet(path).collect())) == before_rows
+    after_q = ivf_pq_topk(
+        df, qv, C, books, k=10, nprobe=2, index=spark.read.parquet(path),
+        residual=True,
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in before_q] == [
+        (r["vec_id"], r["cos"]) for r in after_q
+    ]

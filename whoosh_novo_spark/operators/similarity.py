@@ -838,6 +838,63 @@ def ivf_pq_index_append(
     ).write.mode("append").partitionBy("cid").parquet(index_path)
 
 
+def ivf_pq_index_compact(spark, index_path: str) -> dict:
+    """Compact an append-maintained serving index: every append adds
+    file(s) to each touched cid partition, and at serving scale the
+    accumulated small files tax every probe (one scheduled task + one
+    footer read per file).  Rewrites the index with ONE data-sized file
+    set per cid partition (AQE-coalesced range shuffle on cid), staged
+    to a sibling dir and swapped in with two renames.  Rows are
+    unchanged — compaction is layout-only (parity-gated).  Returns
+    {"files_before": n, "files_after": m}.
+
+    The swap is not atomic for concurrent readers (a reader holding the
+    old dir across the swap fails) — run it between serving batches, as
+    the text side's merge does with its manifest generation commit."""
+    import glob
+    import os
+    import shutil
+
+    def _count(p):
+        return len(glob.glob(os.path.join(p, "*", "*.parquet")))
+
+    before = _count(index_path)
+    tmp = index_path.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(index_path)
+        .repartition("cid")
+        .write.partitionBy("cid")
+        .parquet(tmp)
+    )
+    old = index_path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count(index_path)}
+
+
+def _apply_vec_deletes(cand: DataFrame, deletes) -> DataFrame:
+    """Tombstone filter for the vector index — the text side's delete
+    model applied to serving: deleted ids are anti-joined out of the
+    probed candidates BEFORE ADC scoring, so they can neither rank nor
+    crowd the shortlist.  ``deletes`` is a DataFrame with a vec_id
+    column or a driver-side id list (broadcast either way: tombstones
+    are id-only and tiny relative to the index)."""
+    if deletes is None:
+        return cand
+    if not isinstance(deletes, DataFrame):
+        spark = cand.sparkSession
+        id_type = cand.schema["vec_id"].dataType.simpleString()
+        deletes = spark.createDataFrame(
+            [(d,) for d in deletes], f"vec_id {id_type}"
+        )
+    return cand.join(
+        F.broadcast(deletes.select("vec_id")), "vec_id", "left_anti"
+    )
+
+
 def _adc_scores_residual(
     encoded: DataFrame,
     query_vec: list[float],
@@ -891,13 +948,16 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     index: DataFrame | None = None,
     residual: bool = False,
+    deletes=None,
 ) -> DataFrame:
     """Composed IVF x PQ top-k: probe the ``nprobe`` nearest inverted
     lists, ADC-score only their COMPRESSED codes, exact-cosine re-rank
     the top ``shortlist`` (default 10*k) against raw vectors.  Pass
     ``index`` (a materialized ivf_pq_index output, ideally partitioned
     by cid) to skip inline assignment+encoding — the 100 TB path;
-    ``embeddings`` then serves only the shortlist re-rank."""
+    ``embeddings`` then serves only the shortlist re-rank.  ``deletes``
+    (DataFrame with vec_id, or an id list) tombstones vectors without
+    rewriting the index — see _apply_vec_deletes."""
     C = _unit_rows(np.asarray(centroids, dtype=np.float64))
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q) or 1.0
@@ -911,7 +971,7 @@ def ivf_pq_topk(
             embeddings, centroids, codebooks, id_col, vec_col, residual=residual
         )
     )
-    cand = idx.where(F.col("cid").isin(probe))
+    cand = _apply_vec_deletes(idx.where(F.col("cid").isin(probe)), deletes)
     scored = (
         _adc_scores_residual(cand, query_vec, codebooks, centroids)
         if residual
@@ -939,6 +999,7 @@ def ivf_pq_topk_batch(
     vec_col: str = "embedding",
     index: DataFrame | None = None,
     residual: bool = False,
+    deletes=None,
 ) -> DataFrame:
     """MANY queries through the IVF x PQ index in ONE job — the serving
     throughput shape (per-query cost amortizes to its probed lists).
@@ -991,7 +1052,7 @@ def ivf_pq_topk_batch(
         )
     )
     probes = spark.createDataFrame(probe_rows, "qi int, cid int")
-    cand = idx.join(F.broadcast(probes), "cid")
+    cand = _apply_vec_deletes(idx, deletes).join(F.broadcast(probes), "cid")
     # residual ADC adds back the EXACT per-(query, list) coarse term:
     # score = q . centroid[cid] + q . residual (see _adc_scores_residual)
     QdotC = np.stack(

@@ -42,6 +42,7 @@ def start_ann_serving(
     shortlist: int | None = None,
     index: DataFrame | str | None = None,
     residual: bool = False,
+    deletes: DataFrame | str | None = None,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     available_now: bool = True,
@@ -50,7 +51,10 @@ def start_ann_serving(
     requests; returns the StreamingQuery (call ``awaitTermination()``).
 
     ``query_stream`` must carry ``qid_col`` (string-able) and
-    ``qvec_col`` (array<float/double>)."""
+    ``qvec_col`` (array<float/double>).  ``deletes`` (a vec_id
+    DataFrame, or a parquet path re-read per batch — LIVE tombstones)
+    drops deleted vectors before ADC scoring, so a delete takes effect
+    from the next micro-batch without rewriting the index."""
     from whoosh_novo_spark.operators.similarity import ivf_pq_topk_batch
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -62,6 +66,9 @@ def start_ann_serving(
         idx = (
             spark.read.parquet(index) if isinstance(index, str) else index
         )
+        dels = (
+            spark.read.parquet(deletes) if isinstance(deletes, str) else deletes
+        )
         res = ivf_pq_topk_batch(
             embeddings,
             queries,
@@ -72,6 +79,7 @@ def start_ann_serving(
             shortlist=shortlist,
             index=idx,
             residual=residual,
+            deletes=dels,
         )
         res.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             out_path
