@@ -228,6 +228,37 @@ def main() -> None:
     res["ivf_pq_query_p50_sec"] = round((time.time() - t0) / 5, 3)
     print("LEG ivf_pq done", res["ivf_pq_build_sec"], file=sys.stderr)
 
+    # serving lifecycle (r5): incremental append (10% of the corpus),
+    # compaction after the appends, tombstone-filtered batch query
+    from whoosh_novo_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_compact,
+        ivf_pq_topk_batch,
+    )
+
+    delta = emb.limit(max(1, n_vecs // 10)).withColumn(
+        "vec_id", F.col("vec_id") + int(2 * n_vecs)
+    )
+    t0 = time.time()
+    ivf_pq_index_append(delta, cents, books, ivfpq_path)
+    res["ivf_pq_append_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    stats = ivf_pq_index_compact(spark, ivfpq_path)
+    res["ivf_pq_compact_sec"] = round(time.time() - t0, 2)
+    res["ivf_pq_compact_files"] = f"{stats['files_before']}->{stats['files_after']}"
+    qs = [
+        (f"q{i}", [float(x) for x in np.random.default_rng(37 + i).standard_normal(dim)])
+        for i in range(20)
+    ]
+    dels = spark.range(0, n_vecs, 97).withColumnRenamed("id", "vec_id")  # ~1% dead
+    t0 = time.time()
+    ivf_pq_topk_batch(
+        emb, qs, cents, books, k=10, nprobe=8,
+        index=spark.read.parquet(ivfpq_path), deletes=dels,
+    ).collect()
+    res["ivf_pq_batch20_tombstoned_sec"] = round(time.time() - t0, 2)
+    print("LEG ivf_pq lifecycle done", res["ivf_pq_compact_files"], file=sys.stderr)
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "pipeline.json"), "w") as f:
         json.dump(res, f, indent=1)
