@@ -255,3 +255,36 @@ def test_compact_preserves_rows_and_results(spark, tmp_path, corpus):
     assert [(r["vec_id"], r["cos"]) for r in before_q] == [
         (r["vec_id"], r["cos"]) for r in after_q
     ]
+
+
+def test_compact_purges_tombstones(spark, tmp_path, corpus):
+    """Compaction with deletes drops tombstoned rows from the index
+    (the text side's merge-purge): queries on the purged index WITHOUT
+    a tombstone filter equal tombstone-filtered queries on the old
+    index, and the dead ids are physically gone."""
+    from whoosh_novo_spark.operators.similarity import ivf_pq_index_compact
+
+    df, rows, C, books = corpus
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "ix_purge")
+    ivf_pq_index_append(
+        spark.createDataFrame(rows, schema), C, books, path, residual=True
+    )
+    qv = rows[42][1]
+    dead = [42, 48]
+    want = ivf_pq_topk(
+        df, qv, C, books, k=10, nprobe=2, shortlist=1200,
+        index=spark.read.parquet(path), residual=True, deletes=dead,
+    ).collect()
+
+    stats = ivf_pq_index_compact(spark, path, deletes=dead)
+    assert stats["rows_purged"] == 2
+    purged = spark.read.parquet(path)
+    assert purged.where(purged.vec_id.isin(dead)).count() == 0
+    got = ivf_pq_topk(
+        df, qv, C, books, k=10, nprobe=2, shortlist=1200,
+        index=purged, residual=True,
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]

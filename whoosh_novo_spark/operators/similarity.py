@@ -838,15 +838,23 @@ def ivf_pq_index_append(
     ).write.mode("append").partitionBy("cid").parquet(index_path)
 
 
-def ivf_pq_index_compact(spark, index_path: str) -> dict:
+def ivf_pq_index_compact(spark, index_path: str, deletes=None) -> dict:
     """Compact an append-maintained serving index: every append adds
     file(s) to each touched cid partition, and at serving scale the
     accumulated small files tax every probe (one scheduled task + one
-    footer read per file).  Rewrites the index with ONE data-sized file
-    set per cid partition (AQE-coalesced range shuffle on cid), staged
-    to a sibling dir and swapped in with two renames.  Rows are
-    unchanged — compaction is layout-only (parity-gated).  Returns
-    {"files_before": n, "files_after": m}.
+    footer read per file).  Rewrites the index via
+    ``repartitionByRange("cid", "vec_id")`` — vec_id in the range key
+    splits a HOT inverted list (boilerplate-heavy cluster) across
+    data-sized tasks/files instead of pinning it to one giant
+    single-task file, the same skew-proof-by-construction shape as the
+    text side's posting sink — staged to a sibling dir and swapped in
+    with two renames.  Without ``deletes`` the rewrite is layout-only
+    (rows parity-gated); with ``deletes`` (vec_id DataFrame or id list)
+    tombstoned rows are PURGED during the rewrite, exactly as the text
+    side's segment merge purges its tombstones — afterwards queries no
+    longer need the tombstone filter, and an unbounded tombstone set
+    stops being a per-query broadcast.  Returns {"files_before",
+    "files_after", "rows_purged"}.
 
     The swap is not atomic for concurrent readers (a reader holding the
     old dir across the swap fails) — run it between serving batches, as
@@ -861,9 +869,14 @@ def ivf_pq_index_compact(spark, index_path: str) -> dict:
     before = _count(index_path)
     tmp = index_path.rstrip("/") + "._compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.parquet(index_path)
+    purged = 0
+    if deletes is not None:
+        n0 = df.count()
+        df = _apply_vec_deletes(df, deletes)
+        purged = n0 - df.count()
     (
-        spark.read.parquet(index_path)
-        .repartition("cid")
+        df.repartitionByRange("cid", "vec_id")
         .write.partitionBy("cid")
         .parquet(tmp)
     )
@@ -872,7 +885,11 @@ def ivf_pq_index_compact(spark, index_path: str) -> dict:
     os.rename(index_path, old)
     os.rename(tmp, index_path)
     shutil.rmtree(old)
-    return {"files_before": before, "files_after": _count(index_path)}
+    return {
+        "files_before": before,
+        "files_after": _count(index_path),
+        "rows_purged": purged,
+    }
 
 
 def _apply_vec_deletes(cand: DataFrame, deletes) -> DataFrame:
@@ -881,7 +898,10 @@ def _apply_vec_deletes(cand: DataFrame, deletes) -> DataFrame:
     probed candidates BEFORE ADC scoring, so they can neither rank nor
     crowd the shortlist.  ``deletes`` is a DataFrame with a vec_id
     column or a driver-side id list (broadcast either way: tombstones
-    are id-only and tiny relative to the index)."""
+    are id-only and tiny relative to the index).  When the set grows
+    past broadcast comfort (~10M ids), purge it into the index with
+    ``ivf_pq_index_compact(..., deletes=...)`` — the text side's
+    merge-purges-tombstones cycle."""
     if deletes is None:
         return cand
     if not isinstance(deletes, DataFrame):
