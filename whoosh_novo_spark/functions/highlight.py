@@ -451,7 +451,7 @@ def load_char_tokens(searcher, docid, fieldname, words, charlimit=DEFAULT_CHARLI
     from pyspark.sql import functions as F
 
     rows = (
-        searcher.index.postings()
+        searcher.index.postings_span(fieldname, terms=sorted(words))
         .where(
             (F.col("docid") == int(docid))
             & (F.col("field") == fieldname)

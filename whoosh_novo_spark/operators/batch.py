@@ -131,9 +131,9 @@ def search_batch(
             qt = qt.join(F.broadcast(qmeta.select("qno")), "qno", "left_semi")
 
         texts = sorted({t for _, _, t, _ in qt_rows})
-        p = ix.postings().where(
-            F.col("field").isin(fieldnames) & F.col("term").isin(texts)
-        )
+        p = ix.postings_span_pairs(
+            [(f, t) for f in fieldnames for t in texts]
+        ).where(F.col("field").isin(fieldnames) & F.col("term").isin(texts))
         # one scan x broadcast join: each posting row fans out only to the
         # queries that contain its term
         w, flq = F.col("weight"), F.col("len_q")

@@ -423,6 +423,15 @@ def _widen_input_splits(spark: SparkSession, path: str, want_partitions: int) ->
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
 
+def _term_spans(path: str) -> dict:
+    """Per-file (field, term) bounds for the pruning manifest (one footer
+    read per file at build time, saving the query side's lazy scan)."""
+    from whoosh_novo_spark.sources.file_prune import ranges_to_json, scan_file_ranges
+
+    ranges = scan_file_ranges([path])
+    return ranges_to_json(ranges or [])
+
+
 def parquet_file_rows(path: str) -> dict[str, int]:
     """Per-file row counts straight from parquet footers (no Spark job) —
     the per-partition lineage record for each build stage."""
@@ -626,7 +635,12 @@ def _build_segment_locked(
             "field", "term"
         ).write.mode("overwrite").parquet(store.table_path(segment_id, "terms"))
         store.write_stage_marker(
-            segment_id, "terms", {"seconds": round(time.time() - t_t, 3)}
+            segment_id,
+            "terms",
+            {
+                "seconds": round(time.time() - t_t, 3),
+                "term_spans": _term_spans(store.table_path(segment_id, "terms")),
+            },
         )
 
     # stage 3b: doclens + exact field-length totals, also from RAW
@@ -697,6 +711,10 @@ def _build_segment_locked(
                 "partitions": sp,
                 "seconds": round(time.time() - t_p, 3),
                 "file_rows": parquet_file_rows(store.table_path(segment_id, "postings")),
+                # per-file (field, term) spans — the Iceberg-manifest-style
+                # bounds the query side prunes files with (file_prune.py);
+                # readers fall back to a footer scan when absent
+                "term_spans": _term_spans(store.table_path(segment_id, "postings")),
             },
         )
         import shutil as _sh
@@ -717,7 +735,11 @@ def _build_segment_locked(
         store.write_stage_marker(
             segment_id,
             "blocks",
-            {"block_limit": config.block_limit, "seconds": round(time.time() - t_b, 3)},
+            {
+                "block_limit": config.block_limit,
+                "seconds": round(time.time() - t_b, 3),
+                "term_spans": _term_spans(store.table_path(segment_id, "blocks")),
+            },
         )
     seg.has_blocks = True
 

@@ -87,7 +87,7 @@ def expanded_terms(
         if vt is not None:
             src = vt.where(F.col("docid").isin([int(d) for d in docnums]))
     if src is None:
-        base = ix.postings().where(F.col("field") == fieldname)
+        base = ix.postings_span(fieldname).where(F.col("field") == fieldname)
         if docnums is not None:
             src = base.where(F.col("docid").isin([int(d) for d in docnums]))
         else:

@@ -84,9 +84,9 @@ class TermsCollector(Collector):
             return df.withColumn("matched_terms", F.array().cast("array<string>"))
         fields = sorted({t.fieldname for t in leaves})
         texts = sorted({t.text for t in leaves})
-        p = searcher.index.postings().where(
-            F.col("field").isin(fields) & F.col("term").isin(texts)
-        )
+        p = searcher.index.postings_span_pairs(
+            [(f, t) for f in fields for t in texts]
+        ).where(F.col("field").isin(fields) & F.col("term").isin(texts))
         mt = p.groupBy("docid").agg(
             F.sort_array(F.collect_set("term")).alias("matched_terms")
         )

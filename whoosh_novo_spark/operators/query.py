@@ -77,6 +77,129 @@ class Index:
             df = df.join(self.tombstones(), "docid", "left_anti")
         return df
 
+    # --- file-level (field, term) pruning -------------------------------
+    # postings/blocks files are (field, term, docid)-range-sorted, so each
+    # file covers a contiguous term span; a term lookup only needs the one
+    # or two files whose span contains it.  Spark prunes parquet at
+    # row-group granularity INSIDE each task but still schedules a task
+    # per file — at web scale that is a full metadata scan per query.
+    # This is Iceberg-manifest-style plan-time file pruning, bounds read
+    # once from the parquet footers (sources/file_prune.py); correctness
+    # never depends on it (callers keep their full .where filters, files
+    # without trustworthy stats are always kept).  Kill switch:
+    # WNS_NO_FILE_PRUNE=1.
+
+    def _file_ranges(self, table: str):
+        import os as _os
+
+        if _os.environ.get("WNS_NO_FILE_PRUNE") == "1":
+            return None
+        cache = getattr(self, "_range_cache", None)
+        if cache is None:
+            cache = self._range_cache = {}
+        if table not in cache:
+            from whoosh_novo_spark.sources.file_prune import (
+                ranges_from_json,
+                scan_file_ranges,
+            )
+
+            combined = []
+            for seg in self.manifest.segments:
+                d = self.store.table_path(seg.segment_id, table)
+                got = None
+                marker = self.store.read_stage_marker(seg.segment_id, table)
+                spans = (marker or {}).get("term_spans")
+                if spans is not None:
+                    # build-time manifest bounds (stage marker); falls back
+                    # to a one-off footer scan when stale or absent
+                    got = ranges_from_json(d, spans)
+                if got is None:
+                    got = scan_file_ranges([d])
+                combined.extend(got or [])
+            cache[table] = combined
+        return cache[table]
+
+    def _pruned_table(
+        self,
+        table: str,
+        fieldname: str | None,
+        terms: list[str] | None = None,
+        lo: str | None = None,
+        hi: str | None = None,
+        pairs: list[tuple[str, str]] | None = None,
+    ) -> DataFrame | None:
+        """Scan of ``table`` restricted to files whose (field, term) span
+        can contain the requested keys, or None when pruning can't apply
+        (caller falls back to the full union scan)."""
+        ranges = self._file_ranges(table)
+        if not ranges:
+            return None
+        from whoosh_novo_spark.sources.file_prune import prune_files
+
+        keep = prune_files(ranges, fieldname, terms=terms, lo=lo, hi=hi, pairs=pairs)
+        if keep is None or len(keep) >= len(ranges):
+            return None
+        if not keep:
+            # no file can contain the keys; scan one file so the plan
+            # keeps the on-disk schema (caller's filters match nothing)
+            keep = [ranges[0].path]
+        return self.spark.read.parquet(*keep)
+
+    def postings_span(
+        self,
+        fieldname: str,
+        terms: list[str] | None = None,
+        lo: str | None = None,
+        hi: str | None = None,
+        apply_deletes: bool = True,
+    ) -> DataFrame:
+        """``postings()`` restricted to the files that can contain the
+        given exact ``terms`` (or the [lo, hi] term range) of
+        ``fieldname``.  Same rows as postings() for any filter implied by
+        those keys — callers apply their own .where on top."""
+        df = self._pruned_table("postings", fieldname, terms=terms, lo=lo, hi=hi)
+        if df is None:
+            return self.postings(apply_deletes=apply_deletes)
+        if apply_deletes and self.manifest.has_tombstones:
+            df = df.join(self.tombstones(), "docid", "left_anti")
+        return df
+
+    def postings_span_pairs(
+        self, pairs: list[tuple[str, str]], apply_deletes: bool = True
+    ) -> DataFrame:
+        """``postings()`` restricted to the files that can contain the
+        given exact (field, term) keys (cross-field callers: the
+        matched-terms collector, the batch evaluator)."""
+        df = self._pruned_table("postings", None, pairs=pairs)
+        if df is None:
+            return self.postings(apply_deletes=apply_deletes)
+        if apply_deletes and self.manifest.has_tombstones:
+            df = df.join(self.tombstones(), "docid", "left_anti")
+        return df
+
+    def blocks_span(
+        self,
+        fieldname: str,
+        terms: list[str] | None = None,
+        lo: str | None = None,
+        hi: str | None = None,
+    ) -> DataFrame:
+        """The blocks table restricted the same way (blocks are built
+        in-place from the sorted postings partitions, so files inherit the
+        same contiguous (field, term) spans)."""
+        df = self._pruned_table("blocks", fieldname, terms=terms, lo=lo, hi=hi)
+        return df if df is not None else self._union_table("blocks")
+
+    def terms_span(
+        self, pairs: list[tuple[str, str]] | None = None, fieldname: str | None = None
+    ) -> DataFrame:
+        """The term dictionary restricted to the files that can contain
+        the given keys — the dictionary is (field, term)-range-sorted at
+        build (usually one file per segment at small scale; range-pruned
+        files as it grows)."""
+        df = self._pruned_table("terms", fieldname, pairs=pairs)
+        return df if df is not None else self.terms()
+
     def terms(self) -> DataFrame:
         return self._union_table("terms")
 
@@ -165,7 +288,7 @@ class Index:
             return {}
         fields = sorted({f for f, _ in pairs})
         texts = sorted({t for _, t in pairs})
-        t = self.terms().where(
+        t = self.terms_span(pairs=list(pairs)).where(
             F.col("field").isin(fields) & F.col("term").isin(texts)
         )
         if len(self.manifest.segments) > 1:
@@ -195,7 +318,9 @@ class Index:
         joins this to the postings scan (terms.py:182-201's simplify ->
         Or-of-Terms, expressed as a relational join instead of an AST
         rewrite)."""
-        t = self.terms().where(_multiterm_cond(q))
+        b_lo, b_hi = _multiterm_file_bounds(q)
+        t = self._pruned_table("terms", q.fieldname, lo=b_lo, hi=b_hi)
+        t = (t if t is not None else self.terms()).where(_multiterm_cond(q))
         if len(self.manifest.segments) == 1:
             # terms are unique per (field, term) within a segment: the
             # cross-segment fold (and its Exchange) is dead weight
@@ -382,9 +507,9 @@ class Searcher:
         (field, term), so the groupBy's Exchange would add a stage to
         EVERY query for nothing (measured +0.1-0.2 s/query at local
         scale, BENCH/ab_r1_vs_r3.json)."""
-        t = self.index.terms().where(
-            (F.col("field") == fieldname) & F.col("term").isin(texts)
-        )
+        t = self.index.terms_span(
+            pairs=[(fieldname, x) for x in texts]
+        ).where((F.col("field") == fieldname) & F.col("term").isin(texts))
         if len(self.index.manifest.segments) == 1:
             return t.select("term", "df", "cf")
         return t.groupBy("term").agg(
@@ -608,7 +733,7 @@ class Searcher:
                 # a field the schema doesn't declare has no terms — match
                 # nothing, like the reference's TermNotFound empty matcher
                 return empty
-            p = self.index.postings().where(
+            p = self.index.postings_span(q.fieldname, terms=[q.text]).where(
                 (F.col("field") == q.fieldname) & (F.col("term") == q.text)
             )
             if not self.index.config.field(q.fieldname).scorable:
@@ -643,7 +768,7 @@ class Searcher:
             present = [w for w in words if (q.fieldname, w) in vstats]
             if not present:
                 return empty
-            p = self.index.postings().where(
+            p = self.index.postings_span(q.fieldname, terms=present).where(
                 (F.col("field") == q.fieldname) & F.col("term").isin(present)
             )
             score = self._terms_score_col(
@@ -934,7 +1059,10 @@ class Searcher:
             return empty  # undeclared field: no terms (TermNotFound)
 
         tdf = ix.expand_terms_df(q)
-        p = ix.postings().where(F.col("field") == fieldname)
+        b_lo, b_hi = _multiterm_file_bounds(q)
+        p = ix.postings_span(fieldname, lo=b_lo, hi=b_hi).where(
+            F.col("field") == fieldname
+        )
         push = _multiterm_pushdown(q)
         if push is not None:
             p = p.where(push)
@@ -1024,7 +1152,7 @@ class Searcher:
             # falls out of the scan itself (an absent term matches nothing,
             # so an And's count == n_children filter rejects every doc).
             texts = sorted({c.text for c in kids})
-            p = self.index.postings().where(
+            p = self.index.postings_span(fieldname, terms=texts).where(
                 (F.col("field") == fieldname) & F.col("term").isin(texts)
             )
             w, flq = F.col("weight"), F.col("len_q")
@@ -1047,7 +1175,7 @@ class Searcher:
         if not present:
             return None
         texts = [c.text for c in present]
-        p = self.index.postings().where(
+        p = self.index.postings_span(fieldname, terms=texts).where(
             (F.col("field") == fieldname) & F.col("term").isin(texts)
         )
         score = self._terms_score_col(
@@ -1085,7 +1213,7 @@ class Searcher:
         leaf_stats = [stats.get((q.fieldname, w)) for w in words]
         if any(s is None for s in leaf_stats):
             return empty
-        p = self.index.postings().where(
+        p = self.index.postings_span(q.fieldname, terms=words).where(
             (F.col("field") == q.fieldname) & F.col("term").isin(words)
         )
         # order index of each word in the phrase (first occurrence wins for
@@ -1185,6 +1313,38 @@ def _multiterm_cond(q: ast.Query):
             cond = cond & F.col("term").startswith(pre)
         return cond
     raise TypeError(type(q))
+
+
+def _prefix_hi(prefix: str) -> str | None:
+    """Smallest string greater than every string with ``prefix`` (an
+    inclusive-safe upper bound for file-span pruning), or None when no
+    such successor exists (trailing U+10FFFF run)."""
+    s = prefix
+    while s and ord(s[-1]) >= 0x10FFFF:
+        s = s[:-1]
+    if not s:
+        return None
+    return s[:-1] + chr(ord(s[-1]) + 1)
+
+
+def _multiterm_file_bounds(q: ast.Query) -> tuple[str | None, str | None]:
+    """(lo, hi) term bounds for FILE-level pruning of a multiterm scan —
+    over-inclusive is fine (the join against the expanded terms is exact),
+    under-inclusive would drop postings; None = unbounded on that side."""
+    if isinstance(q, ast.Prefix):
+        return q.text, _prefix_hi(q.text)
+    if isinstance(q, ast.TermRange):
+        return q.start, q.end
+    if isinstance(q, (ast.Wildcard,)):
+        lit = re.split(r"[*?]", q.text, maxsplit=1)[0]
+        return (lit, _prefix_hi(lit)) if lit else (None, None)
+    if isinstance(q, ast.Regex):
+        lit = _literal_prefix_of_regex(q.text)
+        return (lit, _prefix_hi(lit)) if lit else (None, None)
+    if isinstance(q, ast.FuzzyTerm):
+        pre = q.text[: q.prefixlength]
+        return (pre, _prefix_hi(pre)) if pre else (None, None)
+    return None, None
 
 
 def _multiterm_pushdown(q: ast.Query):

@@ -84,7 +84,7 @@ def phrase_with_slop(searcher, q: ast.Phrase, stats, ordered: bool = True) -> Da
     cnt_map = F.create_map(
         *[F.lit(x) for w in uniq for x in (w, float(word_counts[w]))]
     )
-    p = ix.postings().where(
+    p = ix.postings_span(q.fieldname, terms=uniq).where(
         (F.col("field") == q.fieldname) & F.col("term").isin(uniq)
     )
     score = searcher._terms_score_col(
@@ -359,7 +359,7 @@ def span_search(searcher, fieldname: str, expr: SpanExpr, limit: int | None = 10
     present = [w for w in uniq if (fieldname, w) in stats]
     if not present:
         return ix.spark.createDataFrame([], "docid long, score double")
-    p = ix.postings().where(
+    p = ix.postings_span(fieldname, terms=present).where(
         (F.col("field") == fieldname) & F.col("term").isin(present)
     )
     score = searcher._terms_score_col(
@@ -405,7 +405,9 @@ def spannear2(
         return phrase_with_slop(searcher, q, stats)
     # unordered / custom mindist variant: same plan, different kernel params
     uniq = sorted(set(words))
-    p = ix.postings().where((F.col("field") == fieldname) & F.col("term").isin(uniq))
+    p = ix.postings_span(fieldname, terms=uniq).where(
+        (F.col("field") == fieldname) & F.col("term").isin(uniq)
+    )
     score = searcher._terms_score_col(
         fieldname, [(w, stats[(fieldname, w)], 1.0) for w in uniq]
     )

@@ -34,7 +34,9 @@ def suggest_df(
     prefix: int = 0,
 ) -> DataFrame:
     t = (
-        index.terms()
+        # suggestion scans the field's whole lexicon (levenshtein can't
+        # bound the term range); pruning still drops other fields' files
+        index.terms_span(fieldname=fieldname)
         .where(F.col("field") == fieldname)
         .groupBy("term")
         .agg(F.sum("cf").alias("freq"))

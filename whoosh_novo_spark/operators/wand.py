@@ -251,7 +251,7 @@ def search_wand(
     max_docid = ix.manifest.next_docid
     R = max(1, math.ceil(max_docid / n_buckets))
 
-    blocks = ix._union_table("blocks").where(
+    blocks = ix.blocks_span(fieldname, terms=[t.text for t in present]).where(
         (F.col("field") == fieldname) & F.col("term").isin([t.text for t in present])
     )
     spanned = blocks.withColumn(
