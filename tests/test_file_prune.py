@@ -156,6 +156,31 @@ def test_query_parity_with_pruning_disabled(spark, built, monkeypatch):
     assert with_prune == without
 
 
+def test_merged_segment_writes_span_manifest(spark, tmp_path_factory, monkeypatch):
+    """Compaction re-sorts postings into a fresh segment — its markers
+    must carry the span manifest too, and pruned queries must match."""
+    from whoosh_novo_spark.operators.merge import merge_segments
+
+    pdf = corpus_pandas(240, seed=5, vocab_size=200)
+    path = str(tmp_path_factory.mktemp("ix_prune_merge"))
+    store = SegmentStore(path)
+    config = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+    half = len(pdf) // 2
+    for part in (pdf.iloc[:half], pdf.iloc[half:]):
+        df = spark.createDataFrame(part[["url", "text"]])
+        build_segment(spark, df, config, store, partitions=4)
+    merge_segments(spark, store, config, partitions=4)
+    ix, s = _searcher(spark, store, config)
+    seg_id = ix.manifest.segments[0].segment_id
+    marker = store.read_stage_marker(seg_id, "postings")
+    assert marker and marker.get("term_spans")
+    w = ix.terms().orderBy(F.desc("df")).limit(1).collect()[0]["term"]
+    a = _rows(s.search(ast.Term("text", w), limit=10))
+    monkeypatch.setenv("WNS_NO_FILE_PRUNE", "1")
+    ix2, s2 = _searcher(spark, store, config)
+    assert a == _rows(s2.search(ast.Term("text", w), limit=10))
+
+
 def test_wand_parity_with_pruning(spark, built, monkeypatch):
     store, config = built
     ix, s = _searcher(spark, store, config)

@@ -192,7 +192,16 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
         "field", "term", "docid"
     )
     merged.write.mode("overwrite").parquet(store.table_path(new_id, "postings"))
-    store.write_stage_marker(new_id, "postings", {"merged_from": segment_ids})
+    from whoosh_novo_spark.operators.build import _term_spans
+
+    store.write_stage_marker(
+        new_id,
+        "postings",
+        {
+            "merged_from": segment_ids,
+            "term_spans": _term_spans(store.table_path(new_id, "postings")),
+        },
+    )
     postings_new = spark.read.parquet(store.table_path(new_id, "postings"))
 
     # --- docmap: materialized union of source docmaps (minus tombstones) ---
@@ -224,7 +233,11 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
     terms.repartitionByRange("field", "term").sortWithinPartitions(
         "field", "term"
     ).write.mode("overwrite").parquet(store.table_path(new_id, "terms"))
-    store.write_stage_marker(new_id, "terms", {})
+    store.write_stage_marker(
+        new_id,
+        "terms",
+        {"term_spans": _term_spans(store.table_path(new_id, "terms"))},
+    )
 
     # doclens: union the SOURCE doclens tables (minus tombstones) so the
     # true post-filter `len` survives compaction for doclens/text-stats
@@ -250,7 +263,14 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
     build_blocks(spark, postings_new, config.block_limit).write.mode(
         "overwrite"
     ).parquet(store.table_path(new_id, "blocks"))
-    store.write_stage_marker(new_id, "blocks", {"block_limit": config.block_limit})
+    store.write_stage_marker(
+        new_id,
+        "blocks",
+        {
+            "block_limit": config.block_limit,
+            "term_spans": _term_spans(store.table_path(new_id, "blocks")),
+        },
+    )
 
     # vectors: rebuild the forward index from the merged postings for the
     # union of the victims' vectored fields (whoosh add_reader copies
