@@ -102,3 +102,52 @@ def test_quantization_vectorized():
     assert list(quantized_length_np(xs)) == [
         byte_to_length(length_to_byte(int(x))) for x in xs
     ]
+
+
+def test_vectorized_positions_fold_equals_pandas_groupby():
+    """The build's lexsort+split positions fold must equal the per-group
+    pandas aggregation it replaced (operators/build.py analyze path)."""
+    import numpy as np
+    import pandas as pd
+
+    from whoosh_novo_spark.functions.analysis import ANALYZERS
+
+    texts = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog the fox",
+            "spark spark spark index merge index",
+            "",
+            "one",
+            "alpha beta alpha gamma beta alpha",
+        ]
+    )
+    tb = ANALYZERS["standard"](texts)
+    # old path: pandas groupby with list lambda
+    tdf = pd.DataFrame({"row": tb.row, "term": tb.term, "pos": tb.pos})
+    agg = (
+        tdf.groupby(["row", "term"], sort=False)
+        .agg(tf=("pos", "size"), positions=("pos", lambda s: list(s)))
+        .reset_index()
+    )
+    want = {
+        (int(r.row), r.term): (int(r.tf), [int(p) for p in r.positions])
+        for r in agg.itertuples()
+    }
+    # new path: lexsort + run-length split (mirrors build.py)
+    row_a = np.asarray(tb.row, dtype=np.int64)
+    pos_a = np.asarray(tb.pos, dtype=np.int32)
+    codes, uniq_terms = pd.factorize(pd.Series(tb.term))
+    order = np.lexsort((pos_a, codes, row_a))
+    r2, c2, p2 = row_a[order], codes[order], pos_a[order]
+    new_g = np.empty(len(r2), dtype=bool)
+    new_g[0] = True
+    new_g[1:] = (r2[1:] != r2[:-1]) | (c2[1:] != c2[:-1])
+    starts = np.flatnonzero(new_g)
+    tf_a = np.diff(np.append(starts, len(r2)))
+    terms = np.asarray(uniq_terms, dtype=object)[c2[starts]]
+    plists = np.split(p2, starts[1:])
+    got = {
+        (int(r2[s]), t): (int(n), [int(p) for p in pl])
+        for s, t, n, pl in zip(starts, terms, tf_a, plists)
+    }
+    assert got == want

@@ -336,6 +336,50 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                 tb = fn(pdf[fc.name])
                 if len(tb.term) == 0:
                     continue
+                if (
+                    want_positions
+                    and fc.positions
+                    and not fc.chars
+                    and not fc.boosts
+                ):
+                    # vectorized (row, term) run-length fold: the pandas
+                    # groupby with a per-group ``list`` lambda loops in
+                    # Python over ~1 group per posting — at web-page doc
+                    # counts that loop IS the positions-build wall.
+                    # lexsort + split keeps positions ascending per group.
+                    row_a = np.asarray(tb.row, dtype=np.int64)
+                    pos_a = np.asarray(tb.pos, dtype=np.int32)
+                    codes, uniq_terms = pd.factorize(pd.Series(tb.term))
+                    order = np.lexsort((pos_a, codes, row_a))
+                    r2, c2, p2 = row_a[order], codes[order], pos_a[order]
+                    new_g = np.empty(len(r2), dtype=bool)
+                    new_g[0] = True
+                    new_g[1:] = (r2[1:] != r2[:-1]) | (c2[1:] != c2[:-1])
+                    starts = np.flatnonzero(new_g)
+                    tf_a = np.diff(np.append(starts, len(r2)))
+                    rows = r2[starts]
+                    lens = tb.doc_lengths()
+                    len_q = quantized_length_np(np.maximum(lens, 0))
+                    out = pd.DataFrame(
+                        {
+                            "field": fc.name,
+                            "term": np.asarray(uniq_terms, dtype=object)[c2[starts]],
+                            "docid": docids[rows],
+                            "weight": tf_a.astype(np.float64) * fc.boost,
+                            "tf": tf_a.astype(np.int32),
+                            "len_q": len_q[rows].astype(np.int32),
+                            "positions": np.split(p2, starts[1:]),
+                            "_true_len": np.where(
+                                _first_of_row(rows), lens[rows], 0
+                            ).astype(np.int64),
+                        }
+                    )
+                    if any_chars:
+                        out["chars"] = None
+                    if any_boosts:
+                        out["boosts"] = None
+                    outs.append(out)
+                    continue
                 tdf = pd.DataFrame({"row": tb.row, "term": tb.term, "pos": tb.pos})
                 aggs = {"tf": ("pos", "size")}
                 if want_positions and fc.positions:
