@@ -164,3 +164,61 @@ def test_full_training_recovers_clusters_a_biased_sample_misses(spark):
     # and the full-trained quantizer is a good one in absolute terms:
     # with spread 0.25 a well-placed centroid keeps members above ~0.9
     assert obj_full > 0.9
+
+
+def test_full_trained_quantizers_serve_ivf_pq(spark):
+    """End-to-end compose: full-data-trained centroids + RESIDUAL
+    codebooks drive the whole serving stack (ivf_pq_index residual=True
+    -> ivf_pq_topk ADC + re-rank) at recall@10 >= 0.9 — and on the same
+    BIASED-prefix corpus as the objective test, full-data training
+    beats the sampled trainers on served recall, not just on the
+    quantization objective."""
+    from whoosh_novo_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_index,
+        ivf_pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks_residual,
+    )
+
+    raw = _make_clusters(12, 120, 32, seed=23)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, (c, v) in enumerate(sorted(raw, key=lambda t: t[0]))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(6).cache()
+    df.count()
+    vecs = [v for _, v in rows]
+    k_c, iters, init = 12, 8, 450  # prefix covers clusters 0-3 only
+
+    def served_recall(C, books):
+        index = ivf_pq_index(df, C, books, residual=True).cache()
+        hits = 0
+        qids = [60, 300, 540, 780, 1020, 1260]  # one per even cluster
+        for qid in qids:
+            qv = vecs[qid]
+            exact = {r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()}
+            approx = {
+                r["vec_id"]
+                for r in ivf_pq_topk(
+                    df, qv, C, books, k=10, nprobe=3, index=index, residual=True
+                ).collect()
+            }
+            hits += len(exact & approx)
+        index.unpersist()
+        return hits / (10 * len(qids))
+
+    C_f = train_ivf_centroids_full(df, n_centroids=k_c, iters=iters, init_sample=init)
+    B_f = train_pq_codebooks_full(
+        df, m=4, n_codes=32, iters=4, centroids=C_f, init_sample=init
+    )
+    r_full = served_recall(C_f, B_f)
+
+    C_s = train_ivf_centroids(df, n_centroids=k_c, iters=iters, sample=init)
+    B_s = train_pq_codebooks_residual(df, C_s, m=4, n_codes=32, iters=4, sample=init)
+    r_sampled = served_recall(C_s, B_s)
+
+    assert r_full >= 0.9, (r_full, r_sampled)
+    assert r_full > r_sampled, (r_full, r_sampled)
