@@ -24,6 +24,14 @@ def main() -> None:
     ap.add_argument("--index", required=True, help="segment store path")
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--from-html",
+        action="store_true",
+        help="derive the text column from the html:binary column at ingest "
+        "(sources/extract.py JVM path; --full-entities switches to the Arrow "
+        "kernel with full HTML5 entity decoding)",
+    )
+    ap.add_argument("--full-entities", action="store_true")
     ap.add_argument("--positions", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--merge", action="store_true", help="compact after build")
@@ -52,7 +60,14 @@ def main() -> None:
         fields=(FieldConfig(args.text_col, positions=args.positions),),
     )
     store = SegmentStore(args.index)
-    docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
+    docs = spark.read.parquet(args.input)
+    if args.from_html:
+        from whoosh_novo_spark.sources.extract import ingest_html
+
+        docs = ingest_html(
+            docs, out_col=args.text_col, full_entities=args.full_entities
+        )
+    docs = docs.select(args.id_col, args.text_col)
     t0 = time.time()
     m = build_segment(spark, docs, cfg, store, partitions=args.partitions)
     out = {
