@@ -20,8 +20,15 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet dir of (url, ..., text) docs")
-    ap.add_argument("--index", required=True, help="segment store path")
+    ap.add_argument("--input", default=None, help="parquet dir of (url, ..., text) docs")
+    ap.add_argument("--index", default=None, help="segment store path")
+    ap.add_argument(
+        "--federate",
+        default=None,
+        help="comma-separated store paths: skip the build and answer "
+        "--query over their federation (operators/federate.py) — the "
+        "serving half of N independent per-partition build jobs",
+    )
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
     ap.add_argument(
@@ -59,6 +66,38 @@ def main() -> None:
         id_col=args.id_col,
         fields=(FieldConfig(args.text_col, positions=args.positions),),
     )
+
+    if args.federate:
+        if not args.query:
+            ap.error("--federate requires --query")
+        from whoosh_novo_spark.operators.federate import FederatedIndex
+        from whoosh_novo_spark.operators.query import Searcher
+        from whoosh_novo_spark.plans import ast
+
+        ix = FederatedIndex(spark, args.federate.split(","), cfg)
+        terms = [t for t in args.query.split(",") if t]
+        q = (
+            ast.Term(args.text_col, terms[0])
+            if len(terms) == 1
+            else ast.And(tuple(ast.Term(args.text_col, t) for t in terms))
+        )
+        t0 = time.time()
+        rows = Searcher(ix).search(q, limit=args.k).collect()
+        print(json.dumps({
+            "federated_stores": len(args.federate.split(",")),
+            "segments": len(ix.manifest.segments),
+            "doc_count": ix.doc_count_all,
+            "query": {
+                "terms": terms,
+                "latency_sec": round(time.time() - t0, 3),
+                "top": [[int(r["docid"]), round(float(r["score"]), 4)] for r in rows],
+            },
+        }))
+        spark.stop()
+        return
+
+    if not args.input or not args.index:
+        ap.error("--input and --index are required unless --federate is given")
     store = SegmentStore(args.index)
     docs = spark.read.parquet(args.input)
     if args.from_html:

@@ -47,7 +47,7 @@ def _bm25(idf: float, w: np.ndarray, flq: np.ndarray, avgfl: float, B: float, K1
 class _TermBlocks:
     """Per-term block arrays with lazy decode + cache."""
 
-    __slots__ = ("mins", "maxs", "maxw", "minlq", "ids_b", "w_b", "l_b", "cache")
+    __slots__ = ("mins", "maxs", "maxw", "minlq", "ids_b", "w_b", "l_b", "cache", "shift")
 
     def __init__(self, g: pd.DataFrame):
         g = g.sort_values("min_docid", kind="mergesort")
@@ -58,15 +58,25 @@ class _TermBlocks:
         self.ids_b = g["ids"].tolist()
         self.w_b = g["weights"].tolist()
         self.l_b = g["lens"].tolist()
+        # FederatedIndex (operators/federate.py) shifts min/max_docid at
+        # read but cannot rewrite the varbyte blobs; the per-row shift is
+        # added here after decode.  Single-store blocks carry no column.
+        self.shift = (
+            g["docid_shift"].to_numpy(dtype=np.int64)
+            if "docid_shift" in g.columns
+            else None
+        )
         self.cache: dict[int, tuple] = {}
 
     def decode(self, bi: int):
         got = self.cache.get(bi)
         if got is None:
-            ids = decode_ids(self.ids_b[bi])
+            ids = decode_ids(self.ids_b[bi]).astype(np.int64)
+            if self.shift is not None and self.shift[bi]:
+                ids = ids + self.shift[bi]
             w = np.frombuffer(self.w_b[bi], dtype=np.float32).astype(np.float64)
             lq = decode_lens(self.l_b[bi])
-            got = (ids.astype(np.int64), w, lq)
+            got = (ids, w, lq)
             self.cache[bi] = got
         return got
 
@@ -205,6 +215,12 @@ def search_wand(
     if not isinstance(searcher.model, _BM25F):
         # the numpy kernel hard-codes the BM25 bound math; other models
         # use the exact path (pruning is an optimization, not semantics)
+        return searcher.search(q, limit=limit)
+
+    if not all(s.has_blocks for s in ix.manifest.segments):
+        # a segment without block metadata (e.g. one store of a
+        # federation built by an older writer) has no skip pointers to
+        # prune with — exact path keeps rank identity
         return searcher.search(q, limit=limit)
 
     fieldname = terms[0].fieldname
