@@ -32,6 +32,14 @@ def main() -> None:
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
     ap.add_argument(
+        "--iceberg",
+        action="store_true",
+        help="treat --input as an Iceberg table location (sources/iceberg.py "
+        "metadata walk) instead of a bare parquet dir",
+    )
+    ap.add_argument("--snapshot-id", type=int, default=None, help="with --iceberg")
+    ap.add_argument("--as-of-ms", type=int, default=None, help="with --iceberg: time travel")
+    ap.add_argument(
         "--from-html",
         action="store_true",
         help="derive the text column from the html:binary column at ingest "
@@ -99,7 +107,14 @@ def main() -> None:
     if not args.input or not args.index:
         ap.error("--input and --index are required unless --federate is given")
     store = SegmentStore(args.index)
-    docs = spark.read.parquet(args.input)
+    if args.iceberg:
+        from whoosh_novo_spark.sources.iceberg import read_iceberg
+
+        docs = read_iceberg(
+            spark, args.input, snapshot_id=args.snapshot_id, as_of_ms=args.as_of_ms
+        )
+    else:
+        docs = spark.read.parquet(args.input)
     if args.from_html:
         from whoosh_novo_spark.sources.extract import ingest_html
 
