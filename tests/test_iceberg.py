@@ -240,3 +240,92 @@ def test_append_snapshot_direct_api(tmp_path):
     assert sum(f.record_count for f in t.data_files()) == 15
     assert sum(f.record_count for f in t.data_files(snapshot_id=s1)) == 10
     assert {f.partition["lang"] for f in t.data_files(snapshot_id=s2)} == {"en", "de"}
+
+
+# ---------------------------------------------------------- incremental sync
+
+
+def test_incremental_sync(spark, tmp_path):
+    """Growing table -> sync indexes only appended files; results match a
+    direct 2-batch build; unchanged snapshot is a no-op."""
+    from pyspark.sql import functions as F
+
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.iceberg import (
+        last_synced_snapshot,
+        sync_index_from_iceberg,
+    )
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    cfg = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+    loc = str(tmp_path / "grow")
+    d1 = _pages(spark, 90, seed=21)
+    write_iceberg_table(spark, d1, loc, SCHEMA, ts_ms=1000)
+
+    store = SegmentStore(str(tmp_path / "ix_sync"))
+    m, snap, n = sync_index_from_iceberg(
+        spark, loc, store, cfg, columns=["url", "text"], partitions=2
+    )
+    assert n > 0 and m.doc_count_all == 90
+    assert last_synced_snapshot(store) == snap
+
+    # no new snapshot -> no-op (no new segment, marker unchanged)
+    m2, snap2, n2 = sync_index_from_iceberg(spark, loc, store, cfg)
+    assert (snap2, n2, len(m2.segments)) == (snap, 0, len(m.segments))
+
+    d2 = _pages(spark, 45, seed=63).withColumn(
+        "url", F.concat(F.col("url"), F.lit("-b"))
+    )
+    write_iceberg_table(spark, d2, loc, SCHEMA, ts_ms=2000)
+    m3, snap3, n3 = sync_index_from_iceberg(
+        spark, loc, store, cfg, columns=["url", "text"], partitions=2
+    )
+    assert snap3 != snap and n3 > 0
+    assert m3.doc_count_all == 135 and len(m3.segments) == len(m.segments) + 1
+
+    # parity vs a direct 2-batch build over the same rows
+    direct = SegmentStore(str(tmp_path / "ix_direct"))
+    build_segment(spark, d1.select("url", "text"), cfg, direct, partitions=2)
+    build_segment(spark, d2.select("url", "text"), cfg, direct, partitions=2)
+    ss, sd = Searcher(Index(spark, store, cfg)), Searcher(Index(spark, direct, cfg))
+    for q in (
+        ast.Term("text", "render"),
+        ast.Or((ast.Term("text", "render"), ast.Term("text", "shade"))),
+    ):
+        ours = [(r["docid"], round(float(r["score"]), 9)) for r in ss.search(q, limit=None).collect()]
+        want = [(r["docid"], round(float(r["score"]), 9)) for r in sd.search(q, limit=None).collect()]
+        assert ours == want
+
+
+def test_incremental_sync_refuses_rewrites(spark, tmp_path):
+    """A data file vanishing between snapshots (compaction/delete) cannot
+    be expressed as an append diff -> loud failure, never a silent skip."""
+    import json as _json
+
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.iceberg import sync_index_from_iceberg
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    cfg = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+    loc = str(tmp_path / "rewrite")
+    write_iceberg_table(spark, _pages(spark, 30, seed=8), loc, SCHEMA, ts_ms=1000)
+    store = SegmentStore(str(tmp_path / "ix_rw"))
+    sync_index_from_iceberg(spark, loc, store, cfg, columns=["url", "text"])
+
+    # forge snapshot 2 whose manifest DROPS one of snapshot 1's files
+    t = IcebergTable(loc)
+    files = t.data_files()
+    keep = [(f.path, f.partition, f.record_count, f.file_size) for f in files[1:]]
+    # write a fresh manifest-list with only the kept files by appending a
+    # snapshot then rewriting its manifest list to exclude the prior one
+    append_snapshot(loc, keep, SCHEMA, [], ts_ms=2000)
+    t2 = IcebergTable(loc)
+    snap = t2.snapshot()
+    mlist = t2._local(snap["manifest-list"])
+    meta, manifests = read_ocf(mlist)
+    write_ocf(mlist, _json.loads(meta["avro.schema"]), manifests[-1:])
+    with pytest.raises(NotImplementedError, match="append-only"):
+        sync_index_from_iceberg(spark, loc, store, cfg)

@@ -495,3 +495,80 @@ def _fill_rowcounts(files):
             rows = pq.ParquetFile(path).metadata.num_rows
         out.append((path, part, rows, size))
     return out
+
+
+# --------------------------------------------------------- incremental sync
+# Keep a SegmentStore index in step with a GROWING Iceberg table: each
+# sync indexes only the data files appended since the last-indexed
+# snapshot (one new segment per sync — the LSM shape merge policies
+# already manage).  Append-only by design: a vanished data file means
+# the table was rewritten/compacted or rows were deleted, and a
+# file-diff can no longer express the change — fail loudly, the caller
+# rebuilds (or runs update_documents for row-level recrawls).
+
+_SYNC_MARKER = "ICEBERG_SYNC.json"
+
+
+def last_synced_snapshot(store) -> int | None:
+    """Snapshot id recorded by the last ``sync_index_from_iceberg`` into
+    ``store`` (None = never synced)."""
+    p = os.path.join(store.path, _SYNC_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["snapshot_id"]
+
+
+def new_data_files(
+    table: IcebergTable, since_snapshot_id: int | None
+) -> list[DataFileInfo]:
+    """Data files in the CURRENT snapshot that were not in
+    ``since_snapshot_id`` (all of them when None).  Raises if files from
+    the old snapshot vanished (non-append table evolution)."""
+    cur = {f.path: f for f in table.data_files()}
+    if since_snapshot_id is None:
+        return list(cur.values())
+    old = {f.path for f in table.data_files(snapshot_id=since_snapshot_id)}
+    gone = old - set(cur)
+    if gone:
+        raise NotImplementedError(
+            f"iceberg table is not append-only since snapshot "
+            f"{since_snapshot_id}: {len(gone)} data files vanished "
+            f"(compaction/delete); rebuild the index"
+        )
+    return [f for p, f in cur.items() if p not in old]
+
+
+def sync_index_from_iceberg(
+    spark: SparkSession,
+    location: str,
+    store,
+    config,
+    columns: list[str] | None = None,
+    partitions: int | None = None,
+):
+    """Index everything appended to the Iceberg table since the last
+    sync: builds ONE new segment over the new files only (no-op when the
+    snapshot is unchanged), then records the indexed snapshot id in the
+    store.  Returns (manifest, indexed_snapshot_id, n_new_files)."""
+    from whoosh_novo_spark.operators.build import build_segment
+
+    table = IcebergTable(location)
+    snap_id = table.snapshot()["snapshot-id"]
+    since = last_synced_snapshot(store)
+    if since == snap_id:
+        return store.read_manifest(), snap_id, 0
+    fresh = new_data_files(table, since)
+    if fresh:
+        docs = spark.read.parquet(*[f.path for f in fresh])
+        if columns:
+            docs = docs.select(*columns)
+        manifest = build_segment(spark, docs, config, store, partitions=partitions)
+    else:
+        manifest = store.read_manifest()
+    marker = {"snapshot_id": snap_id, "location": location}
+    tmp = os.path.join(store.path, _SYNC_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, os.path.join(store.path, _SYNC_MARKER))
+    return manifest, snap_id, len(fresh)
