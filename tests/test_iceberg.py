@@ -329,3 +329,56 @@ def test_incremental_sync_refuses_rewrites(spark, tmp_path):
     write_ocf(mlist, _json.loads(meta["avro.schema"]), manifests[-1:])
     with pytest.raises(NotImplementedError, match="append-only"):
         sync_index_from_iceberg(spark, loc, store, cfg)
+
+
+# ----------------------------------------------------------- column bounds
+
+
+def test_column_bounds_prune_files(spark, tmp_path):
+    """Manifests carry per-file column min/max (spec lower/upper_bounds,
+    field-id keyed, single-value binary); a url-range scan selects only
+    the spanning files — the input-table twin of the index side's
+    file-level (field, term) pruning."""
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "bounded")
+    # 3 snapshots = 3 disjoint url ranges -> at least 3 files with
+    # disjoint url bounds
+    for i, seed in enumerate((1, 2, 3)):
+        d = _pages(spark, 40, seed=seed).withColumn(
+            "url", F.concat(F.lit(f"https://site{i}.test/"), F.col("url"))
+        ).coalesce(1)
+        write_iceberg_table(spark, d, loc, SCHEMA, ts_ms=(i + 1) * 1000,
+                            bound_cols=["url"])
+    t = IcebergTable(loc)
+    allf = t.data_files()
+    one = t.data_files(column_filter={"url": ("https://site1.test/", "https://site1.test/~")})
+    assert 0 < len(one) < len(allf)
+    got = t.read(spark, column_filter={"url": ("https://site1.test/", "https://site1.test/~")})
+    want = read_iceberg(spark, loc).where(F.col("url").startswith("https://site1.test/"))
+    assert _urlset(got.where(F.col("url").startswith("https://site1.test/"))) == _urlset(want)
+    # point filter form + conservative on unknown columns
+    assert len(t.data_files(column_filter={"nope": "x"})) == len(allf)
+    # disjoint range proves empty
+    assert t.data_files(column_filter={"url": ("zzz", None)}) == []
+
+
+def test_column_bounds_long_type(spark, tmp_path):
+    """long-typed bounds use the spec's little-endian single-value form."""
+    loc = str(tmp_path / "longs")
+    df = spark.createDataFrame(
+        [(f"u{i:04d}", f"text {i}", i) for i in range(100)],
+        "url string, text string, n long",
+    ).orderBy("n").coalesce(1)
+    schema = [("url", "string"), ("text", "string"), ("n", "long")]
+    write_iceberg_table(spark, df.where("n < 50"), loc, schema, ts_ms=1000, bound_cols=["n"])
+    write_iceberg_table(spark, df.where("n >= 50"), loc, schema, ts_ms=2000, bound_cols=["n"])
+    t = IcebergTable(loc)
+    lo = t.data_files(column_filter={"n": (0, 10)})
+    hi = t.data_files(column_filter={"n": (90, None)})
+    assert len(lo) < len(t.data_files()) and len(hi) < len(t.data_files())
+    assert t.read(spark, column_filter={"n": (0, 10)}).where("n <= 10").count() == 11
+    # files without bounds are always kept: mixed-table conservatism
+    write_iceberg_table(spark, df.where("n = 50"), loc, schema, ts_ms=3000)
+    both = IcebergTable(loc).data_files(column_filter={"n": (0, 10)})
+    assert len(both) == len(lo) + 1  # the boundless new file is kept

@@ -106,13 +106,26 @@ class IcebergTable:
 
     # --- file listing ----------------------------------------------------
 
+    def _schema_fields(self) -> dict[str, tuple[int, str]]:
+        """column name -> (field id, iceberg type) of the current schema."""
+        sid = self.meta.get("current-schema-id", 0)
+        for s in self.meta.get("schemas", []):
+            if s.get("schema-id") == sid:
+                return {f["name"]: (f["id"], f["type"]) for f in s["fields"]}
+        return {}
+
     def data_files(
-        self, snapshot_id=None, as_of_ms=None, partition_filter: dict | None = None
+        self,
+        snapshot_id=None,
+        as_of_ms=None,
+        partition_filter: dict | None = None,
+        column_filter: dict | None = None,
     ) -> list[DataFileInfo]:
         snap = self.snapshot(snapshot_id, as_of_ms)
         mlist_path = self._local(snap["manifest-list"])
         _, manifests = read_ocf(mlist_path)
         prunable = self._identity_fields() if partition_filter else set()
+        fields = self._schema_fields() if column_filter else {}
         out: list[DataFileInfo] = []
         for m in manifests:
             if m.get("content", 0) not in (0, None):
@@ -134,6 +147,8 @@ class IcebergTable:
                     part, partition_filter, prunable
                 ):
                     continue
+                if column_filter and not _bounds_match(df, column_filter, fields):
+                    continue
                 out.append(
                     DataFileInfo(
                         path=self._local(df["file_path"]),
@@ -150,8 +165,9 @@ class IcebergTable:
         snapshot_id=None,
         as_of_ms=None,
         partition_filter: dict | None = None,
+        column_filter: dict | None = None,
     ) -> DataFrame:
-        files = self.data_files(snapshot_id, as_of_ms, partition_filter)
+        files = self.data_files(snapshot_id, as_of_ms, partition_filter, column_filter)
         if not files:
             raise ValueError("iceberg scan selected no data files")
         return spark.read.parquet(*[f.path for f in files])
@@ -170,6 +186,69 @@ class IcebergTable:
         if marker in p:
             return os.path.join(self.location, "metadata", p.split(marker, 1)[1])
         return p
+
+
+_BOUND_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d",
+               "timestamp": "<q", "timestamptz": "<q"}
+
+
+def _encode_bound(ice_type: str, v) -> bytes:
+    """Iceberg single-value binary serialization (spec appendix D) for the
+    bound types we track: strings are UTF-8, numerics little-endian."""
+    import struct as _struct
+
+    if ice_type == "string":
+        return v.encode("utf-8")
+    fmt = _BOUND_PACK.get(ice_type)
+    if fmt is None:
+        raise ValueError(f"unsupported bound type {ice_type!r}")
+    return _struct.pack(fmt, v)
+
+
+def _decode_bound(ice_type: str, b: bytes):
+    import struct as _struct
+
+    if ice_type == "string":
+        return b.decode("utf-8", errors="replace")
+    fmt = _BOUND_PACK.get(ice_type)
+    if fmt is None:
+        return None
+    return _struct.unpack(fmt, b[: _struct.calcsize(fmt)])[0]
+
+
+def _bound_map(raw) -> dict[int, bytes]:
+    """Manifest bounds come as map<int, binary>, avro-encoded either as an
+    array of {key, value} records (int keys) or a real map."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    return {int(e["key"]): e["value"] for e in raw}
+
+
+def _bounds_match(df: dict, flt: dict, fields: dict[str, tuple[int, str]]) -> bool:
+    """Conservative column-range pruning from manifest lower/upper bounds:
+    drop a file only when its bounds PROVE the range can't overlap.  Spec
+    writers may truncate bounds, but truncation keeps lower <= actual min
+    and upper >= actual max, so this stays conservative for any compliant
+    writer.  Files or columns without bounds are always kept."""
+    lo_map = _bound_map(df.get("lower_bounds"))
+    hi_map = _bound_map(df.get("upper_bounds"))
+    for col, want in flt.items():
+        got = fields.get(col)
+        if got is None:
+            continue
+        fid, ice_type = got
+        want_lo, want_hi = want if isinstance(want, tuple) else (want, want)
+        if want_lo is not None and fid in hi_map:
+            upper = _decode_bound(ice_type, hi_map[fid])
+            if upper is not None and upper < want_lo:
+                return False
+        if want_hi is not None and fid in lo_map:
+            lower = _decode_bound(ice_type, lo_map[fid])
+            if lower is not None and lower > want_hi:
+                return False
+    return True
 
 
 def _part_match(part: dict, flt: dict, prunable: set[str]) -> bool:
@@ -192,9 +271,12 @@ def read_iceberg(
     snapshot_id=None,
     as_of_ms=None,
     partition_filter: dict | None = None,
+    column_filter: dict | None = None,
 ) -> DataFrame:
     """One-call read: the input-table surface for ingest/build pipelines."""
-    return IcebergTable(location).read(spark, snapshot_id, as_of_ms, partition_filter)
+    return IcebergTable(location).read(
+        spark, snapshot_id, as_of_ms, partition_filter, column_filter
+    )
 
 
 # ---------------------------------------------------------------- metadata
@@ -266,6 +348,18 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             for i, (n, t) in enumerate(partition_fields)
         ],
     }
+    bounds_map = {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": "k126_v127",
+            "fields": [
+                {"name": "key", "type": "int", "field-id": 126},
+                {"name": "value", "type": "bytes", "field-id": 127},
+            ],
+        },
+        "logicalType": "map",
+    }
     data_file = {
         "type": "record",
         "name": "r2",
@@ -276,6 +370,16 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             {"name": "partition", "type": part, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "lower_bounds", "type": ["null", bounds_map], "default": None, "field-id": 125},
+            {
+                "name": "upper_bounds",
+                "type": [
+                    "null",
+                    {**bounds_map, "items": {**bounds_map["items"], "name": "k129_v130"}},
+                ],
+                "default": None,
+                "field-id": 128,
+            },
         ],
     }
     return {
@@ -358,23 +462,41 @@ def append_snapshot(
     part_avro = [(n, _ICE_TO_AVRO[t]) for n, t in partition_fields]
     mschema = _manifest_schema(part_avro)
     mpath = os.path.join(md, f"manifest-{seq:05d}.avro")
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snap_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": {
-                "content": 0,
-                "file_path": path,
-                "file_format": "PARQUET",
-                "partition": {n: part.get(n) for n, _ in partition_fields},
-                "record_count": rows,
-                "file_size_in_bytes": size,
-            },
-        }
-        for path, part, rows, size in files
-    ]
+    field_ids = {n: (i + 1, t) for i, (n, t) in enumerate(schema_fields)}
+
+    def _bounds(bounds: dict | None, pick) -> list | None:
+        if not bounds:
+            return None
+        out = []
+        for col, (lo, hi) in bounds.items():
+            fid, t = field_ids[col]
+            v = pick(lo, hi)
+            if v is not None:
+                out.append({"key": fid, "value": _encode_bound(t, v)})
+        return out or None
+
+    entries = []
+    for f in files:
+        path, part, rows, size = f[:4]
+        bounds = f[4] if len(f) > 4 else None
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {n: part.get(n) for n, _ in partition_fields},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    "lower_bounds": _bounds(bounds, lambda lo, hi: lo),
+                    "upper_bounds": _bounds(bounds, lambda lo, hi: hi),
+                },
+            }
+        )
     write_ocf(mpath, mschema, entries)
 
     # manifest list: prior snapshot's manifests carried forward + the new one
@@ -446,6 +568,37 @@ _ICE_TO_AVRO = {
 }
 
 
+def _footer_bounds(path: str, cols: list[str]) -> dict[str, tuple]:
+    """Per-file (min, max) for ``cols`` aggregated over parquet row-group
+    footer statistics; columns without stats are omitted (conservative)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(c).name: c for c in range(md.num_columns)}
+    out: dict[str, tuple] = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, _dt.datetime):  # iceberg timestamps are micros
+                mn = int(mn.timestamp() * 1_000_000)
+                mx = int(mx.timestamp() * 1_000_000)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[col] = (lo, hi)
+    return out
+
+
 def write_iceberg_table(
     spark: SparkSession,
     df: DataFrame,
@@ -453,6 +606,7 @@ def write_iceberg_table(
     schema_fields: list[tuple[str, str]],
     partition_col: str | None = None,
     ts_ms: int | None = None,
+    bound_cols: list[str] | None = None,
 ) -> int:
     """Materialize a DataFrame as an Iceberg table snapshot: write the
     rows as parquet under ``location``/data (one directory per partition
@@ -483,6 +637,11 @@ def write_iceberg_table(
     except Exception:
         existing = set()
     new_files = [f for f in files if f[0] not in existing]
+    if bound_cols:
+        new_files = [
+            (p, part, rows, size, _footer_bounds(p, bound_cols))
+            for p, part, rows, size in new_files
+        ]
     return append_snapshot(location, new_files, schema_fields, pf, ts_ms=ts_ms)
 
 
