@@ -188,3 +188,41 @@ def test_id_col_mismatch_raises(spark, fed, tmp_path_factory):
     build_segment(spark, df, cfg2, other, partitions=1)
     with pytest.raises(ValueError, match="id_col"):
         FederatedIndex(spark, [parts[0], other], CFG)
+
+
+def test_batch_and_facets_and_more_like(spark, fed):
+    """Federation is a drop-in Index for the wider surface too: batch
+    evaluation, facet counting over fetched stored fields, and Bo1
+    more_like all match the global single-store build."""
+    from whoosh_novo_spark.operators.batch import search_batch
+    from whoosh_novo_spark.operators.facets import field_facet
+
+    g, parts, _ = fed
+    sg = Searcher(Index(spark, g, CFG))
+    sf = Searcher(FederatedIndex(spark, parts, CFG))
+
+    queries = {f"q{i}": q for i, q in enumerate(QUERIES[:3])}
+    rows = lambda df: sorted(  # noqa: E731
+        (r["qid"], int(r["docid"]), round(float(r["score"]), 9), int(r["rank"]))
+        for r in df.collect()
+    )
+    assert rows(search_batch(sf, queries, limit=10)) == rows(
+        search_batch(sg, queries, limit=10)
+    )
+
+    # facet counts over the hit set (docmap join happens inside)
+    res_f = sf.search(QUERIES[1], limit=None)
+    res_g = sg.search(QUERIES[1], limit=None)
+    fc = lambda s, res: sorted(  # noqa: E731
+        (r[0], int(r[1]))
+        for r in field_facet(res, s.index.docmap(), "url").collect()
+    )
+    assert fc(sf, res_f) == fc(sg, res_g)
+
+    # more_like from the same document (aligned split: same docid)
+    doc = sg.search(QUERIES[0], limit=1).collect()[0]["docid"]
+    ml = lambda s: [  # noqa: E731
+        (int(r["docid"]), round(float(r["score"]), 9))
+        for r in s.more_like(int(doc), "text", top=10).collect()
+    ]
+    assert ml(sf) == ml(sg)

@@ -698,6 +698,13 @@ def new_data_files(
     return [f for p, f in cur.items() if p not in old]
 
 
+def _write_sync_marker(store, name: str, payload: dict) -> None:
+    tmp = os.path.join(store.path, name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(store.path, name))
+
+
 def sync_index_from_iceberg(
     spark: SparkSession,
     location: str,
@@ -709,8 +716,33 @@ def sync_index_from_iceberg(
     """Index everything appended to the Iceberg table since the last
     sync: builds ONE new segment over the new files only (no-op when the
     snapshot is unchanged), then records the indexed snapshot id in the
-    store.  Returns (manifest, indexed_snapshot_id, n_new_files)."""
+    store.  Returns (manifest, indexed_snapshot_id, n_new_files).
+
+    Crash-safe: a PENDING marker written before the build records the
+    store generation at start; if a crash lands between the segment
+    commit and the final marker, the next sync sees generation >
+    start_generation and — because the writer lock means this sync was
+    the only writer — finalizes the marker WITHOUT re-indexing, so a
+    replayed micro-batch can never duplicate documents."""
     from whoosh_novo_spark.operators.build import build_segment
+
+    pend_name = _SYNC_MARKER + ".pending"
+    pend_path = os.path.join(store.path, pend_name)
+    if os.path.exists(pend_path):
+        with open(pend_path) as f:
+            pend = json.load(f)
+        if pend.get("location") != location:
+            raise ValueError(
+                f"index at {store.path} has a pending sync from a different "
+                f"table: {pend.get('location')}"
+            )
+        if store.current_generation() > pend["start_generation"]:
+            # interrupted sync's build COMMITTED: finalize, don't re-index
+            _write_sync_marker(
+                store, _SYNC_MARKER,
+                {"snapshot_id": pend["snapshot_id"], "location": location},
+            )
+        os.remove(pend_path)  # build never committed: plain retry below
 
     table = IcebergTable(location)
     snap_id = table.snapshot()["snapshot-id"]
@@ -719,15 +751,23 @@ def sync_index_from_iceberg(
         return store.read_manifest(), snap_id, 0
     fresh = new_data_files(table, since)
     if fresh:
+        _write_sync_marker(
+            store, pend_name,
+            {
+                "snapshot_id": snap_id,
+                "location": location,
+                "start_generation": store.current_generation(),
+            },
+        )
         docs = spark.read.parquet(*[f.path for f in fresh])
         if columns:
             docs = docs.select(*columns)
         manifest = build_segment(spark, docs, config, store, partitions=partitions)
     else:
         manifest = store.read_manifest()
-    marker = {"snapshot_id": snap_id, "location": location}
-    tmp = os.path.join(store.path, _SYNC_MARKER + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(tmp, os.path.join(store.path, _SYNC_MARKER))
+    _write_sync_marker(
+        store, _SYNC_MARKER, {"snapshot_id": snap_id, "location": location}
+    )
+    if os.path.exists(pend_path):
+        os.remove(pend_path)
     return manifest, snap_id, len(fresh)
