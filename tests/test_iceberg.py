@@ -492,3 +492,37 @@ def test_streaming_iceberg_sync(spark, tmp_path):
         b = {(r["url"], round(float(r["score"]), 9))
              for r in sb.search(qq, limit=None).join(bm, "docid").collect()}
         assert a == b
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A column added after files were written: the read projects the
+    table's CURRENT schema — old files yield null for the new column,
+    new field ids are minted, old ids never renumber."""
+    loc = str(tmp_path / "evolve")
+    two = [("url", "string"), ("text", "string")]
+    d1 = _pages(spark, 30, seed=12).select("url", "text")
+    write_iceberg_table(spark, d1, loc, two, ts_ms=1000)
+    t1 = IcebergTable(loc)
+    assert set(read_iceberg(spark, loc).columns) == {"url", "text"}
+
+    from pyspark.sql import functions as F
+
+    d2 = (
+        _pages(spark, 20, seed=34)
+        .withColumn("url", F.concat(F.col("url"), F.lit("-e")))
+        .select("url", "text", "lang")
+    )
+    write_iceberg_table(spark, d2, loc, SCHEMA, ts_ms=2000)
+    t2 = IcebergTable(loc)
+    # new schema entry, old field ids preserved, new id minted
+    f1 = t1._schema_fields()
+    f2 = t2._schema_fields()
+    assert f2["url"] == f1["url"] and f2["text"] == f1["text"]
+    assert "lang" in f2 and f2["lang"][0] > max(i for i, _ in f1.values())
+
+    got = read_iceberg(spark, loc)
+    assert got.columns == ["url", "text", "lang"]
+    assert got.count() == 50
+    # pre-evolution rows read null for the added column
+    assert got.where("lang is null").count() == 30
+    assert got.where("lang is not null").count() == 20

@@ -159,6 +159,15 @@ class IcebergTable:
                 )
         return out
 
+    def spark_schema(self) -> str:
+        """The table's CURRENT schema as a Spark DDL string (column order
+        and types from the Iceberg schema, not from whichever parquet
+        file happens to be read first)."""
+        cols = []
+        for name, (_fid, t) in self._schema_fields().items():
+            cols.append(f"`{name}` {_ICE_TO_SPARK.get(t, 'string')}")
+        return ", ".join(cols)
+
     def read(
         self,
         spark: SparkSession,
@@ -170,7 +179,14 @@ class IcebergTable:
         files = self.data_files(snapshot_id, as_of_ms, partition_filter, column_filter)
         if not files:
             raise ValueError("iceberg scan selected no data files")
-        return spark.read.parquet(*[f.path for f in files])
+        # explicit schema = additive schema evolution: files written before
+        # a column existed read as null for it, and column order/types are
+        # the TABLE's, not the first-listed file's.  (Identity-partition
+        # columns must be present in the data files, as this module's
+        # writer and Spark-written tables do.)
+        ddl = self.spark_schema()
+        reader = spark.read.schema(ddl) if ddl else spark.read
+        return reader.parquet(*[f.path for f in files])
 
     def _local(self, p: str) -> str:
         """Map a stored absolute/URI path into this table's directory, so
@@ -459,10 +475,30 @@ def append_snapshot(
     snap_id = seq  # deterministic ids keep fixtures reproducible
     ts = ts_ms if ts_ms is not None else seq * 1000
 
+    # additive schema evolution: names not in the current schema get fresh
+    # field ids in a NEW schema entry (existing names keep their ids and
+    # stored types — iceberg never reuses or renumbers ids)
+    cur_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    known = {f["name"] for f in cur_schema["fields"]}
+    added = [(n, t) for n, t in schema_fields if n not in known]
+    if added:
+        nid = meta["last-column-id"]
+        fields2 = list(cur_schema["fields"])
+        for n, t in added:
+            nid += 1
+            fields2.append({"id": nid, "name": n, "required": False, "type": t})
+        sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+        meta["schemas"].append({"schema-id": sid, "type": "struct", "fields": fields2})
+        meta["current-schema-id"] = sid
+        meta["last-column-id"] = nid
+        cur_schema = meta["schemas"][-1]
+
     part_avro = [(n, _ICE_TO_AVRO[t]) for n, t in partition_fields]
     mschema = _manifest_schema(part_avro)
     mpath = os.path.join(md, f"manifest-{seq:05d}.avro")
-    field_ids = {n: (i + 1, t) for i, (n, t) in enumerate(schema_fields)}
+    field_ids = {f["name"]: (f["id"], f["type"]) for f in cur_schema["fields"]}
 
     def _bounds(bounds: dict | None, pick) -> list | None:
         if not bounds:
@@ -555,6 +591,19 @@ def append_snapshot(
 def _abs(p: str) -> str:
     return os.path.abspath(p)
 
+
+_ICE_TO_SPARK = {
+    "string": "string",
+    "long": "bigint",
+    "int": "int",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "binary": "binary",
+}
 
 _ICE_TO_AVRO = {
     "string": "string",
