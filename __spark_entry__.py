@@ -723,12 +723,18 @@ def q_exact_dup(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    from whoosh_novo_spark.functions.textstats import fingerprint, mean_token_len, token_count
+    from whoosh_novo_spark.functions.textstats import (
+        bpe_pretoken_count,
+        fingerprint,
+        mean_token_len,
+        token_count,
+    )
 
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
+        bpe_pretoken_count("text").cast("long").alias("n_bpe"),
         F.round(mean_token_len("text"), 6).alias("mean_len"),
         fingerprint("text").alias("fp"),
     )
@@ -876,6 +882,29 @@ def q_phrase(spark, sf_dir):
     return _topk(s, ast.Phrase("text", ("data", "line")), k=10)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25 Or(spark, data) over the
+    documents index fused with exact cosine top-k over embeddings via
+    reciprocal-rank fusion (operators/fusion.py).  Both sides rank on
+    ROUNDED scores (4dp BM25 / 6dp cosine — the same rounding the
+    individual driver rows hash on) so the integer ranks, and therefore
+    the float64 rrf sums, are bit-reproducible in the DuckDB oracle.
+    Full-set ranking (no shortlist cut) keeps the gate deterministic;
+    serving uses hybrid_search's shortlist cut."""
+    from whoosh_novo_spark.operators.fusion import rrf_fuse
+    from whoosh_novo_spark.operators.similarity import cosine_topk
+
+    s = _index_for(spark, sf_dir)
+    bm = s.search(ast.Or((_T("spark"), _T("data"))), limit=None).select(
+        "docid", F.round("score", 4).alias("score")
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cs = cosine_topk(emb, list(qv), k=int(emb.count()))
+    fused = rrf_fuse([bm, cs], k=60, limit=10)
+    return fused.select("id", F.round("rrf", 8).alias("rrf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25_topk": q_term,
@@ -928,6 +957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        # row 51: past the driver's 50-row recording cap by design — the
+        # first 50 keep their signed gates; this row is gated by
+        # tests/test_fusion.py (same Spark-vs-DuckDB compare) and
+        # scripts/check_contract.py locally
+        "hybrid_rrf_topk": q_hybrid_rrf,
     }
 
 
@@ -1017,4 +1051,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash": osql.simhash_sigs(100),
         "ann_lsh_topk": osql.lsh_ann_topk_sql(0, 10, 4, 42, 2, 64),
         "ann_ivf_topk": osql.ivf_ann_topk_sql(0, 10, 8, 2, 42, 64),
+        "hybrid_rrf_topk": osql.hybrid_rrf_topk_sql(("spark", "data"), 0, 60, 10),
     }

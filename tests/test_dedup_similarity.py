@@ -179,6 +179,80 @@ def test_textstats(spark):
     assert 0.0 <= rows[4]["q"] <= rows[0]["q"] <= 1.0
 
 
+def test_bpe_pretoken_count(spark):
+    """GPT-2 pre-tokenizer piece counts: hand-counted goldens + the
+    invariants a token-budget estimator must hold (punctuation and
+    contractions split off -> count >= whitespace-word count; whitespace
+    never counted), plus DuckDB-twin parity on the same strings (the
+    contract row's oracle drops the RE2-unsupported lookahead branch)."""
+    import duckdb
+
+    from whoosh_novo_spark.functions.textstats import bpe_pretoken_count, token_count
+
+    texts = [
+        (0, "The quick brown fox"),                      # 4 word pieces
+        (1, "it's 2024, really?!"),                      # it |'s | 2024 |,| really |?!
+        (2, "  leading and   trailing  spaces  "),
+        (3, ""),
+        (4, "a1b2 mixes letters4 and 42digits"),
+        (5, "don't stop-believing... hold on"),
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    got = {r["id"]: (r["nb"], r["nw"]) for r in df.select(
+        "id",
+        bpe_pretoken_count("text").alias("nb"),
+        token_count("text").alias("nw"),
+    ).collect()}
+    assert got[0][0] == 4
+    assert got[1][0] == 6
+    assert got[3][0] == 0
+    for i in range(6):
+        assert got[i][0] >= got[i][1], f"row {i}: bpe {got[i][0]} < words {got[i][1]}"
+
+    con = duckdb.connect()
+    pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    for i, t in texts:
+        (n,) = con.execute(
+            "SELECT len(list_filter(regexp_extract_all(?, ?), p -> regexp_matches(p, '\\S')))",
+            [t, pat],
+        ).fetchone()
+        assert n == got[i][0], f"duckdb twin diverges on row {i}"
+
+
+def test_cosine_zero_norm_vectors(spark):
+    """Zero vectors (failed encoders / padding rows — guaranteed in a
+    web-scale table) must score cos=0, not abort the job with ANSI
+    DIVIDE_BY_ZERO (regression: caught by the verify drive)."""
+    from whoosh_novo_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+        embedding_all_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.7, 0.7]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["cos"] for r in cosine_topk(emb, [1.0, 0.0], k=4).collect()}
+    assert got[1] == 1.0 and got[0] == 0.0 and got[3] == 0.0
+
+    # zero QUERY vector: everything scores 0, nothing crashes
+    allz = cosine_topk(emb, [0.0, 0.0], k=4).collect()
+    assert {r["cos"] for r in allz} == {0.0}
+
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])], "qid long, qvec array<double>"
+    )
+    batch = cosine_topk_batch(emb, qs, k=4).collect()
+    assert {r["cos"] for r in batch if r["qid"] == 1} == {0.0}
+    assert max(r["cos"] for r in batch if r["qid"] == 0) == 1.0
+
+    # all-pairs path: zero rows pair with cos=0 (below any sane tau)
+    pairs = embedding_all_pairs(emb, tau=0.0).collect()
+    zero_pairs = [r for r in pairs if r["a"] == 0 or r["b"] == 0]
+    assert all(r["cos"] == 0.0 for r in zero_pairs)
+
+
 def test_block_pair_all_pairs_is_complete(spark):
     """The block-pair distributed all-pairs join finds exactly the pairs a
     numpy brute force finds (no pair lost across block boundaries)."""

@@ -49,6 +49,28 @@ def token_count(col: str = "text") -> Column:
     return F.size(tokens_sql(col))
 
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019, public `gpt2` regex):
+# contractions, letter runs, digit runs, punctuation runs — each with an
+# optional leading space — then residual whitespace.  This is the split
+# BPE runs on BEFORE merges, so counting its pieces gives the standard
+# "pre-token" count used to budget LLM training data; actual merged-BPE
+# counts are a bounded factor below it (merges only join within a piece).
+# Java regex: \p{L}/\p{N} are supported natively; (?!\S) lookahead too.
+BPE_PRETOKEN_RX_JAVA = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bpe_pretoken_count(col: str = "text") -> Column:
+    """BPE pre-token count (GPT-2 pre-tokenizer pieces, whitespace-only
+    pieces excluded) — the token-budget estimator a training-data pipeline
+    charges documents by.  JVM-side regexp, no UDF."""
+    pieces = F.regexp_extract_all(F.col(col), F.lit(BPE_PRETOKEN_RX_JAVA), F.lit(0))
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
+
+
 def mean_token_len(col: str = "text") -> Column:
     toks = tokens_sql(col)
     return F.when(F.size(toks) > 0,

@@ -1,0 +1,153 @@
+"""Hybrid retrieval: fuse ranked lists from heterogeneous retrievers
+(BM25 index search, ANN / exact cosine similarity) into one ranking.
+
+The reference engine is lexical-only; a training-data / search pipeline at
+web scale runs BOTH a lexical top-k (this engine's BM25 path) and a vector
+top-k (similarity.py's cosine/IVF/PQ paths) and fuses the shortlists.
+Two standard fusers:
+
+- **Reciprocal-Rank Fusion** (Cormack, Clarke & Buettcher, SIGIR 2009):
+  ``rrf(d) = sum_i w_i / (k + rank_i(d))``.  Rank-based, so BM25 scores
+  and cosine similarities need no calibration; k=60 is the published
+  default.
+- **Weighted-score fusion** (CombSUM with min-max normalization; Vogt &
+  Cottrell 1999): per-source min-max to [0,1], then a convex combination.
+
+Scale: the inputs are top-k shortlists (the expensive work — index scan,
+ANN probe — already happened inside each retriever), so fusion is an
+O(sources x k) aggregation over tiny DataFrames.  The un-partitioned
+row_number window is therefore deliberate: ranking a shortlist is a
+single-task job by construction.  Never feed an unbounded scored corpus
+through a fuser at scale — cut each source to its serving k first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalize(sources, id_col, score_col) -> list[DataFrame]:
+    """Project each source to (id, s).  Defaults: first column is the id,
+    second is the score — the shape every retriever in this engine returns
+    (Searcher.search -> (docid, score), cosine_topk -> (vec_id, cos), ...)."""
+    out = []
+    for df in sources:
+        ic = id_col or df.columns[0]
+        sc = score_col or df.columns[1]
+        out.append(df.select(F.col(ic).alias("id"), F.col(sc).alias("s")))
+    return out
+
+
+def with_rank(df: DataFrame, id_col: str | None = None,
+              score_col: str | None = None) -> DataFrame:
+    """(id, s, rank) with rank = 1-based position by (s desc, id asc) —
+    the engine's universal tie-break, so equal scores rank deterministically."""
+    (n,) = _normalize([df], id_col, score_col)
+    w = Window.orderBy(F.desc("s"), F.asc("id"))
+    return n.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    sources: list[DataFrame],
+    k: int = 60,
+    weights: list[float] | None = None,
+    limit: int | None = None,
+    id_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked result lists.
+
+    Returns (id, rrf) ordered rrf desc, id asc.  An id absent from a
+    source simply contributes nothing for it (standard RRF).  With <=
+    a handful of sources the per-id sum has a fixed tiny operand count,
+    so the float64 result is reproducible across engines given identical
+    integer ranks — which is what the DuckDB contract row relies on.
+    """
+    norm = _normalize(sources, id_col, score_col)
+    ws = weights or [1.0] * len(norm)
+    if len(ws) != len(norm):
+        raise ValueError(f"{len(norm)} sources but {len(ws)} weights")
+    parts = []
+    for df, w in zip(norm, ws):
+        win = Window.orderBy(F.desc("s"), F.asc("id"))
+        parts.append(
+            df.select(
+                "id",
+                (F.lit(float(w)) / (F.lit(int(k)) + F.row_number().over(win)))
+                .alias("contrib"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = (
+        u.groupBy("id")
+        .agg(F.sum("contrib").alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("id"))
+    )
+    return out.limit(limit) if limit is not None else out
+
+
+def weighted_score_fuse(
+    sources: list[DataFrame],
+    weights: list[float] | None = None,
+    limit: int | None = None,
+    id_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """CombSUM with per-source min-max normalization: each source's scores
+    map to [0,1] (a constant-score source maps to 1.0), missing ids count
+    as 0, and the fused score is the weighted sum.  Returns (id, fused)
+    ordered fused desc, id asc."""
+    norm = _normalize(sources, id_col, score_col)
+    ws = weights or [1.0] * len(norm)
+    if len(ws) != len(norm):
+        raise ValueError(f"{len(norm)} sources but {len(ws)} weights")
+    parts = []
+    for df, w in zip(norm, ws):
+        stats = df.agg(
+            F.min("s").alias("lo"), F.max("s").alias("hi")
+        )  # shortlist-sized: one tiny agg per source
+        scaled = df.crossJoin(F.broadcast(stats)).select(
+            "id",
+            (
+                F.lit(float(w))
+                * F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+                    (F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                )
+            ).alias("contrib"),
+        )
+        parts.append(scaled)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = (
+        u.groupBy("id")
+        .agg(F.sum("contrib").alias("fused"))
+        .orderBy(F.desc("fused"), F.asc("id"))
+    )
+    return out.limit(limit) if limit is not None else out
+
+
+def hybrid_search(
+    searcher,
+    query,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    rrf_k: int = 60,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Lexical BM25 + exact-cosine hybrid: run both retrievers to a
+    ``shortlist`` cut, RRF-fuse, return the top ``k`` (id, rrf).
+
+    The vector side swaps freely for an ANN shortlist (ivf_pq_topk etc.)
+    since RRF only consumes ranks; this convenience wires the exact path.
+    """
+    from whoosh_novo_spark.operators.similarity import cosine_topk
+
+    bm = searcher.search(query, limit=shortlist)
+    cs = cosine_topk(embeddings, query_vec, k=shortlist)
+    return rrf_fuse([bm, cs], k=rrf_k, weights=weights, limit=k)

@@ -28,6 +28,16 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def _safe_div(num, den):
+    """num/den with the zero-norm convention cos=0.  A web-scale embedding
+    table WILL contain all-zero vectors (failed encoders, padding rows);
+    under ANSI mode a bare division would abort the whole job with
+    DIVIDE_BY_ZERO (caught by the verify drive), and cos=0 is the standard
+    'never similar' semantics for them.  The numpy kernels in this module
+    apply the same guard (norms[norms == 0] = 1)."""
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -41,7 +51,7 @@ def cosine_topk(
     qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2))) or 1.0
     v = F.col(vec_col)
     vd = F.transform(v, lambda x: x.cast("double"))
-    cos = _dot(vd, q) / (_norm(vd) * F.lit(qn))
+    cos = _safe_div(_dot(vd, q), _norm(vd) * F.lit(qn))
     return (
         embeddings.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -67,7 +77,9 @@ def cosine_topk_batch(
     j = embeddings.select(F.col(id_col).alias("vec_id"), vd.alias("_v")).crossJoin(
         F.broadcast(queries.select(F.col(qid_col).alias("qid"), qd.alias("_q")))
     )
-    cos = _dot(F.col("_v"), F.col("_q")) / (_norm(F.col("_v")) * _norm(F.col("_q")))
+    cos = _safe_div(
+        _dot(F.col("_v"), F.col("_q")), _norm(F.col("_v")) * _norm(F.col("_q"))
+    )
     scored = j.select("qid", "vec_id", F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -211,7 +223,9 @@ def embedding_all_pairs(
         .join(b, "blk_b")
         .where((F.col("blk_a") != F.col("blk_b")) | (F.col("a") < F.col("b")))
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _safe_div(
+        _dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb"))
+    )
     return (
         pairs.withColumn("_c", cos)
         .where(F.col("_c") >= tau)
@@ -1121,7 +1135,9 @@ def ivf_pq_topk_batch(
     joined = raw.join(F.broadcast(short), "vec_id").join(
         F.broadcast(qv_df), "qi"
     )
-    cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+    cos = _safe_div(
+        _dot(F.col("_v"), F.col("_qv")), _norm(F.col("_v")) * _norm(F.col("_qv"))
+    )
     rescored = joined.select("qi", "vec_id", F.round(cos, 6).alias("cos"))
     w2 = Window.partitionBy("qi").orderBy(F.desc("cos"), F.asc("vec_id"))
     topk = rescored.withColumn("rank", F.row_number().over(w2)).where(

@@ -480,15 +480,28 @@ GROUP BY fp HAVING count(*) >= 2"""
 
 
 def token_stats() -> str:
-    """Mirror token_count + mean_token_len + fingerprint per doc."""
+    """Mirror token_count + bpe_pretoken_count + mean_token_len +
+    fingerprint per doc.
+
+    The BPE pre-tokenizer pattern is the Spark one minus the ``(?!\\S)``
+    lookahead branch (RE2 has no lookahead); the branch only decides
+    whether a trailing space sticks to its whitespace run or the next
+    word-piece, and whitespace-only pieces are filtered out of the count
+    on both sides, so the counts are identical (full-table parity checked
+    at sf0.01 before this row was extended)."""
+    bpe_pat = (
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    ).replace("'", "''")
     return f"""
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
+       len(list_filter(regexp_extract_all(text, '{bpe_pat}'),
+                       p -> regexp_matches(p, '\\S')))::BIGINT AS n_bpe,
        round(CASE WHEN len(toks) > 0
              THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
              ELSE 0 END, 6) AS mean_len,
        md5(array_to_string(toks, ' ')) AS fp
-FROM (SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents)"""
+FROM (SELECT doc_id, text, {_TOKS_EXPR} AS toks FROM documents)"""
 
 
 def lang_id_counts() -> str:
@@ -574,6 +587,41 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {quer
 SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos
 FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
+LIMIT {k}"""
+
+
+def hybrid_rrf_topk_sql(
+    terms: tuple[str, ...] = ("spark", "data"),
+    query_vec_id: int = 0,
+    rrf_k: int = 60,
+    k: int = 10,
+) -> str:
+    """Mirror operators/fusion.rrf_fuse over the two retrievers the
+    hybrid_rrf_topk row runs: the BM25 disjunction (full recompute via the
+    scored CTE) and exact cosine over embeddings.  Ranks are over ROUNDED
+    scores (4dp / 6dp — the rounding the individual rows already
+    hash-match on) with the engine's (score desc, id asc) tie-break, so
+    both sides derive identical integer ranks; 1/(rrf_k+rank) sums of <=2
+    float64 operands are then bit-identical."""
+    return f"""{_BASE},
+bm AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY round(sum(score), 4) DESC, doc_id ASC) AS r
+  FROM scored WHERE term IN ({_terms_in(list(terms))})
+  GROUP BY doc_id
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {query_vec_id}),
+cs AS (
+  SELECT vec_id AS id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 6) DESC,
+                    vec_id ASC) AS r
+  FROM embeddings, qv
+)
+SELECT id, round(sum(1.0 / ({rrf_k} + r)), 8) AS rrf
+FROM (SELECT * FROM bm UNION ALL SELECT * FROM cs)
+GROUP BY id
+ORDER BY sum(1.0 / ({rrf_k} + r)) DESC, id ASC
 LIMIT {k}"""
 
 
