@@ -10,7 +10,12 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from whoosh_novo_spark.operators.fusion import rrf_fuse, weighted_score_fuse, with_rank
+from whoosh_novo_spark.operators.fusion import (
+    rrf_fuse,
+    rrf_fuse_batch,
+    weighted_score_fuse,
+    with_rank,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -107,6 +112,78 @@ def test_hybrid_contract_row_vs_duckdb(spark):
     exp = con.execute(osql.hybrid_rrf_topk_sql(("spark", "data"), 0, 60, 10)).fetchall()
     assert len(got) == 10
     assert got == exp  # ordered, value-exact (rounded 8dp both sides)
+
+
+def test_rrf_fuse_batch_matches_single(spark):
+    """Per-qid results of the batched fuser are value-identical to
+    rrf_fuse run on that query's slices."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    lex = spark.createDataFrame(
+        [("q0", 1, 9.0), ("q0", 2, 7.0), ("q1", 2, 4.0), ("q1", 5, 3.0), ("q2", 7, 1.0)],
+        "qid string, id long, score double",
+    )
+    vec = spark.createDataFrame(
+        [("q0", 2, 0.9), ("q0", 4, 0.8), ("q1", 5, 0.99), ("q3", 8, 0.5)],
+        "qid string, id long, cos double",
+    )
+    batch = rrf_fuse_batch([lex, vec], k=60)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], {})[r["id"]] = r["rrf"]
+    for qid in ("q0", "q1", "q2", "q3"):
+        single = rrf_fuse(
+            [lex.where(F.col("qid") == qid).drop("qid"),
+             vec.where(F.col("qid") == qid).drop("qid")],
+            k=60,
+        )
+        exp = {r["id"]: r["rrf"] for r in single.collect()}
+        assert got.get(qid, {}) == exp, f"qid {qid}: {got.get(qid)} != {exp}"
+
+    # per-qid limit cuts independently
+    top1 = rrf_fuse_batch([lex, vec], k=60, limit=1).collect()
+    assert len(top1) == 4 and {r["qid"] for r in top1} == {"q0", "q1", "q2", "q3"}
+
+
+def test_hybrid_search_batch_matches_single(spark, tmp_path):
+    """hybrid_search_batch (3 jobs for the whole batch) returns per-qid
+    exactly what per-query hybrid_search returns."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.fusion import hybrid_search, hybrid_search_batch
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    rows = [
+        (0, "spark engine fast"),
+        (1, "spark pipeline"),
+        (2, "index merge spark"),
+        (3, "unrelated filler text"),
+        (4, "pipeline merge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store = SegmentStore(str(tmp_path / "ix"))
+    cfg = IndexConfig(id_col="doc_id", fields=(FieldConfig("text"),))
+    build_segment(spark, df, cfg, store, partitions=2)
+    s = Searcher(Index(spark, store, cfg))
+    emb = spark.createDataFrame(
+        [(0, [0.9, 0.1]), (1, [0.5, 0.5]), (3, [1.0, 0.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = {
+        "qa": ast.Term("text", "spark"),
+        "qb": ast.Or((ast.Term("text", "pipeline"), ast.Term("text", "merge"))),
+    }
+    qvecs = {"qa": [1.0, 0.0], "qb": [0.0, 1.0]}
+    batch = hybrid_search_batch(s, queries, emb, qvecs, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["id"], r["rrf"]))
+    for qid in queries:
+        single = hybrid_search(s, queries[qid], emb, qvecs[qid], k=5, shortlist=100)
+        exp = [(r["id"], r["rrf"]) for r in single.collect()]
+        assert sorted(got[qid]) == sorted(exp), f"{qid}: {got[qid]} != {exp}"
 
 
 def test_hybrid_search_end_to_end(spark, tmp_path):

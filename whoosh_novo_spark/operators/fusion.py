@@ -130,6 +130,92 @@ def weighted_score_fuse(
     return out.limit(limit) if limit is not None else out
 
 
+def rrf_fuse_batch(
+    sources: list[DataFrame],
+    k: int = 60,
+    weights: list[float] | None = None,
+    limit: int | None = None,
+    qid_col: str | None = None,
+    id_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-query RRF over BATCHED retriever outputs — the serving-scale
+    shape: search_batch (qid, docid, score, ...) x cosine_topk_batch /
+    ivf_pq_topk_batch (qid, vec_id, cos, ...) fused in ONE job, one
+    window rank per (source, qid) partition (parallel across queries, no
+    single-partition funnel).  Defaults: first column is the qid, second
+    the id, third the score.  Returns (qid, id, rrf) ordered within each
+    qid by rrf desc, id asc; ``limit`` cuts per qid.  Per-qid results are
+    identical to rrf_fuse on that query's slices (parity-tested)."""
+    norm = []
+    for df in sources:
+        qc = qid_col or df.columns[0]
+        ic = id_col or df.columns[1]
+        sc = score_col or df.columns[2]
+        norm.append(
+            df.select(
+                F.col(qc).alias("qid"), F.col(ic).alias("id"), F.col(sc).alias("s")
+            )
+        )
+    ws = weights or [1.0] * len(norm)
+    if len(ws) != len(norm):
+        raise ValueError(f"{len(norm)} sources but {len(ws)} weights")
+    parts = []
+    for df, w in zip(norm, ws):
+        win = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("id"))
+        parts.append(
+            df.select(
+                "qid",
+                "id",
+                (F.lit(float(w)) / (F.lit(int(k)) + F.row_number().over(win)))
+                .alias("contrib"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = u.groupBy("qid", "id").agg(F.sum("contrib").alias("rrf"))
+    if limit is not None:
+        wtop = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("id"))
+        out = out.withColumn("_r", F.row_number().over(wtop)).where(
+            F.col("_r") <= limit
+        ).drop("_r")
+    return out.orderBy("qid", F.desc("rrf"), F.asc("id"))
+
+
+def hybrid_search_batch(
+    searcher,
+    queries: dict,
+    embeddings: DataFrame,
+    query_vecs: dict,
+    k: int = 10,
+    shortlist: int = 100,
+    rrf_k: int = 60,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Batched hybrid serving: ALL lexical queries in one search_batch
+    job, ALL vector queries in one cosine_topk_batch scan, one fused
+    aggregation — three jobs total for the whole batch, so the per-query
+    marginal cost stays milliseconds.  ``queries`` maps qid -> Query AST;
+    ``query_vecs`` maps the same qids -> query vector.  A qid present in
+    only one map fuses from that side alone (standard RRF)."""
+    from whoosh_novo_spark.operators.batch import search_batch
+    from whoosh_novo_spark.operators.similarity import cosine_topk_batch
+
+    spark = searcher.index.spark
+    bm = search_batch(searcher, queries, limit=shortlist).select(
+        "qid", "docid", "score"
+    )
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in query_vecs.items()],
+        "qid string, qvec array<double>",
+    )
+    cs = cosine_topk_batch(embeddings, qdf, k=shortlist).select(
+        "qid", "vec_id", "cos"
+    )
+    return rrf_fuse_batch([bm, cs], k=rrf_k, weights=weights, limit=k)
+
+
 def hybrid_search(
     searcher,
     query,
