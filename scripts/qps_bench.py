@@ -60,7 +60,10 @@ def main() -> None:
         synthesize_corpus(spark, n_docs=n_docs, n_partitions=cpus, seed=42).write.mode(
             "overwrite"
         ).parquet(corpus_path)
-    if not os.path.exists(os.path.join(ix_path, "manifest")):
+    # SegmentStore writes LATEST (+ manifest-<gen>.json), never a bare
+    # "manifest" file — checking the wrong name re-built (appended!) a
+    # duplicate segment over an existing store on every run
+    if not os.path.exists(os.path.join(ix_path, "LATEST")):
         corpus = spark.read.parquet(corpus_path)
         build_segment(spark, corpus, cfg, SegmentStore(ix_path), partitions=None)
 

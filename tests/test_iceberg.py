@@ -526,3 +526,87 @@ def test_additive_schema_evolution(spark, tmp_path):
     # pre-evolution rows read null for the added column
     assert got.where("lang is null").count() == 30
     assert got.where("lang is not null").count() == 20
+
+
+def test_float_partition_and_date_bounds(spark, tmp_path):
+    """float partition values and date-typed column bounds go through the
+    writer's avro/manifest maps (r5 review fix: _ICE_TO_AVRO lacked
+    float/date and _encode_bound had no date packing — both KeyError'd
+    on write despite _ICE_TO_SPARK advertising read support)."""
+    import datetime as dt
+
+    loc = str(tmp_path / "fd")
+    df = spark.createDataFrame(
+        [
+            (f"u{i:03d}", f"text {i}", float(i % 2), dt.date(2026, 1, 1 + i % 20))
+            for i in range(40)
+        ],
+        "url string, text string, score float, day date",
+    ).orderBy("day").coalesce(1)
+    schema = [
+        ("url", "string"),
+        ("text", "string"),
+        ("score", "float"),
+        ("day", "date"),
+    ]
+    write_iceberg_table(
+        spark,
+        df.where("day < date'2026-01-11'"),
+        loc,
+        schema,
+        partition_col="score",
+        ts_ms=1000,
+        bound_cols=["day"],
+    )
+    write_iceberg_table(
+        spark,
+        df.where("day >= date'2026-01-11'"),
+        loc,
+        schema,
+        partition_col="score",
+        ts_ms=2000,
+        bound_cols=["day"],
+    )
+    t = IcebergTable(loc)
+    allf = t.data_files()
+    early = t.data_files(column_filter={"day": (None, dt.date(2026, 1, 5))})
+    assert 0 < len(early) < len(allf)  # date bounds prune the late files
+    got = t.read(spark, column_filter={"day": (None, dt.date(2026, 1, 5))})
+    assert got.where("day <= date'2026-01-05'").count() == df.where(
+        "day <= date'2026-01-05'"
+    ).count()
+    # typed read side: schema projection keeps float/date types
+    assert dict(t.read(spark).dtypes)["score"] == "float"
+    assert dict(t.read(spark).dtypes)["day"] == "date"
+
+
+def test_sync_projects_table_schema_across_evolution(spark, tmp_path):
+    """A sync delta that straddles an additive schema evolution must read
+    with the TABLE schema (r5 review fix): files written before the new
+    column existed read as null for it, deterministically, instead of
+    letting parquet inference pick whichever file's schema wins."""
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.iceberg import sync_index_from_iceberg
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    loc = str(tmp_path / "evo")
+    old_schema = [("url", "string"), ("text", "string")]
+    d1 = spark.createDataFrame(
+        [(f"u{i}", f"alpha beta {i}") for i in range(10)], "url string, text string"
+    ).coalesce(1)
+    write_iceberg_table(spark, d1, loc, old_schema, ts_ms=1000)
+    new_schema = old_schema + [("title", "string")]
+    d2 = spark.createDataFrame(
+        [(f"v{i}", f"gamma delta {i}", f"title {i}") for i in range(10)],
+        "url string, text string, title string",
+    ).coalesce(1)
+    write_iceberg_table(spark, d2, loc, new_schema, ts_ms=2000)
+
+    store = SegmentStore(str(tmp_path / "ix_evo"))
+    cfg = IndexConfig(id_col="url", fields=(FieldConfig("text"),), stored_cols=())
+    # one sync sees BOTH files; the select of the evolved column must work
+    # and pre-evolution rows must carry null for it
+    _, _, n = sync_index_from_iceberg(
+        spark, loc, store, cfg, columns=["url", "text", "title"]
+    )
+    assert n == 2  # both data files indexed in one delta

@@ -213,23 +213,9 @@ class FederatedIndex(Index):
             cache = self._range_cache = {}
         key = (store.path, table)
         if key not in cache:
-            from whoosh_novo_spark.sources.file_prune import (
-                ranges_from_json,
-                scan_file_ranges,
-            )
+            from whoosh_novo_spark.sources.file_prune import segment_ranges
 
-            combined = []
-            for seg in man.segments:
-                d = store.table_path(seg.segment_id, table)
-                got = None
-                marker = store.read_stage_marker(seg.segment_id, table)
-                spans = (marker or {}).get("term_spans")
-                if spans is not None:
-                    got = ranges_from_json(d, spans)
-                if got is None:
-                    got = scan_file_ranges([d])
-                combined.extend(got or [])
-            cache[key] = combined
+            cache[key] = segment_ranges(store, man.segments, table)
         return cache[key]
 
     def _pruned_table(

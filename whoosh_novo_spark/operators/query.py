@@ -98,25 +98,11 @@ class Index:
         if cache is None:
             cache = self._range_cache = {}
         if table not in cache:
-            from whoosh_novo_spark.sources.file_prune import (
-                ranges_from_json,
-                scan_file_ranges,
-            )
+            from whoosh_novo_spark.sources.file_prune import segment_ranges
 
-            combined = []
-            for seg in self.manifest.segments:
-                d = self.store.table_path(seg.segment_id, table)
-                got = None
-                marker = self.store.read_stage_marker(seg.segment_id, table)
-                spans = (marker or {}).get("term_spans")
-                if spans is not None:
-                    # build-time manifest bounds (stage marker); falls back
-                    # to a one-off footer scan when stale or absent
-                    got = ranges_from_json(d, spans)
-                if got is None:
-                    got = scan_file_ranges([d])
-                combined.extend(got or [])
-            cache[table] = combined
+            cache[table] = segment_ranges(
+                self.store, self.manifest.segments, table
+            )
         return cache[table]
 
     def _pruned_table(

@@ -193,3 +193,24 @@ def prune_files(
             continue
         keep.append(fr.path)
     return keep
+
+
+def segment_ranges(store, segments, table: str) -> list[FileRange]:
+    """Load the (field, term) span ranges for every segment of a store's
+    ``table``: prefer the build-time span manifest in the segment's stage
+    marker (written by the sink/merge — zero footer I/O at query time),
+    fall back to a one-off footer scan when the marker is stale or
+    absent.  Shared by Index._file_ranges and FederatedIndex._part_ranges
+    so the marker format / fallback policy lives in exactly one place."""
+    combined: list[FileRange] = []
+    for seg in segments:
+        d = store.table_path(seg.segment_id, table)
+        got = None
+        marker = store.read_stage_marker(seg.segment_id, table)
+        spans = (marker or {}).get("term_spans")
+        if spans is not None:
+            got = ranges_from_json(d, spans)
+        if got is None:
+            got = scan_file_ranges([d])
+        combined.extend(got or [])
+    return combined

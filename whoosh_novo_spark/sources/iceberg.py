@@ -205,16 +205,20 @@ class IcebergTable:
 
 
 _BOUND_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d",
-               "timestamp": "<q", "timestamptz": "<q"}
+               "date": "<i", "timestamp": "<q", "timestamptz": "<q"}
 
 
 def _encode_bound(ice_type: str, v) -> bytes:
     """Iceberg single-value binary serialization (spec appendix D) for the
-    bound types we track: strings are UTF-8, numerics little-endian."""
+    bound types we track: strings are UTF-8, numerics little-endian,
+    dates 4-byte days-from-epoch."""
+    import datetime as _dt
     import struct as _struct
 
     if ice_type == "string":
         return v.encode("utf-8")
+    if ice_type == "date" and isinstance(v, _dt.date):
+        v = (v - _dt.date(1970, 1, 1)).days
     fmt = _BOUND_PACK.get(ice_type)
     if fmt is None:
         raise ValueError(f"unsupported bound type {ice_type!r}")
@@ -222,6 +226,7 @@ def _encode_bound(ice_type: str, v) -> bytes:
 
 
 def _decode_bound(ice_type: str, b: bytes):
+    import datetime as _dt
     import struct as _struct
 
     if ice_type == "string":
@@ -229,7 +234,10 @@ def _decode_bound(ice_type: str, b: bytes):
     fmt = _BOUND_PACK.get(ice_type)
     if fmt is None:
         return None
-    return _struct.unpack(fmt, b[: _struct.calcsize(fmt)])[0]
+    v = _struct.unpack(fmt, b[: _struct.calcsize(fmt)])[0]
+    if ice_type == "date":  # symmetric with _encode_bound: filters use dates
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    return v
 
 
 def _bound_map(raw) -> dict[int, bytes]:
@@ -611,6 +619,8 @@ _ICE_TO_AVRO = {
     "int": "int",
     "boolean": "boolean",
     "double": "double",
+    "float": "float",
+    "date": "int",  # iceberg dates are days from epoch
     "timestamp": "long",
     "timestamptz": "long",
     "binary": "bytes",
@@ -664,6 +674,14 @@ def write_iceberg_table(
     row counts.  Test/fixture surface — production tables come from real
     writers; the READ side is the contract."""
     data = os.path.join(location, "data")
+    # resolve what's already in the current snapshot FIRST so the footer
+    # passes below (_fill_rowcounts, _footer_bounds) only ever open the
+    # NEW files — otherwise every append re-reads every prior snapshot's
+    # footers and append cost grows O(total files) in driver-side I/O
+    try:
+        existing = {f.path for f in IcebergTable(location).data_files()}
+    except Exception:
+        existing = set()
     files: list[tuple[str, dict, int, int]] = []
     if partition_col:
         vals = [r[0] for r in df.select(partition_col).distinct().collect()]
@@ -671,21 +689,18 @@ def write_iceberg_table(
             d = os.path.join(data, f"{partition_col}={v}")
             df.where(df[partition_col] == v).write.mode("append").parquet(d)
             for p in glob.glob(os.path.join(d, "*.parquet")):
-                files.append((p, {partition_col: v}, -1, os.path.getsize(p)))
-        files = _fill_rowcounts(files)  # per-file rows from parquet footers
+                if p not in existing:
+                    files.append((p, {partition_col: v}, -1, os.path.getsize(p)))
         pf = [(partition_col, dict(schema_fields)[partition_col])]
     else:
         df.write.mode("append").parquet(data)
-        files = _fill_rowcounts(
-            [(p, {}, -1, os.path.getsize(p)) for p in glob.glob(os.path.join(data, "*.parquet"))]
-        )
+        files = [
+            (p, {}, -1, os.path.getsize(p))
+            for p in glob.glob(os.path.join(data, "*.parquet"))
+            if p not in existing
+        ]
         pf = []
-    # only include files not already in the current snapshot (appends)
-    try:
-        existing = {f.path for f in IcebergTable(location).data_files()}
-    except Exception:
-        existing = set()
-    new_files = [f for f in files if f[0] not in existing]
+    new_files = _fill_rowcounts(files)  # per-file rows from parquet footers
     if bound_cols:
         new_files = [
             (p, part, rows, size, _footer_bounds(p, bound_cols))
@@ -808,7 +823,13 @@ def sync_index_from_iceberg(
                 "start_generation": store.current_generation(),
             },
         )
-        docs = spark.read.parquet(*[f.path for f in fresh])
+        # project the TABLE schema, exactly as IcebergTable.read() does:
+        # a sync delta can straddle an additive schema evolution, and bare
+        # parquet inference would take whichever file wins — dropping the
+        # new column (or failing the select) non-deterministically
+        ddl = table.spark_schema()
+        reader = spark.read.schema(ddl) if ddl else spark.read
+        docs = reader.parquet(*[f.path for f in fresh])
         if columns:
             docs = docs.select(*columns)
         manifest = build_segment(spark, docs, config, store, partitions=partitions)

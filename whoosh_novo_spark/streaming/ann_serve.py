@@ -25,6 +25,8 @@ the ``collect()`` of the query rows is request-scale, not data-scale.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,9 +68,19 @@ def start_ann_serving(
         idx = (
             spark.read.parquet(index) if isinstance(index, str) else index
         )
-        dels = (
-            spark.read.parquet(deletes) if isinstance(deletes, str) else deletes
-        )
+        if isinstance(deletes, str):
+            # LIVE tombstones mode: the path may not exist until the
+            # first delete is written — treat absent/empty as no deletes
+            # instead of killing the stream with PATH_NOT_FOUND
+            import glob as _glob
+
+            dels = (
+                spark.read.parquet(deletes)
+                if _glob.glob(os.path.join(deletes, "*.parquet"))
+                else None
+            )
+        else:
+            dels = deletes
         res = ivf_pq_topk_batch(
             embeddings,
             queries,
