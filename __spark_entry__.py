@@ -635,13 +635,6 @@ def q_every(spark, sf_dir):
     return r.agg(F.count(F.lit(1)).alias("n"))
 
 
-def q_suggest(spark, sf_dir):
-    from whoosh_novo_spark.operators.suggest import suggest_df
-
-    s = _index_for(spark, sf_dir)
-    return suggest_df(s.index, "text", "spork", limit=5, maxdist=2).select("term")
-
-
 def q_range_facet(spark, sf_dir):
     from whoosh_novo_spark.operators.facets import range_facet
 
@@ -940,7 +933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_minmatch_topk": q_or_minmatch,
         "not_docs": q_not,
         "every_count": q_every,
-        "suggest_terms": q_suggest,
         "range_facet_events": q_range_facet,
         "date_facet_events": q_date_facet,
         "session_stats": q_session_stats,
@@ -1032,7 +1024,6 @@ def oracle_sql() -> dict[str, str]:
         "or_minmatch_topk": osql.or_minmatch(["spark", "data", "query"], 2),
         "not_docs": osql.not_term("spark", 20),
         "every_count": osql.every_count(),
-        "suggest_terms": osql.suggest_terms("spork", 2, 5),
         "phrase_topk": osql.phrase2_topk("data", "line"),
         "nested_parent_topk": osql.nested_parent_topk("spark", 20, 10),
         "range_facet_events": osql.range_facet_events(0.0, 100.0, 10.0),
