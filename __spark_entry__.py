@@ -707,11 +707,22 @@ def q_top_users(spark, sf_dir):
 # ----------------------------------------------------- training-data ops
 
 def q_exact_dup(spark, sf_dir):
+    # Two scopes so the row is informative on this corpus: full-text
+    # exact dedup (0 groups here — the match proves no false positives)
+    # plus 64-char-prefix fingerprint dedup (~22 real groups), both the
+    # same hash-groupBy operator.
     from whoosh_novo_spark.operators.dedup import exact_duplicates
 
-    g = exact_duplicates(_docs(spark, sf_dir))
-    return g.select(
-        "fp", "n", F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))).alias("ids")
+    d = _docs(spark, sf_dir)
+    full = exact_duplicates(d).withColumn("scope", F.lit("full"))
+    pre = exact_duplicates(d.withColumn("text", F.substring("text", 1, 64))).withColumn(
+        "scope", F.lit("prefix64")
+    )
+    return full.unionByName(pre).select(
+        "scope",
+        "fp",
+        "n",
+        F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))).alias("ids"),
     )
 
 

@@ -471,12 +471,21 @@ _TOKS_EXPR = (
 
 
 def exact_dup_groups() -> str:
-    """Mirror operators/dedup.exact_duplicates (ids joined as string)."""
-    return f"""
-SELECT fp, count(*)::BIGINT AS n,
-       array_to_string(list_sort(list(doc_id)), ',') AS ids
-FROM (SELECT doc_id, md5(array_to_string({_TOKS_EXPR}, ' ')) AS fp FROM documents)
-GROUP BY fp HAVING count(*) >= 2"""
+    """Mirror __spark_entry__.q_exact_dup: full-text exact-duplicate
+    groups unioned with 64-char-prefix fingerprint groups (same
+    operators/dedup.exact_duplicates hash-groupBy, truncated input)."""
+    grp = (
+        "SELECT '{scope}' AS scope, fp, count(*)::BIGINT AS n, "
+        "array_to_string(list_sort(list(doc_id)), ',') AS ids "
+        "FROM (SELECT doc_id, md5(array_to_string(" + _TOKS_EXPR + ", ' ')) AS fp "
+        "FROM ({src})) GROUP BY fp HAVING count(*) >= 2"
+    )
+    full = grp.format(scope="full", src="SELECT doc_id, text FROM documents")
+    pre = grp.format(
+        scope="prefix64",
+        src="SELECT doc_id, substr(text, 1, 64) AS text FROM documents",
+    )
+    return f"{full}\nUNION ALL\n{pre}"
 
 
 def token_stats() -> str:
