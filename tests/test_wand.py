@@ -132,3 +132,78 @@ def test_wand_equals_exact_with_deletes(spark, built, tmp_path):
         assert not (set(r["docid"] for r in pruned) & set(victims))
         for p, e in zip(pruned, exact):
             assert p["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+MULTITERM_WAND_QUERIES = [
+    (ast.Prefix("text", "w0000"), 10),   # expands to head terms
+    (ast.Prefix("text", "ren"), 10),
+    (ast.Wildcard("text", "sh*de"), 10),
+    (ast.Wildcard("text", "w0000?"), 5),
+    (ast.Regex("text", "rend.*"), 10),
+    (ast.Prefix("text", "zzznope"), 10),  # empty expansion
+]
+
+
+@pytest.mark.parametrize("q,k", MULTITERM_WAND_QUERIES, ids=lambda x: str(x)[:40])
+def test_wand_multiterm_equals_exact(built, q, k):
+    """Scored multiterm (Prefix/Wildcard/Regex) can run the pruned path
+    via bounded lexicon expansion (opt-in multiterm=True; the default
+    routes to exact — measured net loss, BENCH/prefix_wand_ab.json),
+    rank/score-identical to the exact joined-stats path."""
+    ix, searcher = built
+    exact = searcher.search(q, limit=k).collect()
+    pruned = search_wand(searcher, q, limit=k, n_buckets=6, multiterm=True).collect()
+    assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
+    for p, e in zip(pruned, exact):
+        assert p["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+def test_wand_multiterm_cap_falls_back_to_exact(built, monkeypatch):
+    """An expansion past TOO_MANY_CLAUSES must not collect to the driver:
+    search_wand falls back to the distributed exact path (same results)."""
+    ix, searcher = built
+    q = ast.Prefix("text", "w")  # broad expansion
+
+    def tiny_cap(qq, max_clauses=1024):
+        return Index.expand_terms(ix, qq, max_clauses=3)
+
+    monkeypatch.setattr(ix, "expand_terms", tiny_cap)
+    exact = searcher.search(q, limit=10).collect()
+    got = search_wand(searcher, q, limit=10, n_buckets=6, multiterm=True).collect()
+    assert [r["docid"] for r in got] == [r["docid"] for r in exact]
+
+
+def test_wand_multiterm_with_deletes(spark, tmp_path):
+    """Prefix WAND over a tombstoned index == exact, deleted docs absent."""
+    from whoosh_novo_spark.operators.merge import delete_docs
+
+    pdf = corpus_pandas(400, seed=34, vocab_size=300).sort_values("url").reset_index(drop=True)
+    store = SegmentStore(str(tmp_path / "wand_mt_del_ix"))
+    config = IndexConfig(id_col="url", fields=(FieldConfig("text"),), block_limit=32)
+    df = spark.createDataFrame(list(zip(pdf["url"], pdf["text"])), "url string, text string")
+    build_segment(spark, df, config, store, partitions=4)
+
+    q = ast.Prefix("text", "w0000")
+    top = [r["docid"] for r in Searcher(Index(spark, store, config)).search(q, limit=3).collect()]
+    victims = top + [5, 55, 155]
+    delete_docs(spark, store, spark.createDataFrame([(int(d),) for d in victims], "docid long"))
+
+    ix = Index(spark, store, config)
+    searcher = Searcher(ix)
+    assert ix.manifest.has_tombstones
+    exact = searcher.search(q, limit=10).collect()
+    pruned = search_wand(searcher, q, limit=10, n_buckets=6, multiterm=True).collect()
+    assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
+    assert not (set(r["docid"] for r in pruned) & set(victims))
+    for p, e in zip(pruned, exact):
+        assert p["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+def test_wand_multiterm_default_routes_exact(built):
+    """Without the opt-in, multiterm queries take the exact path (the
+    measured-faster default)."""
+    ix, searcher = built
+    q = ast.Prefix("text", "w0000")
+    exact = searcher.search(q, limit=10).collect()
+    got = search_wand(searcher, q, limit=10, n_buckets=6).collect()
+    assert [(r["docid"], r["score"]) for r in got] == [(r["docid"], r["score"]) for r in exact]

@@ -192,21 +192,55 @@ def search_wand(
     q: ast.Query,
     limit: int = 10,
     n_buckets: int | None = None,
+    multiterm: bool = False,
 ) -> DataFrame:
     """Pruned top-k for flat And/Or-of-Terms queries over the blocks table.
 
     Returns (docid, score) ordered (score desc, docid asc) limit k —
     rank-identical to ``Searcher.search``.
+
+    ``multiterm=True`` additionally prunes scored multiterm queries
+    (Prefix/Wildcard/Regex — flat Ors after lexicon expansion) up to the
+    1024-clause expansion cap.  OFF by default because it measured a net
+    LOSS at 1M docs (exact 1.1/1.2 s vs pruned 2.0/19.3 s at 10/100
+    expanded terms, BENCH/prefix_wand_ab.json): the expansion is an extra
+    Spark job per query and the kernel's per-term block walk scales with
+    clause count, while the exact path's joined-stats aggregation is one
+    scan regardless of expansion size.  Kept (parity-tested) for reuse as
+    the skip-list machinery for future bounded expansions; by default
+    multiterm queries take the exact path.
     """
     ix = searcher.index
     spark = ix.spark
     qn = q.normalize()
+    expanded_stats = None
     if isinstance(qn, ast.Term):
         terms, mode = [qn], "or"
     elif isinstance(qn, ast.And) and all(isinstance(c, ast.Term) for c in qn.children):
         terms, mode = list(qn.children), "and"
     elif isinstance(qn, ast.Or) and all(isinstance(c, ast.Term) for c in qn.children):
         terms, mode = list(qn.children), "or"
+    elif (
+        multiterm
+        and isinstance(qn, (ast.Prefix, ast.Wildcard, ast.Regex))
+        and getattr(qn, "boost", 1.0) == 1.0
+    ):
+        # scored multiterm == Or over the lexicon expansion (terms.py:
+        # 182-201 simplify): prune it like any flat Or.  The expansion is
+        # the exact path's bounded driver expansion (Or.TOO_MANY_CLAUSES
+        # = 1024 cap, compound.py:282) — beyond the cap the distributed
+        # joined-stats exact path is the right plan anyway (the kernel
+        # needs per-term driver stats), so fall back rather than collect
+        # an unbounded term list.
+        try:
+            expansion = ix.expand_terms(qn)
+        except ValueError:
+            return searcher.search(q, limit=limit)
+        if not expansion:
+            return spark.createDataFrame([], "docid long, score double")
+        terms = [ast.Term(qn.fieldname, t) for t, _ in expansion]
+        mode = "or"
+        expanded_stats = {(qn.fieldname, t): st for t, st in expansion}
     else:
         return searcher.search(q, limit=limit)  # non-flat: exact path
 
@@ -236,7 +270,9 @@ def search_wand(
         # rank-identity with Searcher.search requires the exact path here
         return searcher.search(q, limit=limit)
     pairs = [(t.fieldname, t.text) for t in terms]
-    stats = searcher._cached_stats(pairs)
+    # a lexicon expansion already carries aggregated TermStats — reuse
+    # them instead of a second terms-table lookup
+    stats = expanded_stats if expanded_stats is not None else searcher._cached_stats(pairs)
     present = [t for t in terms if (t.fieldname, t.text) in stats]
     if not present or (mode == "and" and len(present) < len(terms)):
         return spark.createDataFrame([], "docid long, score double")
