@@ -43,6 +43,10 @@ def load_reference():
 
 
 def med3(f):
+    # one untimed per-shape warm-up first (applied identically to BOTH
+    # engines): run 1 of a plan shape measures compile/JIT cold-start at
+    # 2-3x steady state (bench.py has the measured 6-run profile)
+    f()
     ts = []
     for _ in range(3):
         t0 = time.time()
