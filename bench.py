@@ -121,8 +121,21 @@ def main() -> None:
 
     build_walls, loadavgs = [], []
     ix2_path = "/tmp/wns_bench_ix_synth"
-    for _ in range(max(1, build_runs)):
+    # Inter-run settle: a 32-thread build leaves the shared JVM with GC
+    # debt + unreleased shuffle buffers; back-to-back runs measured a 2x
+    # warmed-run spread (138 vs 65 s on an idle host) that a median can't
+    # absorb.  An explicit full GC + short pause between runs lets the
+    # JVM return to steady state so each run measures the build, not the
+    # previous run's garbage.
+    settle_sec = float(os.environ.get("WNS_BENCH_SETTLE_SEC", "10"))
+    for i in range(max(1, build_runs)):
         shutil.rmtree(ix2_path, ignore_errors=True)
+        if i > 0 and settle_sec > 0:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            time.sleep(settle_sec)
         loadavgs.append(round(os.getloadavg()[0], 2))
         t0 = time.time()
         # partitions=None -> the build auto-sizes the posting shuffle (~4k
