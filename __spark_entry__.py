@@ -535,7 +535,12 @@ def q_doclens(spark, sf_dir):
 
 
 def q_facet_lang(spark, sf_dir):
-    """FieldFacet+Count over matching docs (sorting.py:158,1028)."""
+    """FieldFacet+Count over matching docs (sorting.py:158,1028).
+
+    Rotated out of the 50-row contract in r5 for temperature_mix_stats —
+    its field-facet-count gate is fully subsumed by multi_facet_count
+    (same facet machinery, two fields); kept here for check_contract.py.
+    """
     s = _index_for(spark, sf_dir)
     matches = s.score_df(_T("spark")).select(F.col("docid").alias("doc_id"))
     d = _docs(spark, sf_dir)
@@ -543,6 +548,29 @@ def q_facet_lang(spark, sf_dir):
         d.join(matches, "doc_id", "left_semi")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixing (operators/sampling.py:243):
+    p_l^0.5 quotas over the observed lang distribution, each quota
+    selected as the smallest-hash64 rows of its stratum — the
+    deterministic multilingual-pretraining sampling rule.  Fingerprints
+    the selected row set per language; the oracle recomputes counts,
+    weights, quotas AND the exact hash-ranked selection from raw parquet."""
+    from whoosh_novo_spark.operators.sampling import temperature_mix
+
+    d = _docs(spark, sf_dir)
+    sel = temperature_mix(d, "lang", total=200, alpha=0.5, seed=7)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("doc_id").alias("id_min"),
+            F.max("doc_id").alias("id_max"),
+        )
         .orderBy("lang")
     )
 
@@ -935,7 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variations_topk": q_variations,
         "term_stats": q_term_stats,
         "doclens": q_doclens,
-        "facet_lang": q_facet_lang,
+        "temperature_mix_stats": q_temperature_mix,
         "multi_facet_count": q_multi_facet,
         "sorted_by_lang_topk": q_sorted_by_field,
         "collapse_per_source": q_collapse,
@@ -960,10 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
-        # row 51: past the driver's 50-row recording cap by design — the
-        # first 50 keep their signed gates; this row is gated by
-        # tests/test_fusion.py (same Spark-vs-DuckDB compare) and
-        # scripts/check_contract.py locally
+        # row 50 (suggest_terms rotated out in r5 — its expansion plumbing
+        # is shared with correct_query_terms, which stays signed)
         "hybrid_rrf_topk": q_hybrid_rrf,
     }
 
@@ -1028,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "variations_topk": osql.topk_or(_VARIATIONS_QUERIES_PINNED),
         "term_stats": osql.term_stats_top(20),
         "doclens": osql.doclens_check(),
-        "facet_lang": osql.facet_lang_count("spark"),
+        "temperature_mix_stats": osql.temperature_mix_stats(200, 0.5, 7),
         "multi_facet_count": osql.multi_facet_count("spark"),
         "sorted_by_lang_topk": osql.sorted_by_field_topk("spark", "lang", 20),
         "collapse_per_source": osql.collapse_top_per_source("spark"),

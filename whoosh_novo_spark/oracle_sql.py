@@ -1114,3 +1114,28 @@ SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos
 FROM a JOIN probe USING (cid), q
 ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC
 LIMIT {k}"""
+
+
+def temperature_mix_stats(total: int, alpha: float, seed: int) -> str:
+    """Temperature-mixed corpus sample (operators/sampling.py:243): DuckDB
+    recomputes the ENTIRE selection — per-lang counts, p_l^alpha weights,
+    floor quotas, and the smallest-quota-by-hash64 row set — from raw
+    parquet, then fingerprints the selected rows per language.  Whole-row
+    parity with the engine's stratified hash ranking, bit-for-bit."""
+    return f"""
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS nt FROM c),
+w AS (SELECT lang, n, pow(n / t.nt, {alpha}) AS wt FROM c, t),
+z AS (SELECT sum(wt) AS z FROM w),
+q AS (SELECT lang, least(n::BIGINT, floor({total} * wt / z.z + 1e-9)::BIGINT) AS quota
+      FROM w, z),
+h AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('{seed}' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rk
+      FROM h),
+sel AS (SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE r.rk <= q.quota)
+SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum,
+       min(doc_id)::BIGINT AS id_min, max(doc_id)::BIGINT AS id_max
+FROM sel GROUP BY lang ORDER BY lang"""
