@@ -211,6 +211,66 @@ def stratified_quota(
     )
 
 
+def quota_per_stratum(
+    df: DataFrame,
+    stratum: str | Column,
+    quota: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    stratum_name: str = "_stratum",
+) -> DataFrame:
+    """At most ``quota`` rows per stratum — the HIGH-CARDINALITY twin of
+    stratified_quota, for strata like web domains where the number of
+    distinct values is itself data-scale (millions of hosts) and the
+    driver-side count collect of stratified_quota's prefilter would not
+    be bounded.  Fully distributed: per-stratum counts stay a
+    DataFrame, the Chernoff prefilter threshold is computed as a SQL
+    expression and JOINED back (AQE broadcasts it when small), so no
+    stratum ever funnels more than O(quota) rows through its rank
+    window and nothing is collected to the driver.
+
+    Selection semantics are IDENTICAL to
+    ``stratified_quota(..., quotas=quota)``: the quota smallest rows by
+    (hash64(key), key) per stratum — deterministic in (key, seed),
+    partition- and re-run-stable (parity-tested).
+
+    ``stratum`` may be a column name or an expression (e.g.
+    ``url_host(F.col("url"))``); an expression is materialized as
+    ``stratum_name`` and kept in the output.
+    """
+    if isinstance(stratum, str):
+        scol = F.col(stratum)
+        sname = stratum
+    else:
+        df = df.withColumn(stratum_name, stratum)
+        scol = F.col(stratum_name)
+        sname = stratum_name
+    q = int(quota)
+    df = df.withColumn("_h", hash64(F.col(key_col).cast("string"), seed=seed))
+    counts = df.groupBy(scol.alias(sname)).agg(F.count(F.lit(1)).alias("_n"))
+    # _prefilter_threshold as SQL: min(1, (q + 6 sqrt(q) + 16) / n) when
+    # n > q else 1 — then scaled into hash space.
+    t = F.when(
+        F.col("_n") <= F.lit(q), F.lit(1.0)
+    ).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.lit(q + 6.0 * math.sqrt(q) + 16.0) / F.col("_n").cast("double"),
+        )
+    )
+    thr = counts.withColumn("_thr", (t * F.lit(_H_SPACE)).cast("bigint")).select(
+        sname, "_thr"
+    )
+    w = Window.partitionBy(sname).orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        df.join(thr, sname)
+        .where(F.col("_h") < F.col("_thr"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.lit(q))
+        .drop("_h", "_thr", "_rk")
+    )
+
+
 def temperature_quotas(
     counts: dict[str, int], total: int, alpha: float = 0.5
 ) -> dict[str, int]:
