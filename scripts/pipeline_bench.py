@@ -259,6 +259,50 @@ def main() -> None:
     res["ivf_pq_batch20_tombstoned_sec"] = round(time.time() - t0, 2)
     print("LEG ivf_pq lifecycle done", res["ivf_pq_compact_files"], file=sys.stderr)
 
+    # webtext cleaning pipeline (r5): the composed pre-index pass a
+    # crawl actually runs — repetition filter -> cross-doc line dedup ->
+    # PII scrub -> per-domain cap -> temperature language mix — one
+    # number for the whole chain plus the survivor count at each stage.
+    from whoosh_novo_spark.functions.pii import scrub_pii_docs
+    from whoosh_novo_spark.functions.repetition import gopher_repetition_filter
+    from whoosh_novo_spark.functions.urls import url_host
+    from whoosh_novo_spark.operators.linededup import remove_duplicate_lines
+    from whoosh_novo_spark.operators.sampling import quota_per_stratum, temperature_mix
+
+    clean_path = f"/tmp/wns_pipe_clean_{n_docs}"
+    if not os.path.exists(os.path.join(clean_path, "_SUCCESS")):
+        synthesize_corpus(spark, n_docs=n_docs, n_partitions=32, seed=29).select(
+            "url", "text", "lang"
+        ).write.mode("overwrite").parquet(clean_path)
+    clean_in = spark.read.parquet(clean_path)  # staged: time the CHAIN, not synthesis
+    t0 = time.time()
+    step = gopher_repetition_filter(clean_in, keep_signals=False)
+    step = remove_duplicate_lines(step, id_col="url", max_df=50)
+    cleaned = scrub_pii_docs(step, audit=False).drop("n_lines_removed")
+    # materialization boundary: the sampling stages compute per-stratum
+    # counts OVER their input (quota thresholds, temperature quotas) —
+    # without a boundary Spark would re-evaluate the whole cleaning
+    # chain once per stats pass.  At production scale this is the
+    # parquet write between pipeline phases; here persist() plays that
+    # role and the cost is charged to the cleaning leg.
+    cleaned = cleaned.persist()
+    n_clean = cleaned.count()
+    t1 = time.time()
+    capped = quota_per_stratum(
+        cleaned, url_host(F.col("url")), max(1, n_docs // 500), key_col="url"
+    )
+    mixed = temperature_mix(capped, "lang", total=n_docs // 4, alpha=0.5, key_col="url")
+    n_out = mixed.count()
+    t2 = time.time()
+    cleaned.unpersist()
+    res["clean_pipeline_sec"] = round(t2 - t0, 2)
+    res["clean_filter_sec"] = round(t1 - t0, 2)
+    res["clean_sample_sec"] = round(t2 - t1, 2)
+    res["clean_pipeline_docs_per_sec"] = round(n_docs / (t2 - t0))
+    res["clean_survivors"] = n_clean
+    res["clean_pipeline_out_docs"] = n_out
+    print("LEG clean pipeline done", res["clean_pipeline_sec"], file=sys.stderr)
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "pipeline.json"), "w") as f:
         json.dump(res, f, indent=1)
