@@ -1,0 +1,76 @@
+"""One-call webtext cleaning pipeline — the canonical composition of
+the corpus stages this engine ships, in the order the published
+pipelines apply them (C4 / Gopher / CCNet / RefinedWeb):
+
+    url_normalize -> C4 heuristics -> Gopher repetition filter ->
+    cross-document line dedup -> PII scrub
+
+`clean_corpus` assembles any subset via ``stages`` with per-stage
+``options``.  Sampling/mixing (temperature_mix, quota_per_stratum) and
+near-dup dedup (minhash/simhash/embedding) deliberately stay OUTSIDE
+this call: they compute statistics over their input, so they belong
+after a materialization boundary — re-evaluating the cleaning chain
+once per stats pass is the measured 34% overhead recorded in
+BENCH/BASELINE.md §0r5z.  Write the cleaned corpus (or persist it),
+then sample.
+
+Scale notes: every stage here is map-side except line_dedup (whose two
+shuffles key on the md5 line fingerprint — skew-proof) — the composed
+plan is one scan-through, and Catalyst fuses the map-side stages into
+the same WholeStageCodegen/Arrow pass chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.functions.c4 import c4_filter
+from whoosh_novo_spark.functions.pii import scrub_pii_docs
+from whoosh_novo_spark.functions.repetition import gopher_repetition_filter
+from whoosh_novo_spark.functions.urls import url_normalize
+from whoosh_novo_spark.operators.linededup import remove_duplicate_lines
+
+DEFAULT_STAGES: tuple[str, ...] = (
+    "url_normalize",
+    "c4",
+    "repetition",
+    "line_dedup",
+    "pii",
+)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    stages: tuple[str, ...] = DEFAULT_STAGES,
+    options: dict[str, dict] | None = None,
+) -> DataFrame:
+    """Runs the selected cleaning stages in the given order.  ``options``
+    maps stage name -> keyword arguments forwarded to that stage's
+    operator (see each operator's docstring).  Unknown stage names and
+    option keys fail loudly."""
+    opts = dict(options or {})
+    unknown = set(opts) - set(DEFAULT_STAGES)
+    if unknown:
+        raise ValueError(f"options for unknown stages: {sorted(unknown)}")
+    out = docs
+    for stage in stages:
+        kw = dict(opts.get(stage, {}))
+        if stage == "url_normalize":
+            out = out.withColumn(url_col, url_normalize(F.col(url_col)))
+        elif stage == "c4":
+            out = c4_filter(out, text_col=text_col, **kw)
+        elif stage == "repetition":
+            kw.setdefault("keep_signals", False)
+            out = gopher_repetition_filter(out, text_col=text_col, **kw)
+        elif stage == "line_dedup":
+            out = remove_duplicate_lines(out, id_col=id_col, text_col=text_col, **kw)
+        elif stage == "pii":
+            kw.setdefault("audit", False)
+            out = scrub_pii_docs(out, text_col=text_col, **kw)
+        else:
+            raise ValueError(f"unknown stage: {stage!r}")
+    return out
