@@ -263,10 +263,8 @@ def main() -> None:
     # crawl actually runs — repetition filter -> cross-doc line dedup ->
     # PII scrub -> per-domain cap -> temperature language mix — one
     # number for the whole chain plus the survivor count at each stage.
-    from whoosh_novo_spark.functions.pii import scrub_pii_docs
-    from whoosh_novo_spark.functions.repetition import gopher_repetition_filter
     from whoosh_novo_spark.functions.urls import url_host
-    from whoosh_novo_spark.operators.linededup import remove_duplicate_lines
+    from whoosh_novo_spark.operators.pipeline import clean_corpus
     from whoosh_novo_spark.operators.sampling import quota_per_stratum, temperature_mix
 
     clean_path = f"/tmp/wns_pipe_clean_{n_docs}"
@@ -276,9 +274,14 @@ def main() -> None:
         ).write.mode("overwrite").parquet(clean_path)
     clean_in = spark.read.parquet(clean_path)  # staged: time the CHAIN, not synthesis
     t0 = time.time()
-    step = gopher_repetition_filter(clean_in, keep_signals=False)
-    step = remove_duplicate_lines(step, id_col="url", max_df=50)
-    cleaned = scrub_pii_docs(step, audit=False).drop("n_lines_removed")
+    # C4 stays off: the synthetic corpus is punctuation-free word soup,
+    # which C4's terminal-punctuation rule correctly rejects wholesale.
+    cleaned = clean_corpus(
+        clean_in,
+        id_col="url",
+        stages=("repetition", "line_dedup", "pii"),
+        options={"line_dedup": {"max_df": 50}},
+    ).drop("n_lines_removed")
     # materialization boundary: the sampling stages compute per-stratum
     # counts OVER their input (quota thresholds, temperature quotas) —
     # without a boundary Spark would re-evaluate the whole cleaning

@@ -191,6 +191,48 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    min_overlaps: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing
+    at least ``min_overlaps`` distinct n-grams with ANY evaluation
+    document (the published rule: GPT-3, Brown et al. 2020 Appendix C
+    used 13-gram collision; Gopher and later pipelines follow it).
+    Returns the surviving training rows unchanged.
+
+    Scale: eval sets are tiny next to the corpus, so the eval shingle
+    side is broadcast by AQE; the corpus side is one shingle pass + a
+    semi-join — no corpus-x-corpus work.  ``min_overlaps > 1`` relaxes
+    the rule for short boilerplate-prone n (the paper uses 1 at n=13
+    because a 13-gram collision is effectively never chance)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    etc = eval_text_col or text_col
+    corpus_sh = shingles(docs, id_col, text_col, n)
+    eval_sh = shingles(
+        eval_docs.select(F.col(etc).alias("_t")).withColumn(
+            "_eid", F.monotonically_increasing_id()
+        ),
+        "_eid",
+        "_t",
+        n,
+    ).select("shingle").distinct()
+    hits = (
+        corpus_sh.join(eval_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") >= min_overlaps)
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
