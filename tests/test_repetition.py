@@ -59,6 +59,32 @@ def test_empty_and_short_edges():
         assert all(v == 0.0 for v in sig.values()), text
 
 
+def test_vectorized_matches_exact_dict_form():
+    """The numpy n-gram path must equal the exact dict-of-tuples
+    formulation signal-for-signal on random and adversarial docs."""
+    from whoosh_novo_spark.functions.repetition import (
+        _TOKEN_RX,
+        _dup_ngram_char_frac,
+        _top_ngram_char_frac,
+    )
+
+    rng = random.Random(31)
+    vocab = "aa bbb c dddd ee fff gg hhhhh".split()
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 200))) for _ in range(40)]
+    texts += ["", "one", "spam ham " * 50, "x " * 9]  # edges: empty, <n, heavy dup
+    for text in texts:
+        toks = [t.lower() for t in _TOKEN_RX.findall(text)]
+        lens = [len(t) for t in toks]
+        total = sum(lens)
+        got = repetition_signals(text)
+        for n in (2, 3, 4):
+            exp = _top_ngram_char_frac(toks, lens, n, total)
+            assert got[f"top_{n}gram_char_frac"] == pytest.approx(exp), (n, text[:40])
+        for n in (5, 6, 7, 8, 9, 10):
+            exp = _dup_ngram_char_frac(toks, lens, n, total)
+            assert got[f"dup_{n}gram_char_frac"] == pytest.approx(exp), (n, text[:40])
+
+
 def test_kernel_matches_single_doc(spark):
     rng = random.Random(13)
     vocab = "red green blue cyan teal gold gray pink".split()

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -122,9 +123,68 @@ def _dup_ngram_char_frac(toks: list[str], lens: list[int], n: int, total: int) -
     return sum(l for l, c in zip(lens, covered) if c) / total
 
 
+# vectorized n-gram identity: polynomial rolling "hash" over per-doc
+# token IDS.  With ids < vocab-of-the-doc << B and uint64 wraparound the
+# map is injective for any realistic document (a collision needs the
+# polynomial values of two different id-tuples to coincide mod 2^64 —
+# ~L^2 / 2^64 per doc); the exact dict-of-tuples form survives below as
+# the comparison in tests/test_repetition.py (vectorized==exact parity).
+_NG_BASE = np.uint64(1099511628211)
+
+
+def _signals_np(toks: list[str], lens_l: list[int], total: int) -> dict[str, float]:
+    """The 9 n-gram signals, one numpy pass per order: rolling id-hash,
+    unique counts, cumsum window char lengths, interval-painted
+    coverage."""
+    out: dict[str, float] = {}
+    L = len(toks)
+    ids_map: dict[str, int] = {}
+    ids = np.fromiter(
+        (ids_map.setdefault(t, len(ids_map)) for t in toks), dtype=np.uint64, count=L
+    )
+    lens = np.asarray(lens_l, dtype=np.int64)
+    # window char length of the n-gram starting at i via cumsum
+    csum = np.concatenate(([0], np.cumsum(lens)))
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        key = (
+            f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac"
+        )
+        m = L - n + 1
+        if total <= 0 or m <= 0:
+            out[key] = 0.0
+            continue
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            h = h * _NG_BASE + ids[j : j + m]
+        uniq, first_idx, inv, counts = np.unique(
+            h, return_index=True, return_inverse=True, return_counts=True
+        )
+        if n <= 4:
+            dup_u = counts > 1
+            if not dup_u.any():
+                out[key] = 0.0
+                continue
+            gram_chars = csum[first_idx + n] - csum[first_idx]
+            best = int((counts[dup_u] * gram_chars[dup_u]).max())
+            out[key] = min(1.0, best / total)
+        else:
+            starts = np.nonzero(counts[inv] > 1)[0]
+            if starts.size == 0:
+                out[key] = 0.0
+                continue
+            delta = np.zeros(L + 1, dtype=np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + n, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            out[key] = float(lens[covered].sum()) / total
+    return out
+
+
 def repetition_signals(text: str) -> dict[str, float]:
-    """All 13 Gopher repetition signals of one document (plain-Python
-    single-doc form; the Spark path batches this via Arrow)."""
+    """All 13 Gopher repetition signals of one document (the Spark path
+    batches this via Arrow).  Line/paragraph signals are set-based over
+    the few units; the 9 n-gram signals are numpy-vectorized
+    (tests pin parity with the exact dict-of-tuples formulation)."""
     lines = [l.strip() for l in text.split("\n") if l.strip()]
     paras = [p.strip() for p in re.split(r"\n\s*\n", text) if p.strip()]
     dl, dlc = _dup_unit_fracs(lines)
@@ -138,10 +198,7 @@ def repetition_signals(text: str) -> dict[str, float]:
         "dup_para_frac": dp,
         "dup_para_char_frac": dpc,
     }
-    for n in (2, 3, 4):
-        out[f"top_{n}gram_char_frac"] = _top_ngram_char_frac(toks, lens, n, total)
-    for n in (5, 6, 7, 8, 9, 10):
-        out[f"dup_{n}gram_char_frac"] = _dup_ngram_char_frac(toks, lens, n, total)
+    out.update(_signals_np(toks, lens, total))
     return out
 
 
