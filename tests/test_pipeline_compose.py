@@ -60,6 +60,26 @@ def test_stage_subset_and_order(crawl):
     assert only_pii.where(F.col("doc_id") == 0).collect()[0]["url"].startswith("HTTPS://")
 
 
+def test_optional_substring_stage(crawl, spark):
+    import random
+
+    rng = random.Random(1)
+    span = " ".join(f"Sw{rng.randrange(10**6)}" for _ in range(25))
+    rows = [(200, "https://x.com/1", span + " ."), (201, "https://x.com/2", span + " !")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in clean_corpus(
+            df,
+            stages=("substring_dedup",),
+            options={"substring_dedup": {"min_tokens": 25}},
+        ).collect()
+    }
+    assert span in out[200]["text"]          # first copy kept
+    assert span not in out[201]["text"]      # later copy stripped
+    assert out[201]["n_tokens_removed"] == 25
+
+
 def test_loud_failures(crawl):
     with pytest.raises(ValueError):
         clean_corpus(crawl, stages=("nope",))

@@ -30,6 +30,7 @@ from whoosh_novo_spark.functions.pii import scrub_pii_docs
 from whoosh_novo_spark.functions.repetition import gopher_repetition_filter
 from whoosh_novo_spark.functions.urls import url_normalize
 from whoosh_novo_spark.operators.linededup import remove_duplicate_lines
+from whoosh_novo_spark.operators.substring_dedup import remove_duplicate_spans
 
 DEFAULT_STAGES: tuple[str, ...] = (
     "url_normalize",
@@ -38,6 +39,11 @@ DEFAULT_STAGES: tuple[str, ...] = (
     "line_dedup",
     "pii",
 )
+
+# opt-in stages accepted by ``stages`` but not run by default
+# (substring dedup is the most expensive pass — one gram-hash rank
+# shuffle over the corpus — and not every pipeline wants it)
+OPTIONAL_STAGES: tuple[str, ...] = ("substring_dedup",)
 
 
 def clean_corpus(
@@ -53,7 +59,8 @@ def clean_corpus(
     operator (see each operator's docstring).  Unknown stage names and
     option keys fail loudly."""
     opts = dict(options or {})
-    unknown = set(opts) - set(DEFAULT_STAGES)
+    known = set(DEFAULT_STAGES) | set(OPTIONAL_STAGES)
+    unknown = set(opts) - known
     if unknown:
         raise ValueError(f"options for unknown stages: {sorted(unknown)}")
     out = docs
@@ -68,6 +75,8 @@ def clean_corpus(
             out = gopher_repetition_filter(out, text_col=text_col, **kw)
         elif stage == "line_dedup":
             out = remove_duplicate_lines(out, id_col=id_col, text_col=text_col, **kw)
+        elif stage == "substring_dedup":
+            out = remove_duplicate_spans(out, id_col=id_col, text_col=text_col, **kw)
         elif stage == "pii":
             kw.setdefault("audit", False)
             out = scrub_pii_docs(out, text_col=text_col, **kw)
