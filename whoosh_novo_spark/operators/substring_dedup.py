@@ -31,13 +31,19 @@ repeated grams at every later occurrence — their painted intervals
 tile the whole span, so the entire later copy is removed while the
 first copy's grams (all rank 1) leave it untouched.
 
-Scale notes (100 TB lens): the shuffles key on the gram hash (rank
-window) and the doc id (interval collection) — the gram-hash key is
-md5-uniform, and the per-hash window only ranks the occurrence list of
-ONE gram (the pathological single-gram hot key is exactly a massively
-duplicated span, which is the thing being removed; its window input is
-the occurrence count, not the corpus).  The covered-position lists per
-doc are bounded by the doc's own token count.
+Scale notes (100 TB lens): keep-first is computed as a map-side-
+combinable ``min(struct(id, pos))`` + ``count`` aggregation per gram
+hash, NOT a rank window — a boilerplate gram repeated across a large
+fraction of the corpus (the 1M probe plants one with 300k occurrences;
+at 10^12 docs it would be billions) is a single unsplittable task
+under ``row_number().over(Window.partitionBy("h"))`` because AQE can
+split skewed JOINS but never windows, while partial aggregation
+reduces the hot key on the map side.  Occurrences then join back
+against only the hashes with count > 1 (tiny after cleaning — AQE
+broadcasts it when small, skew-splits it when not).  The remaining
+shuffle keys are the md5-uniform gram hash (agg) and the doc id
+(interval collection); covered-position lists per doc are bounded by
+the doc's own token count.
 """
 
 from __future__ import annotations
@@ -47,7 +53,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -86,29 +92,46 @@ def _gram_udf(k: int):
 
 
 def _rebuild_udf(k: int):
-    """(text, covered_starts) -> text with covered token runs removed;
-    kept runs are original bytes, joined by single spaces."""
+    """(text, kept_gram_starts) -> text with NON-kept gram windows
+    removed; kept runs are original bytes, joined by single spaces.
 
-    def fn(text_s: pd.Series, cov_s: pd.Series) -> pd.Series:
+    The kept set is the per-doc slice of the corpus-wide one-kept-
+    occurrence-per-distinct-gram aggregation; because posexplode
+    positions are dense [0, n_grams), the covered (duplicate) starts
+    are exactly the complement of the kept set — computed here, so the
+    expensive gram/explode pass is consumed ONCE upstream and no dup
+    rows ever join back.  A doc shorter than k tokens has no grams
+    (n_grams == 0) and is kept verbatim; a doc whose every gram lost
+    the corpus-wide min is fully covered (text becomes empty)."""
+
+    def fn(text_s: pd.Series, keep_s: pd.Series) -> pd.Series:
         out = []
-        for text, cov in zip(text_s.fillna(""), cov_s):
-            if cov is None or len(cov) == 0:
-                out.append(text)
-                continue
+        for text, keep in zip(text_s.fillna(""), keep_s):
             spans = [(m.start(), m.end()) for m in _TOKEN_RX.finditer(text)]
             L = len(spans)
+            n = L - k + 1
+            if n <= 0:
+                out.append(text)
+                continue
+            is_dup_start = np.ones(n, dtype=bool)
+            if keep is not None and len(keep) > 0:
+                kp = np.asarray(keep, dtype=np.int64)
+                is_dup_start[kp[(kp >= 0) & (kp < n)]] = False
+            if not is_dup_start.any():
+                out.append(text)
+                continue
+            starts = np.flatnonzero(is_dup_start)
             delta = np.zeros(L + 1, dtype=np.int64)
-            starts = np.asarray([c for c in cov if 0 <= c < L], dtype=np.int64)
             np.add.at(delta, starts, 1)
             np.add.at(delta, np.minimum(starts + k, L), -1)
             covered = np.cumsum(delta[:-1]) > 0
             pieces = []
             run_start = None
             for i in range(L + 1):
-                keep = i < L and not covered[i]
-                if keep and run_start is None:
+                keep_tok = i < L and not covered[i]
+                if keep_tok and run_start is None:
                     run_start = i
-                elif not keep and run_start is not None:
+                elif not keep_tok and run_start is not None:
                     pieces.append(text[spans[run_start][0] : spans[i - 1][1]])
                     run_start = None
             out.append(" ".join(pieces))
@@ -134,13 +157,19 @@ def remove_duplicate_spans(
         F.col(id_col).alias("id"),
         F.posexplode(_gram_udf(min_tokens)(F.col(text_col))).alias("pos", "h"),
     )
-    w = Window.partitionBy("h").orderBy(F.col("id").asc(), F.col("pos").asc())
-    dup_pos = (
-        grams.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") > 1)
-        .select("id", "pos")
+    # keep-first via partial-aggregable min, not a rank window: one hot
+    # boilerplate gram must never become a single unsplittable window
+    # task (AQE splits skewed joins, never windows).  min(struct) per
+    # hash IS the kept occurrence; every other position is a dup, and
+    # since posexplode positions are dense the rebuild kernel recovers
+    # dup starts as the complement of the kept set — grams is consumed
+    # exactly once and no join back is needed.
+    kept = (
+        grams.groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("_first"))
+        .select(F.col("_first.id").alias("id"), F.col("_first.pos").alias("pos"))
     )
-    covered = dup_pos.groupBy("id").agg(F.collect_list("pos").alias("_cov"))
+    covered = kept.groupBy("id").agg(F.collect_list("pos").alias("_cov"))
     n_toks = F.size(
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     )
