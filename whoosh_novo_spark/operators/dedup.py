@@ -509,3 +509,51 @@ def simhash_near_pairs(
     return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "a", "b", "hamming"
     )
+
+
+def keep_latest_crawl(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canonicalize: bool = True,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Recrawl dedup: one row per (canonical) URL — the LATEST capture.
+
+    Common-Crawl-style corpora carry the same page once per crawl
+    snapshot; every published web pipeline's first dedup pass keeps the
+    newest capture per URL before any content-level dedup runs.  With
+    ``canonicalize=True`` the key is ``url_normalize(url)`` (tracking
+    params stripped, query sorted, scheme/host case-folded...), so
+    `?utm_source=` recrawl variants collapse too; the surviving row
+    keeps its ORIGINAL url text.
+
+    Ties on (url, ts) are broken deterministically: by the highest
+    value of ``tie_col`` when given, else by the highest ``xxhash64``
+    over the full row — the result never depends on partitioning or
+    input order.
+
+    Scale: one hash aggregation, ``max(struct(ts, tie, row))``, which
+    is map-side combinable (partial_max) — a URL recrawled in every one
+    of 100 snapshots contributes ONE row per map partition to the
+    shuffle, so hot URLs cannot create a skewed reduce key the way a
+    rank-window formulation would (the same lesson as
+    ``remove_duplicate_spans``' keep-first plan, BENCH/BASELINE.md
+    §0r5ss).  Null timestamps sort lowest (struct comparison is
+    nulls-first), so a real timestamp always beats a missing one.
+    """
+    from whoosh_novo_spark.functions.urls import url_normalize
+
+    cols = docs.columns
+    key = url_normalize(F.col(url_col)) if canonicalize else F.col(url_col)
+    tie = F.col(tie_col) if tie_col else F.xxhash64(*[F.col(c) for c in cols])
+    picked = docs.groupBy(key.alias("_url_key")).agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                tie.alias("_tie"),
+                F.struct(*[F.col(c) for c in cols]).alias("_row"),
+            )
+        ).alias("_pick")
+    )
+    return picked.select("_pick._row.*")

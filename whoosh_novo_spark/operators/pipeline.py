@@ -42,8 +42,9 @@ DEFAULT_STAGES: tuple[str, ...] = (
 
 # opt-in stages accepted by ``stages`` but not run by default
 # (substring dedup is the most expensive pass — one gram-hash rank
-# shuffle over the corpus — and not every pipeline wants it)
-OPTIONAL_STAGES: tuple[str, ...] = ("substring_dedup",)
+# shuffle over the corpus — and not every pipeline wants it;
+# latest_crawl assumes a multi-snapshot corpus with a warc_ts column)
+OPTIONAL_STAGES: tuple[str, ...] = ("substring_dedup", "latest_crawl")
 
 
 def clean_corpus(
@@ -77,6 +78,10 @@ def clean_corpus(
             out = remove_duplicate_lines(out, id_col=id_col, text_col=text_col, **kw)
         elif stage == "substring_dedup":
             out = remove_duplicate_spans(out, id_col=id_col, text_col=text_col, **kw)
+        elif stage == "latest_crawl":
+            from whoosh_novo_spark.operators.dedup import keep_latest_crawl
+
+            out = keep_latest_crawl(out, url_col=url_col, **kw)
         elif stage == "pii":
             kw.setdefault("audit", False)
             out = scrub_pii_docs(out, text_col=text_col, **kw)
