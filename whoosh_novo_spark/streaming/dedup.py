@@ -83,3 +83,85 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_TS_FLOOR = -(2**62)  # nulls sort below any real timestamp
+
+
+def _latest_fn(out_cols: list[str], ttl_ms: int | None):
+    import pandas as pd
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=out_cols)
+            return
+        best_ts, best_tie = state.get if state.exists else (_TS_FLOOR, _TS_FLOOR)
+        cand = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(["_ts_us", "_tie"], kind="mergesort").iloc[-1]
+            if cand is None or (top["_ts_us"], top["_tie"]) > (cand["_ts_us"], cand["_tie"]):
+                cand = top
+        if cand is not None and (int(cand["_ts_us"]), int(cand["_tie"])) > (best_ts, best_tie):
+            state.update((int(cand["_ts_us"]), int(cand["_tie"])))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield cand[out_cols].to_frame().T
+        else:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(columns=out_cols)
+
+    return fn
+
+
+def latest_crawl_stream(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canonicalize: bool = True,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.keep_latest_crawl`` — the
+    monotone-upsert form a continuous crawl needs: a capture passes
+    through iff it is STRICTLY newer than every capture of the same
+    canonical URL emitted so far (per (ts, full-row-hash tie), so exact
+    redeliveries are idempotently suppressed too).  Late-arriving stale
+    snapshots and same-batch older variants emit nothing; at most one
+    row per URL per micro-batch (the batch's newest, if it beats state).
+
+    The output is an UPSERT stream: downstream
+    ``operators/build.update_documents`` keyed by the URL converges on
+    exactly the batch operator's keep-latest result — a retraction-free
+    contract, which is why "emit only strictly-newer" is the right
+    semantics rather than "emit the per-batch max always".
+
+    State per canonical URL is two longs (epoch-micros + tie hash);
+    bound lifetime with ``ttl_ms`` (an idle URL expires; a very late
+    stale capture of an expired URL would then pass — the standard
+    state-TTL compromise, same as ``dedup_stream``)."""
+    cols = list(docs.columns)
+    from whoosh_novo_spark.functions.urls import url_normalize
+
+    key_expr = url_normalize(F.col(url_col)) if canonicalize else F.col(url_col)
+    prepped = (
+        docs.withColumn("_url_key", key_expr)
+        .withColumn(
+            "_ts_us", F.coalesce(F.unix_micros(F.col(ts_col)), F.lit(_TS_FLOOR))
+        )
+        .withColumn("_tie", F.xxhash64(*[F.col(c) for c in cols]))
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepped.groupBy("_url_key").applyInPandasWithState(
+        _latest_fn(cols, ttl_ms),
+        outputStructType=docs.schema,
+        stateStructType="max_ts long, tie long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
