@@ -46,6 +46,20 @@ def main() -> None:
         "(sources/extract.py JVM path; --full-entities switches to the Arrow "
         "kernel with full HTML5 entity decoding)",
     )
+    ap.add_argument(
+        "--from-warc",
+        action="store_true",
+        help="treat --input as WARC file(s) (glob ok, .warc/.warc.gz): "
+        "parse response records and derive text+lang at ingest "
+        "(sources/warc.py) — Common Crawl's own on-disk format",
+    )
+    ap.add_argument(
+        "--keep-latest",
+        action="store_true",
+        help="recrawl dedup before indexing: keep only the newest capture "
+        "per canonical URL (operators/dedup.keep_latest_crawl; needs a "
+        "warc_ts column — always present with --from-warc)",
+    )
     ap.add_argument("--full-entities", action="store_true")
     ap.add_argument("--positions", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
@@ -106,8 +120,16 @@ def main() -> None:
 
     if not args.input or not args.index:
         ap.error("--input and --index are required unless --federate is given")
+    if args.from_warc and (args.iceberg or args.from_html):
+        ap.error("--from-warc already yields extracted text; it excludes --iceberg/--from-html")
     store = SegmentStore(args.index)
-    if args.iceberg:
+    if args.from_warc:
+        from whoosh_novo_spark.sources.warc import read_warc, warc_to_corpus
+
+        docs = warc_to_corpus(
+            read_warc(spark, args.input), full_entities=args.full_entities
+        )
+    elif args.iceberg:
         from whoosh_novo_spark.sources.iceberg import read_iceberg
 
         docs = read_iceberg(
@@ -121,6 +143,10 @@ def main() -> None:
         docs = ingest_html(
             docs, out_col=args.text_col, full_entities=args.full_entities
         )
+    if args.keep_latest:
+        from whoosh_novo_spark.operators.dedup import keep_latest_crawl
+
+        docs = keep_latest_crawl(docs, url_col=args.id_col)
     docs = docs.select(args.id_col, args.text_col)
     t0 = time.time()
     m = build_segment(spark, docs, cfg, store, partitions=args.partitions)
