@@ -1,0 +1,212 @@
+"""Link graph: href/anchor extraction goldens, UDF-free plan gate,
+PageRank vs a dense numpy oracle (dangling mass, damping, weights),
+partition invariance, host-graph weights, and inbound anchor text
+composed into an indexed field that ranks the linked-to document."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_novo_spark.operators.linkgraph import (
+    extract_links,
+    host_graph,
+    inlink_anchor_text,
+    pagerank,
+)
+
+PAGE = """
+<html><head><title>t</title></head><body>
+<!-- <a href="http://commented.example/x">nope</a> -->
+<a href="http://abs.example/Page?utm_source=x&b=2&a=1">Absolute <b>Link</b></a>
+<A HREF='//proto.example/p'>proto&nbsp;relative</A>
+<a class=x href=/root/sub>root relative</a>
+<a href="other.html#frag">sibling page</a>
+<a href="../up/two.html">up one</a>
+<a href="?page=2">next page</a>
+<a href="#top">fragment only</a>
+<a href="mailto:a@b.c">mail</a>
+<a href="javascript:void(0)">js</a>
+<a name="no-href">not a link</a>
+</body></html>
+"""
+
+
+@pytest.fixture(scope="module")
+def links(spark):
+    df = spark.createDataFrame(
+        [("https://Src.Example.com/dir/page.html", PAGE)], "url string, html string"
+    )
+    return extract_links(df)
+
+
+def test_extract_links_goldens(links):
+    got = {(r["dst"], r["anchor"]) for r in links.collect()}
+    assert got == {
+        ("http://abs.example/Page?a=1&b=2", "Absolute Link"),
+        ("https://proto.example/p", "proto relative"),
+        ("https://src.example.com/root/sub", "root relative"),
+        ("https://src.example.com/dir/other.html", "sibling page"),
+        ("https://src.example.com/up/two.html", "up one"),
+        ("https://src.example.com/dir/page.html?page=2", "next page"),
+    }
+    assert links.select("src").distinct().collect()[0]["src"] == (
+        "https://Src.Example.com/dir/page.html"
+    )
+
+
+def test_extract_links_binary_html_and_self_drop(spark):
+    html = b'<a href="https://self.example/p">me</a><a href="https://o.example/q">you</a>'
+    df = spark.createDataFrame(
+        [("https://self.example/p", html)], "url string, html binary"
+    )
+    got = [r["dst"] for r in extract_links(df).collect()]
+    assert got == ["https://o.example/q"]
+    both = extract_links(df, drop_self=False).count()
+    assert both == 2
+
+
+def test_extract_links_plan_is_jvm_only(links):
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def _numpy_pagerank(edges, n, alpha, iters, weights=None):
+    """Dense oracle: uniform teleport + uniform dangling redistribution."""
+    W = np.zeros((n, n))
+    for k, (i, j) in enumerate(edges):
+        W[i, j] += 1.0 if weights is None else weights[k]
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * W[i] / out[i]
+        dangling = r[out == 0].sum()
+        r = (1 - alpha) / n + alpha * (contrib + dangling / n)
+    return r
+
+
+@pytest.mark.parametrize("alpha", [0.85, 0.5])
+def test_pagerank_matches_numpy_oracle(spark, alpha):
+    # 6 nodes; node 4 dangling; node 5 only links out; a 2-cycle; a hub.
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (5, 0), (5, 4), (3, 4)]
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i, j in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, alpha=alpha, max_iter=25, tol=None).collect()
+    }
+    want = _numpy_pagerank(edges, 6, alpha, 25)
+    assert set(got) == {f"n{i}" for i in range(6)}
+    for i in range(6):
+        assert got[f"n{i}"] == pytest.approx(want[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_weighted_and_partition_invariant(spark):
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 2.0), (3, 0, 1.0)]
+    rows = [(f"n{i}", f"n{j}", w) for i, j, w in edges]
+    want = _numpy_pagerank(
+        [(i, j) for i, j, _ in edges], 4, 0.85, 15, weights=[w for *_, w in edges]
+    )
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "src string, dst string, w double"
+        ).repartition(parts)
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, weight="w", max_iter=15, tol=None).collect()
+        }
+        for i in range(4):
+            assert got[f"n{i}"] == pytest.approx(want[i], abs=1e-9)
+
+
+def test_pagerank_tol_early_stop(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=50, tol=1e-12).collect()}
+    # symmetric 2-cycle: exact fixed point is 1/2 each
+    assert got["a"] == pytest.approx(0.5, abs=1e-9)
+    assert got["b"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_host_graph_weights(spark):
+    rows = [
+        ("http://a.com/1", "http://b.com/x"),
+        ("http://a.com/2", "http://b.com/y"),
+        ("http://a.com/1", "http://a.com/2"),  # intra-host, dropped
+        ("http://b.com/x", "http://a.com/1"),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_graph(df).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+    intra = host_graph(df, inter_host_only=False)
+    assert intra.where(
+        (F.col("src_host") == "a.com") & (F.col("dst_host") == "a.com")
+    ).collect()[0]["weight"] == 1
+
+
+def test_inlink_anchor_text_top_and_bounds(spark):
+    rows = (
+        [("s", "http://t.example/p", "Quantum Widgets")] * 3
+        + [("s", "http://t.example/p", "click here")] * 5
+        + [("s", "http://t.example/p", f"rare {i}") for i in range(4)]
+        + [("s", "http://o.example/q", "Other " + "x" * 200)]
+    )
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {r["url"]: r["anchor_text"] for r in inlink_anchor_text(df, max_anchors=2).collect()}
+    # count-desc then lexicographic: "click here"(5) then "quantum widgets"(3)
+    assert got["http://t.example/p"] == "click here quantum widgets"
+    assert len(got["http://o.example/q"]) <= 80
+    pruned = {
+        r["url"]: r["anchor_text"]
+        for r in inlink_anchor_text(df, max_anchors=10, min_count=2).collect()
+    }
+    assert pruned["http://t.example/p"] == "click here quantum widgets"
+    assert "http://o.example/q" not in pruned  # singleton pruned
+
+
+def test_anchor_field_ranks_linked_doc(spark, tmp_path):
+    """The composition the module exists for: inbound anchor text is
+    indexed as a field of the TARGET doc, which then ranks for a query
+    term appearing only in anchors of pages that link to it."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    docs = spark.createDataFrame(
+        [
+            ("http://t.example/p", "a page about nothing in particular"),
+            ("http://o.example/q", "another page of plain words"),
+        ],
+        "url string, text string",
+    )
+    links = spark.createDataFrame(
+        [("http://x.example/1", "http://t.example/p", "quantum widgets")] * 2,
+        "src string, dst string, anchor string",
+    )
+    anchors = inlink_anchor_text(links)
+    enriched = docs.join(anchors, "url", "left").withColumn(
+        "anchor_text", F.coalesce("anchor_text", F.lit(""))
+    )
+    store = SegmentStore(str(tmp_path / "ix"))
+    cfg = IndexConfig(
+        id_col="url",
+        fields=(FieldConfig("text"), FieldConfig("anchor_text")),
+    )
+    build_segment(spark, enriched, cfg, store, partitions=2)
+    s = Searcher(Index(spark, store, cfg))
+    hits = s.search(ast.Term("anchor_text", "quantum"), limit=5).collect()
+    assert len(hits) == 1
+    docmap = {r["url"]: r["docid"] for r in s.index.docmap(["url", "docid"]).collect()}
+    assert docmap["http://t.example/p"] == hits[0]["docid"]
