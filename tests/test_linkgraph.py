@@ -210,3 +210,87 @@ def test_anchor_field_ranks_linked_doc(spark, tmp_path):
     assert len(hits) == 1
     docmap = {r["url"]: r["docid"] for r in s.index.docmap(["url", "docid"]).collect()}
     assert docmap["http://t.example/p"] == hits[0]["docid"]
+
+
+def test_static_prior_boost_reorders_and_degenerates(spark):
+    from whoosh_novo_spark.operators.fusion import static_prior_boost
+
+    results = spark.createDataFrame(
+        [("a", 10.0), ("b", 9.9), ("c", 5.0)], "docid string, score double"
+    )
+    prior = spark.createDataFrame(
+        [("a", 1e-6), ("b", 1e-2), ("c", 1e-4)], "node string, p double"
+    )
+    got = static_prior_boost(results, prior, w=1.0).collect()
+    # log-space min-max: a->0, b->1, c->0.5; boosted: a 10.0, b 10.9, c 5.5
+    vals = {r["id"]: r["boosted"] for r in got}
+    assert vals["a"] == pytest.approx(10.0)
+    assert vals["b"] == pytest.approx(10.9)
+    assert vals["c"] == pytest.approx(5.5)
+    assert [r["id"] for r in got] == ["b", "a", "c"]
+
+    # equal priors: ranking and scores unchanged
+    flat = spark.createDataFrame(
+        [("a", 0.3), ("b", 0.3), ("c", 0.3)], "node string, p double"
+    )
+    same = static_prior_boost(results, flat, w=5.0).collect()
+    assert [r["id"] for r in same] == ["a", "b", "c"]
+    assert same[0]["boosted"] == pytest.approx(10.0)
+
+    # missing prior with explicit default floor: only b is boosted
+    partial = spark.createDataFrame([("b", 1e-2)], "node string, p double")
+    part = {
+        r["id"]: r["boosted"]
+        for r in static_prior_boost(results, partial, default=1e-6).collect()
+    }
+    assert part["b"] == pytest.approx(10.9)
+    assert part["a"] == pytest.approx(10.0)
+    # default=None degenerates gracefully: the one present prior IS the
+    # floor, all priors equal, ranking unchanged
+    nd = {r["id"]: r["boosted"] for r in static_prior_boost(results, partial).collect()}
+    assert nd == {"a": pytest.approx(10.0), "b": pytest.approx(9.9), "c": pytest.approx(5.0)}
+
+    # no priors at all: identity
+    none = spark.createDataFrame([("zz", 1.0)], "node string, p double")
+    ident = {r["id"]: r["boosted"] for r in static_prior_boost(results, none).collect()}
+    assert ident == {"a": pytest.approx(10.0), "b": pytest.approx(9.9), "c": pytest.approx(5.0)}
+
+
+def test_pagerank_prior_end_to_end(spark, tmp_path):
+    """Full composition: index pages, search, map hits to hosts, boost
+    with host PageRank — the trusted-host page overtakes a same-score
+    peer."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.fusion import static_prior_boost
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+    from whoosh_novo_spark.functions.urls import url_host
+
+    docs = spark.createDataFrame(
+        [
+            ("http://big.example/p", "solar panels and solar output data"),
+            ("http://tiny.example/q", "solar panels and solar output data"),
+            ("http://other.example/r", "unrelated words entirely"),
+        ],
+        "url string, text string",
+    )
+    # many hosts endorse big.example; tiny.example gets one link
+    edges = [("h%d.example" % i, "big.example") for i in range(8)] + [
+        ("h0.example", "tiny.example")
+    ]
+    eg = spark.createDataFrame(edges, "src_host string, dst_host string")
+    pr = pagerank(eg, src="src_host", dst="dst_host", max_iter=15)
+
+    store = SegmentStore(str(tmp_path / "ix"))
+    cfg = IndexConfig(id_col="url", fields=(FieldConfig("text"),))
+    build_segment(spark, docs, cfg, store, partitions=2)
+    s = Searcher(Index(spark, store, cfg))
+    hits = s.search(ast.Term("text", "solar"), limit=5)
+    with_urls = hits.join(s.index.docmap(["docid", "url"]), "docid").select(
+        url_host("url").alias("host"), F.col("score")
+    )
+    boosted = static_prior_boost(with_urls, pr, w=1.0).collect()
+    assert boosted[0]["id"] == "big.example"
+    assert boosted[0]["boosted"] > boosted[1]["boosted"]

@@ -237,3 +237,75 @@ def hybrid_search(
     bm = searcher.search(query, limit=shortlist)
     cs = cosine_topk(embeddings, query_vec, k=shortlist)
     return rrf_fuse([bm, cs], k=rrf_k, weights=weights, limit=k)
+
+
+def static_prior_boost(
+    results: DataFrame,
+    prior: DataFrame,
+    w: float = 1.0,
+    id_col: str | None = None,
+    score_col: str | None = None,
+    prior_id: str | None = None,
+    prior_col: str | None = None,
+    log_space: bool = True,
+    default: float | None = None,
+) -> DataFrame:
+    """Re-rank a shortlist with a query-INDEPENDENT prior (PageRank,
+    host trust, freshness): ``boosted = score + w * prior01`` where
+    ``prior01`` is the prior min-max-normalized WITHIN the shortlist
+    (in log space by default — PageRank masses span orders of
+    magnitude, and classic web ranking adds ``w*log(pagerank)``; the
+    within-shortlist normalization makes ``w`` mean "fraction of a
+    score unit", self-calibrated like ``weighted_score_fuse``).
+
+    ``results`` is (id, score) — the engine's top-k shape, e.g.
+    ``Searcher.search`` output joined to stored urls and mapped to a
+    host key when the prior is host-level (``linkgraph.pagerank`` over
+    ``host_graph``; see tests).  ``prior`` is (key, value); ids with no
+    prior row get ``default`` (when None, the smallest prior in the
+    shortlist — i.e. no boost, never a crash on log(0)).
+
+    Scale: the shortlist is k rows and is explicitly broadcast, so the
+    join against a big prior table is one broadcast-hash probe with no
+    shuffle of the prior side.  A PAGE-granularity prior over 10^12
+    docs should instead be written as a docmap column at build time and
+    boosted in-plan; this operator is for the host/domain-granularity
+    priors that stay join-sized.  All equal priors => ranking unchanged.
+    """
+    ic = id_col or results.columns[0]
+    sc = score_col or results.columns[1]
+    pi = prior_id or prior.columns[0]
+    pc = prior_col or prior.columns[1]
+    r = results.select(F.col(ic).alias("id"), F.col(sc).alias("s"))
+    p = prior.select(F.col(pi).alias("id"), F.col(pc).cast("double").alias("p"))
+    # r-preserving outer join CAN'T broadcast its preserved side (Spark
+    # broadcast-hash builds the non-preserved side only), so: inner join
+    # with the k-row shortlist broadcast (one shuffle-free probe of the
+    # prior table), then union the unmatched shortlist rows back.
+    matched = p.join(F.broadcast(r), "id").select("id", "s", "p")
+    missing = r.join(
+        F.broadcast(matched.select("id")), "id", "left_anti"
+    ).withColumn("p", F.lit(None).cast("double"))
+    joined = matched.unionByName(missing)
+    floor = F.min("p") if default is None else F.lit(float(default))
+    stats = joined.agg(floor.alias("dflt"))
+    j = joined.crossJoin(F.broadcast(stats)).select(
+        "id", "s", F.coalesce("p", "dflt").alias("p")
+    )
+    val = F.log(F.col("p")) if log_space else F.col("p")
+    j = j.withColumn("v", val)
+    mm = j.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    out = j.crossJoin(F.broadcast(mm)).select(
+        "id",
+        (
+            F.col("s")
+            + F.lit(float(w))
+            * F.coalesce(  # all-missing / non-positive-prior rows: no boost
+                F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+                    (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("boosted"),
+    )
+    return out.orderBy(F.desc("boosted"), F.asc("id"))
