@@ -43,8 +43,9 @@ DEFAULT_STAGES: tuple[str, ...] = (
 # opt-in stages accepted by ``stages`` but not run by default
 # (substring dedup is the most expensive pass — one gram-hash rank
 # shuffle over the corpus — and not every pipeline wants it;
-# latest_crawl assumes a multi-snapshot corpus with a warc_ts column)
-OPTIONAL_STAGES: tuple[str, ...] = ("substring_dedup", "latest_crawl")
+# latest_crawl assumes a multi-snapshot corpus with a warc_ts column;
+# quality needs a trained model passed via options["quality"]["model"])
+OPTIONAL_STAGES: tuple[str, ...] = ("substring_dedup", "latest_crawl", "quality")
 
 
 def clean_corpus(
@@ -82,6 +83,15 @@ def clean_corpus(
             from whoosh_novo_spark.operators.dedup import keep_latest_crawl
 
             out = keep_latest_crawl(out, url_col=url_col, **kw)
+        elif stage == "quality":
+            from whoosh_novo_spark.functions.quality_clf import quality_filter
+
+            if "model" not in kw:
+                raise ValueError(
+                    "stage 'quality' needs options={'quality': {'model': "
+                    "QualityModel, ...}} (train_quality_classifier)"
+                )
+            out = quality_filter(out, kw.pop("model"), text_col=text_col, **kw)
         elif stage == "pii":
             kw.setdefault("audit", False)
             out = scrub_pii_docs(out, text_col=text_col, **kw)
