@@ -60,6 +60,13 @@ def main() -> None:
         "per canonical URL (operators/dedup.keep_latest_crawl; needs a "
         "warc_ts column — always present with --from-warc)",
     )
+    ap.add_argument(
+        "--anchors",
+        action="store_true",
+        help="extract hyperlinks from the html column and index inbound "
+        "anchor text as a second field 'anchor_text' of the TARGET page "
+        "(operators/linkgraph.py) — needs an html column, e.g. --from-warc",
+    )
     ap.add_argument("--full-entities", action="store_true")
     ap.add_argument("--positions", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
@@ -147,7 +154,32 @@ def main() -> None:
         from whoosh_novo_spark.operators.dedup import keep_latest_crawl
 
         docs = keep_latest_crawl(docs, url_col=args.id_col)
-    docs = docs.select(args.id_col, args.text_col)
+    if args.anchors:
+        from pyspark.sql import functions as F
+
+        from whoosh_novo_spark.operators.linkgraph import (
+            extract_links,
+            inlink_anchor_text,
+        )
+
+        if "html" not in docs.columns:
+            ap.error("--anchors needs an html column (e.g. --from-warc)")
+        anch = inlink_anchor_text(
+            extract_links(docs, url_col=args.id_col)
+        ).withColumnRenamed("url", args.id_col)
+        docs = docs.join(anch, args.id_col, "left").withColumn(
+            "anchor_text", F.coalesce("anchor_text", F.lit(""))
+        )
+        cfg = IndexConfig(
+            id_col=args.id_col,
+            fields=(
+                FieldConfig(args.text_col, positions=args.positions),
+                FieldConfig("anchor_text"),
+            ),
+        )
+        docs = docs.select(args.id_col, args.text_col, "anchor_text")
+    else:
+        docs = docs.select(args.id_col, args.text_col)
     t0 = time.time()
     m = build_segment(spark, docs, cfg, store, partitions=args.partitions)
     out = {
