@@ -294,3 +294,60 @@ def test_pagerank_prior_end_to_end(spark, tmp_path):
     boosted = static_prior_boost(with_urls, pr, w=1.0).collect()
     assert boosted[0]["id"] == "big.example"
     assert boosted[0]["boosted"] > boosted[1]["boosted"]
+
+
+def test_canonical_url_extraction(spark):
+    from whoosh_novo_spark.operators.linkgraph import canonical_url
+
+    rows = [
+        # rel-first attribute order + tracking params normalized away
+        ("http://a.example/p?utm_source=x",
+         '<link rel="canonical" href="http://a.example/p"/>'),
+        # href-first attribute order, relative href resolved
+        ("http://a.example/dir/v2", '<link href="../p" rel=canonical >'),
+        # og:url fallback (no link rel)
+        ("http://a.example/q",
+         '<meta property="og:url" content="http://a.example/q-final" />'),
+        # cross-host canonical ignored (conservative rule)
+        ("http://a.example/r",
+         '<link rel="canonical" href="http://evil.example/steal"/>'),
+        # none declared
+        ("http://a.example/s", "<p>plain</p>"),
+        # link rel wins over og:url when both present
+        ("http://a.example/t",
+         '<link rel="canonical" href="/t-canon"/>'
+         '<meta property="og:url" content="http://a.example/t-og"/>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["url"]: r["canonical"] for r in canonical_url(df).collect()}
+    assert got == {
+        "http://a.example/p?utm_source=x": "http://a.example/p",
+        "http://a.example/dir/v2": "http://a.example/p",
+        "http://a.example/q": "http://a.example/q-final",
+        "http://a.example/r": None,
+        "http://a.example/s": None,
+        "http://a.example/t": "http://a.example/t-canon",
+    }
+
+
+def test_canonical_composes_with_keep_latest(spark):
+    import datetime as dt
+
+    from whoosh_novo_spark.operators.dedup import keep_latest_crawl
+    from whoosh_novo_spark.operators.linkgraph import canonical_url
+
+    canon = '<link rel="canonical" href="http://m.example/page"/>'
+    rows = [
+        ("http://m.example/page?sid=1", dt.datetime(2026, 1, 1), canon + "v1"),
+        ("http://m.example/page", dt.datetime(2026, 2, 1), canon + "v2"),
+        ("http://m.example/other", dt.datetime(2026, 1, 5), "<p>no canon</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html string")
+    keyed = canonical_url(df).withColumn(
+        "_k", F.coalesce("canonical", "url")
+    )
+    out = keep_latest_crawl(keyed, url_col="_k").drop("_k", "canonical")
+    got = {r["url"]: r["html"][-2:] for r in out.collect()}
+    # both declared-canonical rows collapse, the newest survives with
+    # its original url bytes; the undeclared page is untouched
+    assert got == {"http://m.example/page": "v2", "http://m.example/other": "p>"}

@@ -320,3 +320,60 @@ def inlink_anchor_text(
             ).alias("anchor_text")
         )
     )
+
+
+def canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    charset: str = "UTF-8",
+    out_col: str = "canonical",
+) -> DataFrame:
+    """Attach the page-DECLARED canonical URL: ``<link rel="canonical"
+    href=...>`` (either attribute order), falling back to the
+    ``og:url`` meta property; resolved against the page and normalized
+    like every dst in this module.  Null when the page declares none,
+    or when the declaration points at a different host (cross-host
+    canonicals are usually scraper spam pointing at the victim — the
+    conservative crawl rule is to ignore them).
+
+    Composition for recrawl dedup — URL-spelling variants AND declared
+    mirrors collapse to one key, survivor still keeps its own bytes::
+
+        key = F.coalesce(F.col("canonical"), F.col("url"))
+        docs = keep_latest_crawl(canonical_url(docs).withColumn("_k", key),
+                                 url_col="_k")
+
+    Pure Catalyst (regexp_extract + string expressions), same plan
+    guarantee as ``extract_links``.
+    """
+    s = _decoded(df, html_col, charset)
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    link1 = F.regexp_extract(
+        s,
+        r"(?is)<link\s[^>]*rel\s*=\s*[\"']?canonical[\"']?[^>]*href\s*=\s*[\"']([^\"']+)[\"']",
+        1,
+    )
+    link2 = F.regexp_extract(
+        s,
+        r"(?is)<link\s[^>]*href\s*=\s*[\"']([^\"']+)[\"'][^>]*rel\s*=\s*[\"']?canonical",
+        1,
+    )
+    og1 = F.regexp_extract(
+        s,
+        r"(?is)<meta\s[^>]*property\s*=\s*[\"']og:url[\"'][^>]*content\s*=\s*[\"']([^\"']+)[\"']",
+        1,
+    )
+    og2 = F.regexp_extract(
+        s,
+        r"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']+)[\"'][^>]*property\s*=\s*[\"']og:url[\"']",
+        1,
+    )
+    first = F.when(link1 != "", link1).when(link2 != "", link2)
+    href = first.otherwise(F.when(og1 != "", og1).when(og2 != "", og2))
+    resolved = url_normalize(_resolve(F.trim(href), F.col(url_col)))
+    same_host = url_host(resolved) == url_host(F.col(url_col))
+    return df.withColumn(
+        out_col,
+        F.when(href.isNotNull() & (F.trim(href) != "") & same_host, resolved),
+    )
