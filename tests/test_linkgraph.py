@@ -351,3 +351,65 @@ def test_canonical_composes_with_keep_latest(spark):
     # both declared-canonical rows collapse, the newest survives with
     # its original url bytes; the undeclared page is untouched
     assert got == {"http://m.example/page": "v2", "http://m.example/other": "p>"}
+
+
+def _numpy_ppr(edges, n, alpha, iters, t):
+    """Personalized oracle: teleport vector t, dangling mass -> t."""
+    W = np.zeros((n, n))
+    for i, j in edges:
+        W[i, j] += 1.0
+    out = W.sum(axis=1)
+    r = t.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * W[i] / out[i]
+        dangling = r[out == 0].sum()
+        r = (1 - alpha) * t + alpha * (contrib + dangling * t)
+    return r
+
+
+def test_trustrank_matches_numpy_and_demotes_spam_farm(spark):
+    # trusted cluster: 0 <-> 1, 1 -> 2; spam farm: 3,4,5 all cite each
+    # other (inflates uniform PageRank) but no trusted path reaches it
+    edges = [(0, 1), (1, 0), (1, 2), (3, 4), (4, 5), (5, 3), (4, 3), (3, 5)]
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i, j in edges], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("n0",), ("n1",)], "node string")
+    t = np.array([0.5, 0.5, 0, 0, 0, 0.0])
+    want = _numpy_ppr(edges, 6, 0.85, 20, t)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=20, tol=None, teleport=seeds).collect()
+    }
+    for i in range(6):
+        assert got[f"n{i}"] == pytest.approx(want[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the farm's mutual citations earn ~nothing without trusted inlinks
+    assert max(got["n3"], got["n4"], got["n5"]) < 1e-9
+    # ...while uniform PageRank rewards the farm above the trusted tail
+    uni = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=20, tol=None).collect()
+    }
+    assert min(uni["n3"], uni["n4"], uni["n5"]) > uni["n2"] * 0.9
+
+
+def test_trustrank_weighted_seeds(spark):
+    edges = [(0, 2), (1, 2), (2, 0)]
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i, j in edges], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("n0", 3.0), ("n1", 1.0)], "node string, w double")
+    t = np.array([0.75, 0.25, 0.0])
+    want = _numpy_ppr(edges, 3, 0.85, 15, t)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=15, tol=None, teleport=seeds).collect()
+    }
+    for i in range(3):
+        assert got[f"n{i}"] == pytest.approx(want[i], abs=1e-9)
+    with pytest.raises(ValueError, match="zero total weight"):
+        pagerank(df, teleport=spark.createDataFrame([("n0", 0.0)], "node string, w double"))

@@ -184,18 +184,26 @@ def pagerank(
     alpha: float = 0.85,
     max_iter: int = 20,
     tol: float | None = 1e-6,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) by damped power iteration over ``edges``.
 
-    Semantics (Page et al. 1999, the uniform-teleport formulation):
-    ``r' = (1-alpha)/N + alpha * (P^T r + dangling_mass/N)`` where P is
-    the row-stochastic transition matrix over out-edges (``weight``
-    column taken as edge multiplicity when given) and dangling_mass is
-    the summed rank of nodes with no out-edges, redistributed
-    uniformly.  Ranks sum to 1 at every iteration.  Stops after
-    ``max_iter`` iterations or when the L1 delta drops below ``tol``
-    (pass ``tol=None`` to always run ``max_iter`` — what the numpy
-    parity test does).
+    Semantics (Page et al. 1999): ``r' = (1-alpha)*t + alpha *
+    (P^T r + dangling_mass * t)`` where P is the row-stochastic
+    transition matrix over out-edges (``weight`` column taken as edge
+    multiplicity when given), dangling_mass is the summed rank of
+    nodes with no out-edges, and t is the teleport distribution —
+    uniform 1/N by default, or PERSONALIZED via ``teleport``: a
+    DataFrame of trusted seed nodes (first column; optional second
+    column = seed weight), normalized to sum 1, zero elsewhere.  The
+    personalized form is TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2004): trust flows out of hand-vetted seeds, so link farms —
+    which inflate uniform PageRank by citing each other — score ~0
+    unless a trusted path reaches them.  Ranks sum to 1 at every
+    iteration (seeded runs start at r=t).  Stops after ``max_iter``
+    iterations or when the L1 delta drops below ``tol`` (pass
+    ``tol=None`` to always run ``max_iter`` — what the numpy parity
+    test does).
 
     Scale: the probability-normalized edge table is built once and
     persisted; per iteration the only moving data is the rank vector
@@ -231,7 +239,22 @@ def pagerank(
     )
     probs.count()  # materialize once; every iteration reuses the cache
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    if teleport is None:
+        tnodes = nodes.select("node", F.lit(1.0 / n).alias("t"))
+    else:
+        tc = teleport.columns
+        tw = F.col(tc[1]).cast("double") if len(tc) > 1 else F.lit(1.0)
+        seeds = teleport.select(F.col(tc[0]).alias("node"), tw.alias("tw"))
+        tot = seeds.agg(F.sum("tw")).collect()[0][0]
+        if not tot:
+            raise ValueError("teleport seeds have zero total weight")
+        tnodes = nodes.join(seeds, "node", "left").select(
+            "node", (F.coalesce(F.col("tw"), F.lit(0.0)) / tot).alias("t")
+        )
+    tnodes = tnodes.persist()
+    tnodes.count()
+
+    ranks = tnodes.select("node", F.col("t").alias("rank")).localCheckpoint()
     src_nodes = outw.select(F.col("src").alias("node"))
     for _ in range(max_iter):
         dangling = (
@@ -244,14 +267,15 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
         )
-        base = (1.0 - alpha) / n + alpha * dangling / n
+        tscale = (1.0 - alpha) + alpha * dangling
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            tnodes.join(contribs, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + alpha * F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.col("t") * F.lit(tscale)
+                    + alpha * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
@@ -269,6 +293,7 @@ def pagerank(
             ranks = new_ranks
     probs.unpersist()
     nodes.unpersist()
+    tnodes.unpersist()
     return ranks
 
 
