@@ -306,6 +306,33 @@ def main() -> None:
     res["clean_pipeline_out_docs"] = n_out
     print("LEG clean pipeline done", res["clean_pipeline_sec"], file=sys.stderr)
 
+    # learned quality classifier (r5): bounded-sample training + the
+    # full-corpus scoring pass (the part that runs at 10^12 docs).
+    # Positives get a planted trusted-vocabulary suffix so the model
+    # has signal; accuracy gates live in tests/test_quality_clf.py —
+    # this leg measures the train wall and map-only scoring throughput.
+    from whoosh_novo_spark.functions.quality_clf import (
+        quality_probability,
+        train_quality_classifier,
+    )
+
+    sample = clean_in.limit(20_000)
+    pos = sample.withColumn(
+        "text", F.concat("text", F.lit(" peer reviewed methodology archive"))
+    )
+    neg = sample.withColumn(
+        "text", F.concat("text", F.lit(" click winner casino bonus free"))
+    )
+    t0 = time.time()
+    qm = train_quality_classifier(pos, neg, max_iter=20)
+    res["quality_train_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_scored = quality_probability(clean_in, qm).where(F.col("quality_p") >= 0).count()
+    el = time.time() - t0
+    res["quality_score_sec"] = round(el, 2)
+    res["quality_score_docs_per_sec"] = round(n_scored / el)
+    print("LEG quality done", res["quality_score_sec"], file=sys.stderr)
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "pipeline.json"), "w") as f:
         json.dump(res, f, indent=1)
