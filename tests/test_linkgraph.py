@@ -413,3 +413,40 @@ def test_trustrank_weighted_seeds(spark):
         assert got[f"n{i}"] == pytest.approx(want[i], abs=1e-9)
     with pytest.raises(ValueError, match="zero total weight"):
         pagerank(df, teleport=spark.createDataFrame([("n0", 0.0)], "node string, w double"))
+
+
+def test_nofollow_and_meta_robots(spark):
+    from whoosh_novo_spark.operators.linkgraph import meta_robots
+
+    html = (
+        '<a href="http://f.example/a" rel="nofollow">paid</a>'
+        "<a href='http://f.example/b' rel=ugc>comment</a>"
+        '<a href="http://f.example/c" rel="noopener sponsored">ad</a>'
+        '<a href="http://f.example/d" rel="noopener">organic</a>'
+        '<a href="http://f.example/e">plain</a>'
+    )
+    df = spark.createDataFrame([("http://s.example/", html)], "url string, html string")
+    followed = sorted(r["dst"] for r in extract_links(df, drop_nofollow=True).collect())
+    assert followed == ["http://f.example/d", "http://f.example/e"]
+    assert extract_links(df).count() == 5  # default keeps everything
+
+    pages = [
+        ("p1", '<meta name="robots" content="noindex, follow">'),
+        ("p2", '<meta content="nofollow" name="robots">'),
+        ("p3", '<meta name="robots" content="none">'),
+        ("p4", '<meta name="robots" content="noodp">'),  # substring, no match
+        ("p5", "<p>nothing</p>"),
+    ]
+    got = {
+        r["url"]: (r["robots_noindex"], r["robots_nofollow"])
+        for r in meta_robots(
+            spark.createDataFrame(pages, "url string, html string")
+        ).collect()
+    }
+    assert got == {
+        "p1": (True, False),
+        "p2": (False, True),
+        "p3": (True, True),
+        "p4": (False, False),
+        "p5": (False, False),
+    }

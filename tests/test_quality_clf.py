@@ -114,3 +114,32 @@ def test_clean_corpus_quality_stage(spark, model):
     assert [r["doc_id"] for r in out.collect()] == ["d1"]
     with pytest.raises(ValueError, match="needs options"):
         clean_corpus(df, stages=("quality",))
+
+
+def test_quality_scoring_streams(spark, model, tmp_path):
+    """The scoring pass is map-only, so it must compose unchanged with
+    Structured Streaming — per-row probabilities identical to batch."""
+    src = str(tmp_path / "qsrc")
+    rows = [(f"d{i}", t) for i, t in enumerate(_docs(GOOD, 8, 21) + _docs(BAD, 8, 22))]
+    df = spark.createDataFrame(rows, "id string, text string")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("id string, text string").parquet(src)
+    scored = quality_probability(stream, model)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("qclf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: round(r["quality_p"], 9)
+        for r in spark.sql("select * from qclf_stream").collect()
+    }
+    want = {
+        r["id"]: round(r["quality_p"], 9)
+        for r in quality_probability(df, model).collect()
+    }
+    assert got == want and len(got) == 16

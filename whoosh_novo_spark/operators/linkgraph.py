@@ -112,6 +112,7 @@ def extract_links(
     html_col: str = "html",
     charset: str = "UTF-8",
     drop_self: bool = True,
+    drop_nofollow: bool = False,
 ) -> DataFrame:
     """(src, dst, anchor) for every hyperlink in ``html_col``.
 
@@ -120,8 +121,12 @@ def extract_links(
     fragment-only / tracking-param variants of one target collapse).
     Non-document schemes (javascript:, mailto:, tel:, data:, ftp:) and
     pure-fragment hrefs are dropped; with ``drop_self`` links that
-    resolve back to the page itself are too.  One output row per
-    anchor occurrence — aggregate downstream (``host_graph``,
+    resolve back to the page itself are too.  ``drop_nofollow`` drops
+    links carrying ``rel=nofollow`` (or its ugc/sponsored refinements)
+    — the convention by which a page disclaims endorsement, so a
+    PageRank feed should set it (anchor-TEXT aggregation may keep
+    them; hence off by default and chosen per consumer).  One output
+    row per anchor occurrence — aggregate downstream (``host_graph``,
     ``inlink_anchor_text``) where the weighting is chosen.
 
     Whole plan is JVM expressions (regexp_extract_all + explode +
@@ -132,6 +137,13 @@ def extract_links(
     els = F.regexp_extract_all(s, F.lit(r"(?is)(<a\s[^>]*>.*?</a\s*>)"), 1)
     el = F.explode(els).alias("_el")
     out = df.select(F.col(url_col).alias("src"), el)
+    if drop_nofollow:
+        nf = (
+            r"(?is)\brel\s*=\s*(\"[^\"]*\b(nofollow|ugc|sponsored)\b[^\"]*\""
+            r"|'[^']*\b(nofollow|ugc|sponsored)\b[^']*'"
+            r"|[^\s>\"']*(nofollow|ugc|sponsored))"
+        )
+        out = out.where(~F.col("_el").rlike(nf))
 
     dq = F.regexp_extract("_el", r"(?is)\bhref\s*=\s*\"([^\"]*)\"", 1)
     sq = F.regexp_extract("_el", r"(?is)\bhref\s*=\s*'([^']*)'", 1)
@@ -402,3 +414,41 @@ def canonical_url(
         out_col,
         F.when(href.isNotNull() & (F.trim(href) != "") & same_host, resolved),
     )
+
+
+def meta_robots(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    charset: str = "UTF-8",
+) -> DataFrame:
+    """Attach ``robots_noindex`` / ``robots_nofollow`` booleans from the
+    page's ``<meta name="robots" content="...">`` directive (either
+    attribute order; ``none`` means both, per the published robots
+    meta-tag convention).  A crawl pipeline drops noindex pages before
+    ``build_segment`` and excludes nofollow pages' outlinks from
+    PageRank; both compose as plain filters::
+
+        pages = meta_robots(docs)
+        to_index = pages.where(~F.col("robots_noindex"))
+        links = extract_links(pages.where(~F.col("robots_nofollow")))
+
+    Pure Catalyst, same plan guarantee as the other extractors here.
+    """
+    s = _decoded(df, html_col, charset)
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    c1 = F.regexp_extract(
+        s,
+        r"(?is)<meta\s[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*content\s*=\s*[\"']([^\"']*)[\"']",
+        1,
+    )
+    c2 = F.regexp_extract(
+        s,
+        r"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']*)[\"'][^>]*name\s*=\s*[\"']?robots[\"']?",
+        1,
+    )
+    content = F.lower(F.when(c1 != "", c1).otherwise(c2))
+    has = lambda kw: content.rlike(rf"(^|[\s,]){kw}([\s,]|$)")  # noqa: E731
+    return df.withColumn(
+        "robots_noindex", has("noindex") | has("none")
+    ).withColumn("robots_nofollow", has("nofollow") | has("none"))
