@@ -450,3 +450,38 @@ def test_nofollow_and_meta_robots(spark):
         "p4": (False, False),
         "p5": (False, False),
     }
+
+
+def test_docmap_materialized_prior(spark, tmp_path):
+    """The page-granularity scale path static_prior_boost's docstring
+    prescribes: at 10^12 docs the prior is written INTO the docmap as a
+    stored column at build time (one per-row value, no external prior
+    table at serving); the serving join reads only (docid, prior) via
+    docmap column pruning."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.fusion import static_prior_boost
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", "solar words solar data", 1e-3),
+            ("u2", "solar words solar data", 1e-6),
+        ],
+        "url string, text string, pr double",
+    )
+    store = SegmentStore(str(tmp_path / "ix"))
+    cfg = IndexConfig(
+        id_col="url", fields=(FieldConfig("text"),), stored_cols=("pr",)
+    )
+    build_segment(spark, docs, cfg, store, partitions=2)
+    s = Searcher(Index(spark, store, cfg))
+    hits = s.search(ast.Term("text", "solar"), limit=5)
+    prior = s.index.docmap(["docid", "pr"])
+    boosted = static_prior_boost(hits, prior, w=1.0).collect()
+    # identical BM25 scores; the stored prior breaks the tie toward u1
+    docmap = {r["docid"]: r["url"] for r in s.index.docmap(["docid", "url"]).collect()}
+    assert docmap[boosted[0]["id"]] == "u1"
+    assert boosted[0]["boosted"] > boosted[1]["boosted"]
