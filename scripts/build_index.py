@@ -67,6 +67,14 @@ def main() -> None:
         "anchor text as a second field 'anchor_text' of the TARGET page "
         "(operators/linkgraph.py) — needs an html column, e.g. --from-warc",
     )
+    ap.add_argument(
+        "--pagerank-prior",
+        action="store_true",
+        help="compute host-level PageRank from the html column's links "
+        "and store each page's host rank as a docmap column 'pr' — the "
+        "materialized static prior fusion.static_prior_boost serves from "
+        "(needs an html column, e.g. --from-warc)",
+    )
     ap.add_argument("--full-entities", action="store_true")
     ap.add_argument("--positions", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
@@ -75,9 +83,22 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
 
+    import os
+
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("wns-build").getOrCreate()
+    # Under spark-submit these configs come from the submit command and
+    # the ones below are no-ops on the already-created session; when the
+    # script is run bare (local smoke), Spark's defaults (1g driver heap,
+    # 200 shuffle partitions x local[ALL] threads) OOM on iterative work
+    # like --pagerank-prior — size them to the machine instead.
+    spark = (
+        SparkSession.builder.appName("wns-build")
+        .config("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
     # when launched via spark-submit the session already exists; make sure
     # the package zip reaches executors even without --py-files
     try:
@@ -154,32 +175,47 @@ def main() -> None:
         from whoosh_novo_spark.operators.dedup import keep_latest_crawl
 
         docs = keep_latest_crawl(docs, url_col=args.id_col)
-    if args.anchors:
+    fields = [FieldConfig(args.text_col, positions=args.positions)]
+    keep = [args.id_col, args.text_col]
+    stored: tuple[str, ...] | None = None
+    if args.anchors or args.pagerank_prior:
         from pyspark.sql import functions as F
 
-        from whoosh_novo_spark.operators.linkgraph import (
-            extract_links,
-            inlink_anchor_text,
-        )
+        from whoosh_novo_spark.operators.linkgraph import extract_links
 
         if "html" not in docs.columns:
-            ap.error("--anchors needs an html column (e.g. --from-warc)")
-        anch = inlink_anchor_text(
-            extract_links(docs, url_col=args.id_col)
-        ).withColumnRenamed("url", args.id_col)
+            ap.error(
+                "--anchors/--pagerank-prior need an html column (e.g. --from-warc)"
+            )
+        links = extract_links(docs, url_col=args.id_col)
+    if args.anchors:
+        from whoosh_novo_spark.operators.linkgraph import inlink_anchor_text
+
+        anch = inlink_anchor_text(links).withColumnRenamed("url", args.id_col)
         docs = docs.join(anch, args.id_col, "left").withColumn(
             "anchor_text", F.coalesce("anchor_text", F.lit(""))
         )
-        cfg = IndexConfig(
-            id_col=args.id_col,
-            fields=(
-                FieldConfig(args.text_col, positions=args.positions),
-                FieldConfig("anchor_text"),
-            ),
+        fields.append(FieldConfig("anchor_text"))
+        keep.append("anchor_text")
+    if args.pagerank_prior:
+        # host-level PageRank written INTO the docmap as a stored column
+        # — the page-granularity prior path static_prior_boost documents:
+        # no external prior table at serving, docmap([docid, pr]) only
+        from whoosh_novo_spark.functions.urls import url_host
+        from whoosh_novo_spark.operators.linkgraph import host_graph, pagerank
+
+        pr = pagerank(
+            host_graph(links), src="src_host", dst="dst_host",
+            weight="weight", max_iter=15,
+        ).withColumnRenamed("node", "_pr_host")
+        docs = docs.withColumn("_pr_host", url_host(F.col(args.id_col)))
+        docs = docs.join(F.broadcast(pr), "_pr_host", "left").withColumn(
+            "pr", F.coalesce("rank", F.lit(0.0))
         )
-        docs = docs.select(args.id_col, args.text_col, "anchor_text")
-    else:
-        docs = docs.select(args.id_col, args.text_col)
+        keep.append("pr")
+        stored = ("pr",)
+    cfg = IndexConfig(id_col=args.id_col, fields=tuple(fields), stored_cols=stored)
+    docs = docs.select(*keep)
     t0 = time.time()
     m = build_segment(spark, docs, cfg, store, partitions=args.partitions)
     out = {
