@@ -11,8 +11,13 @@ edges (a reducer-skew landmine for any non-combinable plan), and the
 component families include both near-cliques (LSH-bucket shape) and a
 long chain (worst-case hash-min diameter).
 
-Usage: python scripts/linkgraph_scale_probe.py [n_edges] [n_hosts] [cpus]
-Writes BENCH/linkgraph_probe_<n_edges>.json and prints it.
+Usage: python scripts/linkgraph_scale_probe.py [n_edges] [n_hosts] [cpus] [n_fam]
+Writes BENCH/linkgraph_probe_<n_edges>_c<cpus>.json and prints it.
+
+Weak-scaling evidence (the north rule's two-cluster-size criterion
+applied to the graph ops): run the probe at (N edges, c cores) and
+(4N edges, 4c cores) — constant wall time = efficiency 1.0; the pair
+of JSONs carries both walls.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_fam_arg = int(sys.argv[4]) if len(sys.argv) > 4 else 150_000
 
     from pyspark.sql import functions as F
 
@@ -36,6 +42,7 @@ def main() -> None:
     from whoosh_novo_spark.operators.linkgraph import pagerank
     from whoosh_novo_spark.session import get_spark
 
+    load0 = os.getloadavg()[0]
     spark = get_spark("wns-linkgraph-probe", cores=cpus, shuffle_partitions=cpus)
     os.makedirs("BENCH", exist_ok=True)
 
@@ -76,7 +83,7 @@ def main() -> None:
     # 150k 4-node stars (LSH-bucket shape, diameter 2) + one 16-node
     # chain (multi-round worst case; hash-min rounds = max diameter, so
     # the chain, not the stars, sets the iteration count)
-    n_fam = 150_000
+    n_fam = n_fam_arg
     star = (
         spark.range(n_fam * 3)
         .select(
@@ -115,9 +122,9 @@ def main() -> None:
         "cc_expected_components": n_fam + 1,
         "cc_wall_sec": round(cc_wall, 1),
         "cc_pairs_per_sec": int(n_pairs / cc_wall),
-        "loadavg_start": os.getloadavg()[0],
+        "loadavg_start": round(load0, 2),
     }
-    path = f"BENCH/linkgraph_probe_{n_edges}.json"
+    path = f"BENCH/linkgraph_probe_{n_edges}_c{cpus}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
