@@ -70,7 +70,9 @@ def connected_components(
         new_labels = (
             labels.join(neigh, "node", "left")
             .select("node", F.least("label", "nl").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count job below materializes it, so each
+            # round is ONE job, not two (barrier floor, §0r5lg2)
+            .localCheckpoint(eager=False)
         )
         changed = (
             labels.withColumnRenamed("label", "l0")

@@ -269,30 +269,33 @@ def pagerank(
     ranks = tnodes.select("node", F.col("t").alias("rank")).localCheckpoint()
     src_nodes = outw.select(F.col("src").alias("node"))
     for _ in range(max_iter):
-        dangling = (
-            ranks.join(src_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass rides INSIDE the plan as a broadcast 1-row agg —
+        # no separate driver job per iteration (the per-round barrier
+        # floor measured in BENCH/BASELINE.md §0r5lg2); the checkpoint
+        # is lazy when a delta job will materialize it anyway
+        dangling = ranks.join(src_nodes, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contribs = (
             ranks.join(probs, ranks.node == probs.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
         )
-        tscale = (1.0 - alpha) + alpha * dangling
+        tscale = F.lit(1.0 - alpha) + F.lit(alpha) * F.col("dm")
         new_ranks = (
             tnodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.col("t") * F.lit(tscale)
+                    F.col("t") * tscale
                     + alpha * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=tol is None)
         )
         if tol is not None:
-            delta = (
+            delta = (  # this job also materializes the lazy checkpoint
                 ranks.withColumnRenamed("rank", "r0")
                 .join(new_ranks, "node")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
