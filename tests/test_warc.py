@@ -112,3 +112,62 @@ def test_full_chain_warc_to_query(spark, tmp_path):
     assert len(hits) == 1
     old = s.search(ast.Term("text", "render"), limit=5).collect()
     assert old == []  # only the NEWEST capture of /page was indexed
+
+
+def _record(url: str, http: bytes) -> bytes:
+    header = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return header + http + b"\r\n\r\n"
+
+
+def test_http_body_chunked_and_gzip():
+    import gzip as _gz
+
+    from whoosh_novo_spark.sources.warc import parse_warc_bytes
+
+    html = b"<html><body>chunked gzip page body</body></html>"
+
+    def chunks(b: bytes, size: int) -> bytes:
+        out = b""
+        for i in range(0, len(b), size):
+            c = b[i : i + size]
+            out += f"{len(c):x}\r\n".encode() + c + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    # chunked identity
+    http1 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunks(html, 7)
+    )
+    # gzip content-encoding
+    gz = _gz.compress(html)
+    http2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        + f"Content-Length: {len(gz)}\r\n\r\n".encode() + gz
+    )
+    # chunked + gzip together (decode order: dechunk, then gunzip)
+    http3 = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunks(gz, 11)
+    )
+    # malformed chunk framing -> raw bytes kept, record not dropped
+    http4 = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"zz\r\nnot-a-chunk"
+    )
+    data = (
+        _record("http://c1.example/", http1)
+        + _record("http://c2.example/", http2)
+        + _record("http://c3.example/", http3)
+        + _record("http://c4.example/", http4)
+    )
+    got = {u: b for u, _, b in parse_warc_bytes(data)}
+    assert got["http://c1.example/"] == html
+    assert got["http://c2.example/"] == html
+    assert got["http://c3.example/"] == html
+    assert got["http://c4.example/"] == b"zz\r\nnot-a-chunk"

@@ -64,16 +64,64 @@ def _parse_warc_date(value: str) -> dt.datetime | None:
     return parsed
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` HTTP body (hex size
+    line, CRLF, chunk, CRLF, ... 0-size terminator).  Raises on any
+    malformed framing — the caller falls back to the raw bytes."""
+    out, pos = [], 0
+    while True:
+        nl = body.index(b"\r\n", pos)
+        size = int(body[pos:nl].split(b";")[0], 16)
+        if size == 0:
+            return b"".join(out)
+        start = nl + 2
+        chunk = body[start : start + size]
+        if len(chunk) != size:
+            raise ValueError("truncated chunk")
+        out.append(chunk)
+        pos = start + size + 2
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Body of an HTTP response payload: bytes after the header block.
-    A payload that does not look like HTTP is returned whole."""
+    """Body of an HTTP response payload: bytes after the header block,
+    with the two wire encodings real crawls store verbatim undone —
+    ``Transfer-Encoding: chunked`` reassembled and ``Content-Encoding:
+    gzip/deflate`` decompressed (Common Crawl keeps the raw HTTP bytes,
+    so both appear).  Conservative: any decode failure returns the
+    bytes as captured rather than dropping the record.  A payload that
+    does not look like HTTP is returned whole."""
     if not payload.startswith(b"HTTP/"):
         return payload
+    head, body = b"", b""
     for sep in (b"\r\n\r\n", b"\n\n"):
         idx = payload.find(sep)
         if idx != -1:
-            return payload[idx + len(sep):]
-    return b""
+            head, body = payload[:idx], payload[idx + len(sep):]
+            break
+    else:
+        return b""
+    h = _split_headers(head)  # status line has no ':' and is skipped
+    if "chunked" in h.get("transfer-encoding", "").lower():
+        try:
+            body = _dechunk(body)
+        except (ValueError, IndexError):
+            pass
+    enc = h.get("content-encoding", "").lower()
+    if "gzip" in enc:
+        try:
+            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+        except OSError:
+            pass
+    elif "deflate" in enc:
+        import zlib
+
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+            try:
+                body = zlib.decompress(body, wbits)
+                break
+            except zlib.error:
+                continue
+    return body
 
 
 def parse_warc_bytes(
