@@ -485,3 +485,35 @@ def test_docmap_materialized_prior(spark, tmp_path):
     docmap = {r["docid"]: r["url"] for r in s.index.docmap(["docid", "url"]).collect()}
     assert docmap[boosted[0]["id"]] == "u1"
     assert boosted[0]["boosted"] > boosted[1]["boosted"]
+
+
+def test_extract_links_streams(spark, tmp_path):
+    """extract_links is a stateless projection (explode + string ops),
+    so a continuous crawl can extract its link table in-stream —
+    per-row output identical to batch."""
+    src = str(tmp_path / "lsrc")
+    rows = [
+        (f"http://s{i}.example/p",
+         f'<a href="http://t{i}.example/q">anchor {i}</a>'
+         f'<a href="/local{i}">rel {i}</a>')
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("url string, html string").parquet(src)
+    q = (
+        extract_links(stream)
+        .writeStream.format("memory")
+        .queryName("links_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["src"], r["dst"], r["anchor"])
+        for r in spark.sql("select * from links_stream").collect()
+    }
+    want = {(r["src"], r["dst"], r["anchor"]) for r in extract_links(df).collect()}
+    assert got == want and len(got) == 12
