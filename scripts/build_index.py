@@ -68,6 +68,14 @@ def main() -> None:
         "(operators/linkgraph.py) — needs an html column, e.g. --from-warc",
     )
     ap.add_argument(
+        "--title",
+        action="store_true",
+        help="extract <title> from the html column and index it as a "
+        "boosted 'title' field alongside the body (BM25F title "
+        "weighting; needs an html column, e.g. --from-warc)",
+    )
+    ap.add_argument("--title-boost", type=float, default=2.0)
+    ap.add_argument(
         "--pagerank-prior",
         action="store_true",
         help="compute host-level PageRank from the html column's links "
@@ -178,6 +186,14 @@ def main() -> None:
     fields = [FieldConfig(args.text_col, positions=args.positions)]
     keep = [args.id_col, args.text_col]
     stored: tuple[str, ...] | None = None
+    if args.title:
+        from whoosh_novo_spark.sources.extract import ingest_title
+
+        if "html" not in docs.columns:
+            ap.error("--title needs an html column (e.g. --from-warc)")
+        docs = ingest_title(docs)
+        fields.append(FieldConfig("title", boost=args.title_boost))
+        keep.append("title")
     if args.anchors or args.pagerank_prior:
         from pyspark.sql import functions as F
 

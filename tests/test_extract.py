@@ -172,3 +172,70 @@ def test_streaming_html_ingest_matches_batch_build(spark, tmp_path):
     a2 = t2.groupBy("field", "term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
     docs.unpersist()
+
+
+def test_ingest_title_goldens(spark):
+    from whoosh_novo_spark.sources.extract import ingest_title
+
+    rows = [
+        ("p1", "<html><head><title> Solar &amp; Wind — Report </title></head></html>"),
+        ("p2", "<title>first</title><title>second ignored</title>"),
+        ("p3", '<TITLE class="x">caps\nand\nnewlines</TITLE>'),
+        ("p4", "<title><b>nested</b> markup</title>"),
+        ("p5", "<!-- <title>commented</title> --><p>no title</p>"),
+        ("p6", "<p>none at all</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["url"]: r["title"] for r in ingest_title(df).collect()}
+    assert got == {
+        "p1": "Solar & Wind — Report",
+        "p2": "first",
+        "p3": "caps and newlines",
+        "p4": "nested markup",
+        "p5": "",
+        "p6": "",
+    }
+    # binary html path + plan stays JVM-only
+    bdf = spark.createDataFrame(
+        [("b1", "<title>bytes title</title>".encode())], "url string, html binary"
+    )
+    out = ingest_title(bdf)
+    assert out.collect()[0]["title"] == "bytes title"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_title_field_bm25f_boost(spark, tmp_path):
+    """The schema whoosh's docs model: title + body fields, title terms
+    boosted — a title hit outranks a body-only hit for the same term."""
+    from whoosh_novo_spark.operators.build import build_segment
+    from whoosh_novo_spark.operators.query import Index, Searcher
+    from whoosh_novo_spark.plans import ast
+    from whoosh_novo_spark.schema import FieldConfig, IndexConfig
+    from whoosh_novo_spark.sources.extract import ingest_title
+    from whoosh_novo_spark.sources.segment_store import SegmentStore
+
+    pages = spark.createDataFrame(
+        [
+            ("u_title", "<html><title>quantum widgets</title>"
+             "<body>plain body words here</body></html>"),
+            ("u_body", "<html><title>other things</title>"
+             "<body>quantum appears only in body text</body></html>"),
+        ],
+        "url string, html string",
+    )
+    docs = ingest_title(pages)
+    from whoosh_novo_spark.sources.extract import ingest_html
+
+    docs = ingest_html(docs).select("url", "title", "text")
+    store = SegmentStore(str(tmp_path / "ix"))
+    cfg = IndexConfig(
+        id_col="url",
+        fields=(FieldConfig("title", boost=3.0), FieldConfig("text")),
+    )
+    build_segment(spark, docs, cfg, store, partitions=2)
+    s = Searcher(Index(spark, store, cfg))
+    q = ast.Or((ast.Term("title", "quantum"), ast.Term("text", "quantum")))
+    hits = s.search(q, limit=5).join(s.index.docmap(["docid", "url"]), "docid")
+    rows = hits.orderBy(F.desc("score")).collect()
+    assert [r["url"] for r in rows] == ["u_title", "u_body"]

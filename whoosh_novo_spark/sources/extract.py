@@ -138,3 +138,38 @@ def ingest_html(
     or exotic character references."""
     fn = extract_text_kernel if full_entities else extract_text_expr
     return df.withColumn(out_col, fn(html_col, charset=charset))
+
+
+def extract_title_expr(html, charset: str = "UTF-8") -> Column:
+    """The page's ``<title>`` text as a Catalyst expression: first
+    title element, inner markup stripped, core entities decoded,
+    whitespace collapsed.  Empty string when the page has none.
+    Takes a STRING column (``ingest_title`` handles binary decode).
+
+    The title is the classic second ranking field — index it alongside
+    the body (``FieldConfig("title", boost=...)`` or parser
+    ``multifield=['title','text'], field_boosts={'title': 2.0}``) for
+    BM25F-style weighting; whoosh's own docs model exactly that schema.
+    """
+    s = F.col(html) if isinstance(html, str) else html
+    s = F.regexp_replace(s, _COMMENT, "")
+    t = F.regexp_extract(s, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    t = F.regexp_replace(t, _ANY_TAG, " ")
+    for ent, rep in _NAMED_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def ingest_title(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "title",
+    charset: str = "UTF-8",
+) -> DataFrame:
+    """Attach ``out_col`` = the page title extracted from ``html_col``
+    (binary columns decoded with ``charset`` first).  Pure Catalyst —
+    composes with batch and streaming plans like ``ingest_html``."""
+    dtype = dict(df.dtypes).get(html_col)
+    c = F.col(html_col)
+    s = F.decode(c, charset) if dtype == "binary" else c
+    return df.withColumn(out_col, extract_title_expr(s, charset=charset))
