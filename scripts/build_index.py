@@ -83,6 +83,20 @@ def main() -> None:
         "materialized static prior fusion.static_prior_boost serves from "
         "(needs an html column, e.g. --from-warc)",
     )
+    ap.add_argument(
+        "--lang-routed",
+        action="store_true",
+        help="dispatch the text field's analyzer per ROW by the corpus "
+        "lang column (mixed-language build: per-language stemming, stop "
+        "lists and BM25 statistics; always available with --from-warc, "
+        "which derives lang at ingest)",
+    )
+    ap.add_argument(
+        "--report",
+        action="store_true",
+        help="print the corpus data card (counts, token quantiles, "
+        "language mix, dup rate, top domains) before building",
+    )
     ap.add_argument("--full-entities", action="store_true")
     ap.add_argument("--positions", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
@@ -183,8 +197,25 @@ def main() -> None:
         from whoosh_novo_spark.operators.dedup import keep_latest_crawl
 
         docs = keep_latest_crawl(docs, url_col=args.id_col)
-    fields = [FieldConfig(args.text_col, positions=args.positions)]
+    if args.lang_routed and "lang" not in docs.columns:
+        ap.error("--lang-routed needs a lang column (e.g. --from-warc)")
+    if args.report:
+        from whoosh_novo_spark.operators.report import corpus_report
+
+        print(json.dumps(corpus_report(
+            docs,
+            text_col=args.text_col,
+            lang_col="lang" if "lang" in docs.columns else None,
+            url_col=args.id_col,
+        )))
+    fields = [
+        FieldConfig(
+            args.text_col, positions=args.positions, lang_routed=args.lang_routed
+        )
+    ]
     keep = [args.id_col, args.text_col]
+    if args.lang_routed:
+        keep.append("lang")
     stored: tuple[str, ...] | None = None
     if args.title:
         from whoosh_novo_spark.sources.extract import ingest_title
@@ -252,13 +283,25 @@ def main() -> None:
         from whoosh_novo_spark.operators.query import Index, Searcher
         from whoosh_novo_spark.plans import ast
 
+        ix = Index(spark, store, cfg)
         terms = [t for t in args.query.split(",") if t]
+
+        def leaf(word: str) -> "ast.Query":
+            if not args.lang_routed:
+                return ast.Term(args.text_col, word)
+            # routed build: terms live in text@<lang> virtual fields —
+            # a cross-language query is the Or over the variants
+            variants = ix.lang_variants(args.text_col) or [args.text_col]
+            if len(variants) == 1:
+                return ast.Term(variants[0], word)
+            return ast.Or(tuple(ast.Term(v, word) for v in variants))
+
         q = (
-            ast.Term(args.text_col, terms[0])
+            leaf(terms[0])
             if len(terms) == 1
-            else ast.And(tuple(ast.Term(args.text_col, t) for t in terms))
+            else ast.And(tuple(leaf(t) for t in terms))
         )
-        s = Searcher(Index(spark, store, cfg))
+        s = Searcher(ix)
         t0 = time.time()
         rows = s.search(q, limit=args.k).collect()
         out["query"] = {

@@ -41,6 +41,7 @@ def test_cli_full_flag_surface(tmp_path):
         [
             sys.executable, os.path.join(REPO, "scripts", "build_index.py"),
             "--from-warc", "--keep-latest", "--anchors", "--pagerank-prior",
+            "--title", "--lang-routed", "--report",
             "--input", str(warc),
             "--index", str(tmp_path / "ix"),
             "--query", "solar", "--k", "3",
@@ -48,9 +49,13 @@ def test_cli_full_flag_surface(tmp_path):
         env=env, capture_output=True, text=True, timeout=540,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    res = json.loads(line)
-    # 3 records -> 2 docs (recrawl collapsed); the query finds the page
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    report, res = json.loads(lines[0]), json.loads(lines[-1])
+    # the data card describes the corpus actually indexed (after the
+    # recrawl dedup collapsed the re-captured URL)
+    assert report["n_docs"] == 2
+    # 3 records -> 2 docs (recrawl collapsed); the lang-routed query
+    # expands over text@<lang> variants and finds the page
     assert res["doc_count"] == 2
     assert res["query"]["terms"] == ["solar"]
     assert len(res["query"]["top"]) == 1
