@@ -68,6 +68,13 @@ def main() -> None:
         "(operators/linkgraph.py) — needs an html column, e.g. --from-warc",
     )
     ap.add_argument(
+        "--canonical",
+        action="store_true",
+        help="with --keep-latest: dedup on the page-declared canonical "
+        "URL (link rel=canonical / og:url) when present, so declared "
+        "mirrors collapse along with URL-spelling variants",
+    )
+    ap.add_argument(
         "--title",
         action="store_true",
         help="extract <title> from the html column and index it as a "
@@ -193,10 +200,27 @@ def main() -> None:
         docs = ingest_html(
             docs, out_col=args.text_col, full_entities=args.full_entities
         )
+    if args.canonical and not args.keep_latest:
+        ap.error("--canonical refines --keep-latest's dedup key; pass both")
     if args.keep_latest:
         from whoosh_novo_spark.operators.dedup import keep_latest_crawl
 
-        docs = keep_latest_crawl(docs, url_col=args.id_col)
+        if args.canonical:
+            # dedup key = the page-DECLARED canonical when present (so
+            # declared mirrors collapse too), else the URL itself; the
+            # surviving row keeps its own url bytes either way
+            from pyspark.sql import functions as F
+
+            from whoosh_novo_spark.operators.linkgraph import canonical_url
+
+            docs = canonical_url(docs, url_col=args.id_col).withColumn(
+                "_dedup_key", F.coalesce("canonical", args.id_col)
+            )
+            docs = keep_latest_crawl(docs, url_col="_dedup_key").drop(
+                "_dedup_key", "canonical"
+            )
+        else:
+            docs = keep_latest_crawl(docs, url_col=args.id_col)
     if args.lang_routed and "lang" not in docs.columns:
         ap.error("--lang-routed needs a lang column (e.g. --from-warc)")
     if args.report:

@@ -40,8 +40,8 @@ def test_cli_full_flag_surface(tmp_path):
     out = subprocess.run(
         [
             sys.executable, os.path.join(REPO, "scripts", "build_index.py"),
-            "--from-warc", "--keep-latest", "--anchors", "--pagerank-prior",
-            "--title", "--lang-routed", "--report",
+            "--from-warc", "--keep-latest", "--canonical", "--anchors",
+            "--pagerank-prior", "--title", "--lang-routed", "--report",
             "--input", str(warc),
             "--index", str(tmp_path / "ix"),
             "--query", "solar", "--k", "3",
