@@ -517,3 +517,52 @@ def test_extract_links_streams(spark, tmp_path):
     }
     want = {(r["src"], r["dst"], r["anchor"]) for r in extract_links(df).collect()}
     assert got == want and len(got) == 12
+
+
+def _numpy_hits(edges, n, iters):
+    E = np.zeros((n, n))
+    for i, j in edges:
+        E[i, j] = 1.0
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = h.copy()
+    for _ in range(iters):
+        a = E.T @ h
+        a = a / np.linalg.norm(a) if a.any() else a
+        h = E @ a
+        h = h / np.linalg.norm(h) if h.any() else h
+    return h, a
+
+
+def test_hits_matches_numpy_and_splits_roles(spark):
+    from whoosh_novo_spark.operators.linkgraph import hits
+
+    # 0,1 are pure hubs (link out to 2,3,4 = pure authorities);
+    # 5 is isolated-ish (one link in from nothing, one out to nothing)
+    edges = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (5, 0)]
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i, j in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, max_iter=15, tol=None).collect()
+    }
+    h, a = _numpy_hits(edges, 6, 15)
+    for i in range(6):
+        assert got[f"n{i}"][0] == pytest.approx(h[i], abs=1e-9)
+        assert got[f"n{i}"][1] == pytest.approx(a[i], abs=1e-9)
+    # role split: the big hub n0 tops hub scores, n2/n3 top authorities
+    assert got["n0"][0] == max(v[0] for v in got.values())
+    assert got["n2"][1] == max(v[1] for v in got.values())
+    assert got["n2"][0] == pytest.approx(0.0, abs=1e-12)  # pure authority
+
+
+def test_hits_early_stop_converges(spark):
+    from whoosh_novo_spark.operators.linkgraph import hits
+
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in hits(df, max_iter=50, tol=1e-10).collect()}
+    # fixed point of the 2x2 hub/authority system (dominant eigenvector)
+    h, a = _numpy_hits([(0, 2), (0, 3), (1, 2)], 4, 60)
+    assert got["h1"]["hub"] == pytest.approx(h[0], abs=1e-6)
+    assert got["a1"]["authority"] == pytest.approx(a[2], abs=1e-6)

@@ -455,3 +455,109 @@ def meta_robots(
     return df.withColumn(
         "robots_noindex", has("noindex") | has("none")
     ).withColumn("robots_nofollow", has("nofollow") | has("none"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+) -> DataFrame:
+    """(node, hub, authority) by HITS power iteration (Kleinberg 1999,
+    JACM): ``a' = E^T h``, ``h' = E a'``, each vector L2-normalized per
+    round.  PageRank's complement as a link signal: authority rewards
+    being cited by good HUBS (directories, link lists) rather than by
+    high-traffic pages generally — the pair is the classic topic-portal
+    vs endpoint split.
+
+    Scale shape mirrors ``pagerank``: the edge table is persisted once;
+    each half-step is one join of a node-sized vector with the edges
+    plus a map-side-combinable sum; the L2 norm rides in-plan as a
+    broadcast one-row aggregate (no driver collect per round); rounds
+    end in a lazy ``localCheckpoint`` that the convergence job
+    materializes.  Stops when the L1 delta of both vectors drops below
+    ``tol`` (``tol=None`` runs exactly ``max_iter`` rounds — the numpy
+    parity mode).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+
+    def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return df.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    import math
+
+    hv = nodes.select(
+        "node", F.lit(1.0 / math.sqrt(n)).alias("hub")
+    ).localCheckpoint()
+    av = nodes.select("node", F.lit(1.0 / math.sqrt(n)).alias("authority"))
+    for _ in range(max_iter):
+        new_a = (
+            hv.join(e, hv.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        new_a = _l2_normalized(
+            nodes.join(new_a, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        ).localCheckpoint(eager=tol is None)
+        new_h = (
+            new_a.join(e, new_a.node == e.dst)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        new_h = _l2_normalized(
+            nodes.join(new_h, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=tol is None)
+        if tol is not None:
+            delta = (
+                hv.withColumnRenamed("hub", "h0")
+                .join(new_h, "node")
+                .join(av.withColumnRenamed("authority", "a0"), "node")
+                .join(new_a, "node")
+                .agg(
+                    F.sum(
+                        F.abs(F.col("hub") - F.col("h0"))
+                        + F.abs(F.col("authority") - F.col("a0"))
+                    )
+                )
+                .collect()[0][0]
+            )
+            hv, av = new_h, new_a
+            if delta < tol:
+                break
+        else:
+            hv, av = new_h, new_a
+    out = hv.join(av, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out
