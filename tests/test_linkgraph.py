@@ -566,3 +566,38 @@ def test_hits_early_stop_converges(spark):
     h, a = _numpy_hits([(0, 2), (0, 3), (1, 2)], 4, 60)
     assert got["h1"]["hub"] == pytest.approx(h[0], abs=1e-6)
     assert got["a1"]["authority"] == pytest.approx(a[2], abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_pagerank_random_graph_sweep(spark, seed):
+    """Random digraphs (parallel edges collapse to weights, dangling
+    nodes, disconnected pieces) vs the dense oracle."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = rng.randint(5, 18)
+    edges = []
+    for _ in range(rng.randint(n, 3 * n)):
+        i, j = rng.randrange(n), rng.randrange(n)
+        if i != j:
+            edges.append((i, j))
+    if not edges:
+        edges = [(0, 1)]
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i, j in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=12, tol=None).collect()
+    }
+    # the operator's universe is the ids present in edges — remap them
+    # to a compact index so the oracle shares the same node set
+    present = sorted({x for e in edges for x in e})
+    idx = {v: k for k, v in enumerate(present)}
+    want = _numpy_pagerank(
+        [(idx[i], idx[j]) for i, j in edges], len(present), 0.85, 12
+    )
+    assert set(got) == {f"n{i}" for i in present}
+    for v in present:
+        assert got[f"n{v}"] == pytest.approx(want[idx[v]], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
