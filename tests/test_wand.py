@@ -80,6 +80,26 @@ def test_wand_many_buckets(built):
         assert got == exact, nb
 
 
+def test_blocks_path_route_matches_dataframe_route(built, spark):
+    """r6: build_blocks_from_path (pyarrow per-file fast path, the build's
+    stage-4c default) must produce exactly the block rows of the original
+    DataFrame route — same stats, same encoded blobs."""
+    from whoosh_novo_spark.operators.blocks import (
+        build_blocks,
+        build_blocks_from_path,
+    )
+
+    ix, _ = built
+    seg = ix.manifest.segments[0]
+    ppath = ix.store.table_path(seg.segment_id, "postings")
+    via_df = build_blocks(spark, spark.read.parquet(ppath), 32).collect()
+    via_path = build_blocks_from_path(spark, ppath, 32).collect()
+    key = lambda r: (r["field"], r["term"], r["min_docid"])  # noqa: E731
+    a = sorted(([*r] for r in via_df), key=lambda r: (r[0], r[1], r[4]))
+    b = sorted(([*r] for r in via_path), key=lambda r: (r[0], r[1], r[4]))
+    assert a == b and len(a) > 0
+
+
 def test_blocks_metadata(built):
     """Block invariants: sorted disjoint runs, skip pointers consistent."""
     ix, _ = built

@@ -277,10 +277,105 @@ def ngram_aggregate_batch(
     return out, lens
 
 
+def tf_aggregate(
+    row_k: np.ndarray, term_k: np.ndarray, n_rows: int, stem_fn=None
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """(row, term) token pairs -> per-(row, term) tf DataFrame + per-row
+    post-filter lengths, entirely on integer codes (factorize + one
+    integer-key ``np.unique``).  The generic build path's
+    ``pandas.groupby(["row", "term"]).size()`` hashes the term STRING once
+    per token; at web-corpus token counts that groupby is the analysis
+    stage's wall (guide §4.2: keep batch work in vectorized native code).
+
+    ``stem_fn(uniq: ndarray) -> ndarray`` (vectorized, e.g.
+    ``porter.stem_array``) is applied to the UNIQUE token array only; tf
+    of tokens that stem to the same term within a doc are merged with a
+    second integer-key pass, matching the token-stream semantics."""
+    empty = pd.DataFrame(
+        {"row": np.array([], dtype=np.int64), "term": [], "tf": []}
+    )
+    if len(row_k) == 0:
+        return empty, np.zeros(n_rows, dtype=np.int64)
+    lens_doc = np.bincount(row_k, minlength=n_rows).astype(np.int64)
+    codes, uniq = pd.factorize(pd.Series(term_k, dtype=object))
+    uniq = np.asarray(uniq, dtype=object)
+    if stem_fn is not None:
+        stemmed = stem_fn(uniq)
+        # re-code on the stemmed vocabulary (collisions merge below)
+        codes2, uniq2 = pd.factorize(pd.Series(stemmed, dtype=object))
+        codes, uniq = codes2[codes], np.asarray(uniq2, dtype=object)
+    U = len(uniq)
+    key = row_k.astype(np.int64) * U + codes
+    uk, tf = np.unique(key, return_counts=True)
+    rows2 = uk // U  # ascending: _first_of_row downstream needs row runs
+    out = pd.DataFrame(
+        {"row": rows2, "term": uniq[uk % U], "tf": tf.astype(np.int64)}
+    )
+    return out, lens_doc
+
+
+def _standard_kept_tokens(
+    texts: pd.Series,
+    stops: frozenset[str] | None = STOP_WORDS,
+    minsize: int = MIN_WORD_SIZE,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(row, lowered-term) pairs surviving the stop filter — the standard
+    chain minus position bookkeeping (tf-aggregated builds don't need
+    ordinals or renumbering)."""
+    row_idx, flat, _ord = _flatten_findall(texts)
+    n = len(texts)
+    if len(flat) == 0:
+        return row_idx, flat, n
+    lowered = pd.Series(flat, dtype=object).str.lower()
+    if stops is None:
+        return row_idx, lowered.to_numpy(), n
+    lens = lowered.str.len().to_numpy()
+    keep = (lens >= minsize) & ~lowered.isin(stops).to_numpy()
+    return row_idx[keep], lowered.to_numpy()[keep], n
+
+
+def standard_aggregate_batch(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
+    row_k, term_k, n = _standard_kept_tokens(texts)
+    return tf_aggregate(row_k, term_k, n)
+
+
+def stemming_aggregate_batch(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
+    from whoosh_novo_spark.functions.porter import stem_array
+
+    row_k, term_k, n = _standard_kept_tokens(texts)
+    return tf_aggregate(row_k, term_k, n, stem_fn=stem_array)
+
+
+def make_language_aggregate_batch(lang: str):
+    """tf-aggregated twin of ``make_language_analyzer_batch`` — same
+    chain (merged stop list, language stemmer on unique tokens), postings
+    identical when positions aren't kept."""
+    from whoosh_novo_spark.functions.snowball import (
+        stem_array_lang,
+        stemmer_for_language,
+        two_letter_code,
+    )
+    from whoosh_novo_spark.functions.stopwords import STOPWORDS
+
+    code = two_letter_code(lang)
+    lang_stops = STOPWORDS.get(code)
+    stops = None if lang_stops is None else frozenset(STOP_WORDS | lang_stops)
+    has_stem = stemmer_for_language(code) is not None
+    stem_fn = (lambda u: stem_array_lang(u, code)) if has_stem else None
+
+    def run(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
+        row_k, term_k, n = _standard_kept_tokens(texts, stops=stops)
+        return tf_aggregate(row_k, term_k, n, stem_fn=stem_fn)
+
+    return run
+
+
 #: analyzers with a tf-aggregated fast path (used by the build when the
 #: field doesn't need positions)
 AGGREGATE_ANALYZERS = {
     "ngram": ngram_aggregate_batch,
+    "standard": standard_aggregate_batch,
+    "stemming": stemming_aggregate_batch,
 }
 
 
@@ -758,6 +853,7 @@ ANALYZERS = {
 for _lang in ("en", "de", "fr", "es", "da", "no", "sv", "nl", "it", "pt",
               "ru", "fi", "ro", "hu", "tr", "ar", "zh"):
     ANALYZERS[f"lang_{_lang}"] = make_language_analyzer_batch(_lang)
+    AGGREGATE_ANALYZERS[f"lang_{_lang}"] = make_language_aggregate_batch(_lang)
 del _lang
 
 

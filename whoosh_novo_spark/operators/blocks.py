@@ -137,6 +137,87 @@ def build_blocks(
     return cols.mapInPandas(fold, BLOCKS_SCHEMA)
 
 
+def build_blocks_from_path(
+    spark: SparkSession, postings_path: str, block_limit: int = 128
+) -> DataFrame:
+    """``build_blocks`` reading the sorted postings parquet DIRECTLY with
+    pyarrow, one task per file — the fast path for the build.
+
+    The DataFrame route ships every posting row through the JVM parquet
+    reader and the JVM->Arrow->pandas boundary just to re-fold it in
+    Python (guide §4.1: the Python boundary cost is per-byte); at 1M docs
+    that boundary measured 29 s of the 60 s build.  Here each task hands
+    its file to pyarrow's C++ reader and only the ~n/128 folded block rows
+    (plus the encoded blobs) cross back to the JVM.  Files are written by
+    ``repartitionByRange(field, term, docid).sortWithinPartitions``, so a
+    file is exactly one sorted partition: folding per file yields the same
+    disjoint, sorted block runs as folding per partition.
+
+    Falls back to the DataFrame route when the path has a non-local scheme
+    Python workers can't open directly (e.g. hdfs://)."""
+    import os
+
+    from urllib.parse import urlparse
+
+    scheme = urlparse(postings_path).scheme
+    if scheme not in ("", "file"):
+        return build_blocks(
+            spark, spark.read.parquet(postings_path), block_limit
+        )
+    local = postings_path[7:] if postings_path.startswith("file://") else postings_path
+    files = sorted(
+        os.path.join(local, fn)
+        for fn in os.listdir(local)
+        if fn.endswith(".parquet")
+    )
+    if not files:
+        return build_blocks(
+            spark, spark.read.parquet(postings_path), block_limit
+        )
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(len(files))
+
+    def fold_files(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = _fold_file(p, block_limit)
+                if len(out):
+                    yield out
+
+    return paths.mapInPandas(fold_files, BLOCKS_SCHEMA)
+
+
+def _fold_file(path: str, block_limit: int) -> pd.DataFrame:
+    """Fold one sorted postings parquet file into block rows (pyarrow
+    native read; only per-block values materialize as Python objects)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["field", "term", "docid", "weight", "len_q"])
+    n = t.num_rows
+    if n == 0:
+        return pd.DataFrame()
+    docids = t.column("docid").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    weights = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    lens_q = t.column("len_q").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    fdict = pc.dictionary_encode(t.column("field").combine_chunks())
+    tdict = pc.dictionary_encode(t.column("term").combine_chunks())
+    fcodes = fdict.indices.to_numpy(zero_copy_only=False)
+    tcodes = tdict.indices.to_numpy(zero_copy_only=False)
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = (tcodes[1:] != tcodes[:-1]) | (fcodes[1:] != fcodes[:-1])
+    fvals = np.asarray(fdict.dictionary.to_pylist(), dtype=object)
+    tvals = np.asarray(tdict.dictionary.to_pylist(), dtype=object)
+    return _fold_core(
+        docids, weights, lens_q, change,
+        lambda idx: fvals[fcodes[idx]],
+        lambda idx: tvals[tcodes[idx]],
+        block_limit,
+    )
+
+
 def _fold_runs(pdf: pd.DataFrame, block_limit: int) -> pd.DataFrame:
     """Fold sorted postings into block rows — fully vectorized: per-block
     stats via reduceat, ONE varbyte encode over every delta, byte streams
@@ -151,6 +232,28 @@ def _fold_runs(pdf: pd.DataFrame, block_limit: int) -> pd.DataFrame:
     change = np.ones(n, dtype=bool)
     if n > 1:
         change[1:] = (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+    return _fold_core(
+        docids, weights, lens_q, change,
+        lambda idx: fields[idx],
+        lambda idx: terms[idx],
+        block_limit,
+    )
+
+
+def _fold_core(
+    docids: np.ndarray,
+    weights: np.ndarray,
+    lens_q: np.ndarray,
+    change: np.ndarray,
+    field_vals,
+    term_vals,
+    block_limit: int,
+) -> pd.DataFrame:
+    """Shared vectorized fold: ``change`` marks (field, term) run starts;
+    ``field_vals``/``term_vals`` gather the string values for an index
+    array (kept as callables so the arrow path materializes only the
+    per-block strings)."""
+    n = len(docids)
     run_start_idx = np.maximum.accumulate(np.where(change, np.arange(n), 0))
     pos_in_run = np.arange(n) - run_start_idx
     bstart = change | (pos_in_run % block_limit == 0)
@@ -181,8 +284,8 @@ def _fold_runs(pdf: pd.DataFrame, block_limit: int) -> pd.DataFrame:
     # dequantized length (which can exceed a byte)
     return pd.DataFrame(
         {
-            "field": fields[bstarts],
-            "term": terms[bstarts],
+            "field": field_vals(bstarts),
+            "term": term_vals(bstarts),
             "block_no": block_no,
             "n": (bends - bstarts).astype(np.int32),
             "min_docid": min_docid,

@@ -252,12 +252,51 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
         """Postings for one lang-routed field: per-language sub-batches
         through their chains, virtual field names, tf + optional
         positions (the generic path below, minus chars/boosts)."""
+        from whoosh_novo_spark.functions.analysis import (
+            AGGREGATE_ANALYZERS,
+            make_language_aggregate_batch,
+        )
+
         outs = []
         codes = pdf[lang_col].map(_lang_code).to_numpy(dtype=object)
         for code in sorted(set(codes)):
             sel = np.flatnonzero(codes == code)
+            sub = pdf[fc.name].iloc[sel].reset_index(drop=True)
+            sub_docids = docids[sel]
+            if not (want_positions and fc.positions):
+                # tf-aggregated twin of the chain (factorize/bincount; no
+                # per-token pandas groupby) — same postings, no positions
+                agg_fn = AGGREGATE_ANALYZERS.get(
+                    f"lang_{code}"
+                ) or make_language_aggregate_batch(code)
+                aggdf, lens = agg_fn(sub)
+                if len(aggdf) == 0:
+                    continue
+                len_q = quantized_length_np(np.maximum(lens, 0))
+                rows = aggdf["row"].to_numpy(dtype=np.int64)
+                tf = aggdf["tf"].to_numpy(dtype=np.int64)
+                out = pd.DataFrame(
+                    {
+                        "field": f"{fc.name}@{code}",
+                        "term": aggdf["term"],
+                        "docid": sub_docids[rows],
+                        "weight": tf.astype(np.float64) * fc.boost,
+                        "tf": tf.astype(np.int32),
+                        "len_q": len_q[rows].astype(np.int32),
+                        "positions": None,
+                        "_true_len": np.where(
+                            _first_of_row(rows), lens[rows], 0
+                        ).astype(np.int64),
+                    }
+                )
+                if any_chars:
+                    out["chars"] = None
+                if any_boosts:
+                    out["boosts"] = None
+                outs.append(out)
+                continue
             fn = _routed_analyzer(code, fc)
-            tb = fn(pdf[fc.name].iloc[sel].reset_index(drop=True))
+            tb = fn(sub)
             if len(tb.term) == 0:
                 continue
             tdf = pd.DataFrame({"row": tb.row, "term": tb.term, "pos": tb.pos})
@@ -271,7 +310,6 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
             lens = tb.doc_lengths()
             len_q = quantized_length_np(np.maximum(lens, 0))
             rows = agg["row"].to_numpy(dtype=np.int64)
-            sub_docids = docids[sel]
             out = pd.DataFrame(
                 {
                     "field": f"{fc.name}@{code}",
@@ -770,12 +808,12 @@ def _build_segment_locked(
     # stage 4c: posting blocks (skip pointers + block-max metadata,
     # whoosh3.py:806-824) for the WAND kernel
     if store.read_stage_marker(segment_id, "blocks") is None:
-        from whoosh_novo_spark.operators.blocks import build_blocks
+        from whoosh_novo_spark.operators.blocks import build_blocks_from_path
 
         t_b = time.time()
-        build_blocks(spark, postings, config.block_limit).write.mode(
-            "overwrite"
-        ).parquet(store.table_path(segment_id, "blocks"))
+        build_blocks_from_path(
+            spark, store.table_path(segment_id, "postings"), config.block_limit
+        ).write.mode("overwrite").parquet(store.table_path(segment_id, "blocks"))
         store.write_stage_marker(
             segment_id,
             "blocks",

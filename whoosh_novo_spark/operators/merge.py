@@ -258,11 +258,11 @@ def _merge_segments_locked(spark, store, config, segment_ids, partitions, os, t0
     }
     store.write_stage_marker(new_id, "doclens", {"field_length": totals})
 
-    from whoosh_novo_spark.operators.blocks import build_blocks
+    from whoosh_novo_spark.operators.blocks import build_blocks_from_path
 
-    build_blocks(spark, postings_new, config.block_limit).write.mode(
-        "overwrite"
-    ).parquet(store.table_path(new_id, "blocks"))
+    build_blocks_from_path(
+        spark, store.table_path(new_id, "postings"), config.block_limit
+    ).write.mode("overwrite").parquet(store.table_path(new_id, "blocks"))
     store.write_stage_marker(
         new_id,
         "blocks",

@@ -66,10 +66,39 @@ class Index:
         self.manifest: Manifest = store.read_manifest()
         if not self.manifest.segments:
             raise ValueError(f"no committed segments in {store.path}")
+        # per-table StructType cache: parquet schema inference reads file
+        # footers on EVERY spark.read.parquet call — ~60-80 ms of each
+        # sub-second query was re-inferring a schema that cannot change
+        # under an immutable committed manifest (guide §1: measure first;
+        # the profile showed read.parquet as the largest plan-build cost)
+        self._table_schema: dict[str, object] = {}
+        self._empty_scored: DataFrame | None = None
+
+    def _read_parquet(self, table: str, *paths: str) -> DataFrame:
+        # lazy-init (getattr): FederatedIndex and other Index subclasses
+        # construct without running this __init__
+        cache = getattr(self, "_table_schema", None)
+        if cache is None:
+            cache = self._table_schema = {}
+        sch = cache.get(table)
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(*paths)
+        df = self.spark.read.parquet(*paths)
+        cache[table] = df.schema
+        return df
+
+    def empty_scored(self) -> DataFrame:
+        """Cached empty (docid, score) relation — compile dead-ends reuse
+        it instead of paying a createDataFrame round-trip per query."""
+        if getattr(self, "_empty_scored", None) is None:
+            self._empty_scored = self.spark.createDataFrame(
+                [], "docid long, score double"
+            )
+        return self._empty_scored
 
     def _union_table(self, table: str) -> DataFrame:
         paths = self.store.table_paths(self.manifest, table)
-        return self.spark.read.parquet(*paths)
+        return self._read_parquet(table, *paths)
 
     def postings(self, apply_deletes: bool = True) -> DataFrame:
         df = self._union_table("postings")
@@ -129,7 +158,7 @@ class Index:
             # no file can contain the keys; scan one file so the plan
             # keeps the on-disk schema (caller's filters match nothing)
             keep = [ranges[0].path]
-        return self.spark.read.parquet(*keep)
+        return self._read_parquet(table, *keep)
 
     def postings_span(
         self,
@@ -198,7 +227,7 @@ class Index:
     def tombstones(self) -> DataFrame:
         p = self.store.tombstones_dir(self.manifest)
         if p is not None:
-            return self.spark.read.parquet(p).select("docid")
+            return self._read_parquet("tombstones", p).select("docid")
         return self.spark.createDataFrame([], "docid long")
 
     def docmap(
@@ -228,7 +257,7 @@ class Index:
         ):
             return None
         paths = [self.store.table_path(s.segment_id, "vectors") for s in segs]
-        df = self.spark.read.parquet(*paths).where(F.col("field") == fieldname)
+        df = self._read_parquet("vectors", *paths).where(F.col("field") == fieldname)
         if self.manifest.has_tombstones:
             # same read-time delete semantics as postings()/doclens():
             # key_terms/more_like must not see deleted docs' vectors
@@ -505,7 +534,7 @@ class Searcher:
     def score_df(self, q: ast.Query) -> DataFrame:
         """Full scored match set (docid, score) for a normalized query."""
         if isinstance(q, ast.NullQuery):
-            return self.index.spark.createDataFrame([], "docid long, score double")
+            return self.index.empty_scored()
         # Prefetch driver-side stats in ONE bounded lookup for every text
         # term leaf (cached mode; warm terms are free), or only for leaves
         # whose field/model combination can't use the joined-stats plan
@@ -645,7 +674,7 @@ class Searcher:
                 [docnum], fieldname, numterms=numterms, model=model, normalize=normalize
             )
         if not kts:
-            return self.index.spark.createDataFrame([], "docid long, score double")
+            return self.index.empty_scored()
         q = _ast.Or(
             tuple(_ast.Term(fieldname, w, boost=float(wt)) for w, wt in kts)
         )
@@ -699,7 +728,7 @@ class Searcher:
 
     def _compile(self, q: ast.Query, stats) -> DataFrame:
         spark = self.index.spark
-        empty = spark.createDataFrame([], "docid long, score double")
+        empty = self.index.empty_scored()
 
         def boost(df: DataFrame, b: float) -> DataFrame:
             if b == 1.0:
@@ -1039,7 +1068,7 @@ class Searcher:
         models that can't express their score over column stats."""
         ix = self.index
         spark = ix.spark
-        empty = spark.createDataFrame([], "docid long, score double")
+        empty = self.index.empty_scored()
         fieldname = q.fieldname
         if not self._known_field(fieldname):
             return empty  # undeclared field: no terms (TermNotFound)
@@ -1181,7 +1210,7 @@ class Searcher:
         matchers' BM25 scores for matching docs (SpanNear scores via its
         wrapped IntersectionMatcher)."""
         spark = self.index.spark
-        empty = spark.createDataFrame([], "docid long, score double")
+        empty = self.index.empty_scored()
         if not self._known_field(q.fieldname):
             return empty  # undeclared field: no terms (TermNotFound)
         words = list(q.words)

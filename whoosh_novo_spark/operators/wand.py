@@ -28,7 +28,6 @@ introduction (statistics keep counting deletes, like the exact path).
 
 from __future__ import annotations
 
-import heapq
 import math
 
 import numpy as np
@@ -103,13 +102,21 @@ class _TermBlocks:
 
 
 def _bucket_kernel(pdf, params, deleted: np.ndarray | None = None) -> pd.DataFrame:
+    """Candidate introduction with block-max pruning — fully vectorized
+    (r6): no per-doc Python.  Dedup across intro terms uses skip-pointer
+    presence probes instead of a Python ``seen`` set: a doc present in an
+    EARLIER intro term was either already introduced there (its block was
+    decoded) or lives in a skipped block, and a skipped block's docs are
+    provably below theta forever (theta only grows) — so "present in any
+    earlier intro term" is an exact already-handled test.  The top-k heap
+    becomes a sorted (score desc, docid asc) array pair merged per block
+    with one lexsort over <= k + block_limit rows."""
     k = params["k"]
     mode = params["mode"]
     B, K1, avgfl = params["B"], params["K1"], params["avgfl"]
     idf = params["idf"]           # term -> idf
     order = params["order"]       # terms rarest-first
     mq = params["mq"]             # term -> max quality
-    lo, hi = None, None           # bucket range limits come from the rows
 
     tb = {t: _TermBlocks(g) for t, g in pdf.groupby("term") if t in idf}
     order = [t for t in order if t in tb]
@@ -120,10 +127,8 @@ def _bucket_kernel(pdf, params, deleted: np.ndarray | None = None) -> pd.DataFra
 
     lo = int(params["lo"])
     hi = int(params["hi"])
-    seen: set[int] = set()
-    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of top-k
-    out_ids: list[int] = []
-    out_sc: list[float] = []
+    topk_id = np.empty(0, dtype=np.int64)
+    topk_sc = np.empty(0, dtype=np.float64)
     theta = None
 
     intro_terms = order[:1] if mode == "and" else order
@@ -132,17 +137,16 @@ def _bucket_kernel(pdf, params, deleted: np.ndarray | None = None) -> pd.DataFra
         if theta is not None and suffix[i] < theta:
             break
         T = tb[t]
+        earlier = set(intro_terms[:i])
         others = [o for o in order if o != t]
         others_mq = total_mq - mq[t]
-        for b in range(len(T.mins)):
-            if T.maxs[b] < lo or T.mins[b] >= hi:
-                continue
-            bq = _bm25(
-                idf[t], np.array([T.maxw[b]]), np.array([float(T.minlq[b])]), avgfl, B, K1
-            )[0]
-            if theta is not None and bq + others_mq < theta:
+        # per-block quality bounds + bucket overlap, one vectorized pass
+        in_bucket = (T.maxs >= lo) & (T.mins < hi)
+        bqs = _bm25(idf[t], T.maxw, T.minlq.astype(np.float64), avgfl, B, K1)
+        for b in np.flatnonzero(in_bucket):
+            if theta is not None and bqs[b] + others_mq < theta:
                 continue  # block-max skip (strict: preserves ties)
-            ids, w, lq = T.decode(b)
+            ids, w, lq = T.decode(int(b))
             m = (ids >= lo) & (ids < hi)
             if deleted is not None and len(deleted):
                 # tombstoned docs never become candidates; block-max
@@ -154,37 +158,37 @@ def _bucket_kernel(pdf, params, deleted: np.ndarray | None = None) -> pd.DataFra
                 ids, w, lq = ids[m], w[m], lq[m]
             if len(ids) == 0:
                 continue
-            new = np.fromiter(
-                (d not in seen for d in ids), count=len(ids), dtype=bool
-            )
-            if not new.any():
-                continue
-            ids_n, w_n, lq_n = ids[new], w[new], lq[new]
-            seen.update(ids_n.tolist())
-            scores = _bm25(idf[t], w_n, lq_n.astype(np.float64), avgfl, B, K1)
-            nmatch = np.ones(len(ids_n), dtype=np.int64)
+            scores = _bm25(idf[t], w, lq.astype(np.float64), avgfl, B, K1)
+            nmatch = np.ones(len(ids), dtype=np.int64)
+            new = np.ones(len(ids), dtype=bool)
             for t2 in others:
-                w2, lq2 = tb[t2].lookup(ids_n)
+                w2, lq2 = tb[t2].lookup(ids)
                 hit = w2 > 0
+                if t2 in earlier:
+                    new &= ~hit  # already introduced (or provably < theta)
                 if hit.any():
                     scores[hit] += _bm25(
                         idf[t2], w2[hit], lq2[hit].astype(np.float64), avgfl, B, K1
                     )
                     nmatch[hit] += 1
             if mode == "and":
-                keep = nmatch == n_req
-                ids_n, scores = ids_n[keep], scores[keep]
-            for d, s in zip(ids_n.tolist(), scores.tolist()):
-                if len(heap) < k:
-                    heapq.heappush(heap, (s, -d))
-                elif (s, -d) > heap[0]:
-                    heapq.heapreplace(heap, (s, -d))
-            if len(heap) == k:
-                theta = heap[0][0]
+                new &= nmatch == n_req
+            if not new.any():
+                continue
+            ids_n, sc_n = ids[new], scores[new]
+            # vectorized top-k merge: (score desc, docid asc), theta = kth
+            all_id = np.concatenate([topk_id, ids_n])
+            all_sc = np.concatenate([topk_sc, sc_n])
+            if len(all_id) > k:
+                sel = np.lexsort((all_id, -all_sc))[:k]
+                topk_id, topk_sc = all_id[sel], all_sc[sel]
+                theta = topk_sc[-1] if len(topk_sc) == k else theta
+            else:
+                topk_id, topk_sc = all_id, all_sc
+                if len(topk_id) == k:
+                    theta = topk_sc.min()
 
-    out_ids = [-nd for _, nd in heap]
-    out_sc = [s for s, _ in heap]
-    return pd.DataFrame({"docid": out_ids, "score": out_sc})
+    return pd.DataFrame({"docid": topk_id, "score": topk_sc})
 
 
 def search_wand(
