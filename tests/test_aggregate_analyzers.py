@@ -1,7 +1,7 @@
 """r6: tf-aggregated analyzer fast paths == token-stream groupby.
 
 The build's stage-2 analysis for positions-free fields now routes
-standard/stemming/lang_* chains through ``tf_aggregate`` (factorize +
+standard/stemming/lang_* chains through ``_standard_aggregate`` (factorize +
 integer-key unique) instead of a per-token pandas groupby; these gates pin
 (row, term, tf) + doc-length identity against the token-stream chains the
 goldens already verify."""

