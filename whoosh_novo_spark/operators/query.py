@@ -48,6 +48,23 @@ B_DEFAULT = 0.75
 K1_DEFAULT = 1.2
 
 
+def _fresh_dataframe(df: DataFrame) -> DataFrame:
+    """New Dataset over an existing DataFrame's logical plan (~9 ms).
+
+    The prepared-plan caches hand this out instead of the cached object:
+    re-collecting the SAME Dataset reuses its already-materialized
+    shuffle map outputs (Spark keeps them registered for the lifetime of
+    the physical RDDs), which would turn a plan cache into silent
+    intermediate-result caching.  A fresh Dataset gets a fresh physical
+    plan and new shuffle ids, so every execution recomputes from the
+    parquet inputs."""
+    spark = df.sparkSession
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, df._jdf.logicalPlan()
+    )
+    return DataFrame(jdf, spark)
+
+
 @dataclass
 class TermStats:
     df: int
@@ -301,6 +318,9 @@ class Index:
         terms — the broadcast 'term dictionary lookup' of the query."""
         if not pairs:
             return {}
+        local = self._term_stats_local(pairs)
+        if local is not None:
+            return local
         fields = sorted({f for f, _ in pairs})
         texts = sorted({t for _, t in pairs})
         t = self.terms_span(pairs=list(pairs)).where(
@@ -325,6 +345,90 @@ class Index:
                     int(r["df"]), float(r["cf"]), float(r["max_weight"]), int(r["min_len_q"])
                 )
         return out
+
+    def _term_stats_local(
+        self, pairs: list[tuple[str, str]]
+    ) -> dict[tuple[str, str], TermStats] | None:
+        """Driver-side term-dictionary seek (r6): a bounded stats lookup
+        for <= the query's term count keys was a whole Spark job
+        (schedule + scan task + collect, 100-300 ms per COLD term set).
+        The terms table is a few (field, term)-range-sorted parquet
+        files; pyarrow reads just the matching row groups in-process in
+        ~5-15 ms.  Exact same rows as the Spark path: same files, same
+        predicate, integer sums — aggregated in manifest segment order.
+        Returns None (Spark fallback) for non-local storage schemes.
+        Deletes intentionally don't affect stats (whoosh counts deleted
+        docs in df/cf until merge — SURVEY §1.4), same as the Spark
+        path.  Kill switch: WNS_NO_LOCAL_STATS=1."""
+        import os as _os
+
+        if _os.environ.get("WNS_NO_LOCAL_STATS") == "1":
+            return None
+        from urllib.parse import urlparse
+
+        files: list[str] = []
+        try:
+            for p in self.store.table_paths(self.manifest, "terms"):
+                if urlparse(p).scheme not in ("", "file"):
+                    return None
+                d = p[7:] if p.startswith("file://") else p
+                if not _os.path.isdir(d):
+                    return None
+                files.extend(
+                    _os.path.join(d, fn)
+                    for fn in sorted(_os.listdir(d))
+                    if fn.endswith(".parquet")
+                )
+        except Exception:
+            return None
+        if not files:
+            return None
+        # file-level pruning via the cached spans (same manifest bounds
+        # the Spark path prunes with); files without spans are kept
+        ranges = self._file_ranges("terms")
+        if ranges:
+            from whoosh_novo_spark.sources.file_prune import prune_files
+
+            keep = prune_files(ranges, None, pairs=list(pairs))
+            if keep is not None:
+                keepset = {
+                    k[7:] if k.startswith("file://") else k for k in keep
+                }
+                pruned = [f for f in files if f in keepset]
+                if pruned:
+                    files = pruned
+        import pyarrow.parquet as pq
+
+        fields = sorted({f for f, _ in pairs})
+        texts = sorted({t for _, t in pairs})
+        cols = ["field", "term", "df", "cf", "max_weight", "min_len_q"]
+        flt = [("field", "in", fields), ("term", "in", texts)]
+        want = set(pairs)
+        acc: dict[tuple[str, str], list] = {}
+        try:
+            for f in files:
+                t = pq.read_table(f, columns=cols, filters=flt)
+                if t.num_rows == 0:
+                    continue
+                d = t.to_pydict()
+                for fld, trm, df_, cf_, mw, mlq in zip(
+                    d["field"], d["term"], d["df"], d["cf"],
+                    d["max_weight"], d["min_len_q"],
+                ):
+                    k = (fld, trm)
+                    if k not in want:
+                        continue
+                    got = acc.get(k)
+                    if got is None:
+                        acc[k] = [int(df_), float(cf_), float(mw), int(mlq)]
+                    else:  # cross-segment fold (sum/sum/max/min)
+                        got[0] += int(df_)
+                        got[1] += float(cf_)
+                        got[2] = max(got[2], float(mw))
+                        got[3] = min(got[3], int(mlq))
+        except Exception:
+            return None  # unreadable footer/filter edge: Spark fallback
+        return {k: TermStats(*v) for k, v in acc.items()}
 
     def expand_terms_df(self, q: ast.Query) -> DataFrame:
         """Multi-term expansion as a DataFrame over the terms table —
@@ -388,6 +492,8 @@ class Searcher:
         self.K1 = K1
         self.model = weighting if weighting is not None else BM25F(B, K1)
         self._stats_cache: dict[tuple[str, str], TermStats | None] = {}
+        # prepared-plan cache (see Searcher.search): plans only, never rows
+        self._plan_cache: dict[tuple, DataFrame] = {}
         # How Term/flat-compound plans obtain idf stats (measured decision,
         # BENCH/ab_r1_vs_r3*.json):
         # - "cached" (default): one bounded driver lookup per COLD term
@@ -478,13 +584,46 @@ class Searcher:
     # --- public API ----------------------------------------------------
     def search(self, q: ast.Query, limit: int | None = 10) -> DataFrame:
         """Returns (docid, score) top-`limit`, ordered score desc, docid asc.
-        ``limit=None`` == UnlimitedCollector (collectors.py:511-530)."""
+        ``limit=None`` == UnlimitedCollector (collectors.py:511-530).
+
+        Compiled plans are memoized per (normalized query, limit) — the
+        prepared-statement cache every serving engine keeps.  Building a
+        DataFrame plan costs 80-230 ms of driver py4j round-trips
+        (measured r6, ~30-50% of a warm sub-second query); a repeated
+        query reuses the cached LOGICAL plan, re-wrapped into a FRESH
+        Dataset (~9 ms) so each call gets new shuffle/broadcast ids and
+        recomputes everything from parquet.  Results and materialized
+        stages are never reused: returning the same Dataset object would
+        silently resurrect its prior run's shuffle map outputs, which is
+        result caching in disguise.  The plan is safe to reuse because
+        an Index handle is pinned to one committed manifest (segment
+        files are immutable; deletes/merges commit a NEW manifest read
+        by a new Index)."""
         qn = q.normalize()
+        try:
+            key = (qn, limit)
+            hash(key)
+        except TypeError:  # unhashable query payload: fall back to repr
+            key = (repr(qn), limit)
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            try:
+                return _fresh_dataframe(cached)
+            except Exception:  # runtime without classic Dataset internals
+                self._plan_cache.clear()
         scored = self.score_df(qn)
         out = scored.orderBy(F.desc("score"), F.asc("docid"))
         if limit is not None:
             out = out.limit(limit)
-        return out
+        try:
+            fresh = _fresh_dataframe(out)
+        except Exception:
+            return out  # can't guarantee fresh execution: don't cache
+        if len(self._plan_cache) >= 512:  # bounded: drop ~oldest half
+            for k in list(self._plan_cache)[:256]:
+                del self._plan_cache[k]
+        self._plan_cache[key] = out
+        return fresh
 
     def _is_text_field(self, name: str) -> bool:
         try:

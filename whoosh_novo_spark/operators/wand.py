@@ -198,6 +198,42 @@ def search_wand(
     n_buckets: int | None = None,
     multiterm: bool = False,
 ) -> DataFrame:
+    """Plan-cached wrapper over the pruned top-k (see Searcher.search's
+    prepared-plan cache — same contract: plans only, never rows; cache
+    hits hand out a fresh Dataset so shuffle outputs are never reused)."""
+    from whoosh_novo_spark.operators.query import _fresh_dataframe
+
+    try:
+        key = ("wand", q, limit, n_buckets, multiterm)
+        hash(key)
+    except TypeError:
+        key = ("wand", repr(q), limit, n_buckets, multiterm)
+    cache = getattr(searcher, "_plan_cache", None)
+    if cache is not None:
+        got = cache.get(key)
+        if got is not None:
+            try:
+                return _fresh_dataframe(got)
+            except Exception:
+                cache.pop(key, None)
+    out = _search_wand(searcher, q, limit, n_buckets, multiterm)
+    if cache is not None:
+        try:
+            fresh = _fresh_dataframe(out)
+        except Exception:
+            return out
+        cache[key] = out
+        return fresh
+    return out
+
+
+def _search_wand(
+    searcher,
+    q: ast.Query,
+    limit: int = 10,
+    n_buckets: int | None = None,
+    multiterm: bool = False,
+) -> DataFrame:
     """Pruned top-k for flat And/Or-of-Terms queries over the blocks table.
 
     Returns (docid, score) ordered (score desc, docid asc) limit k —
