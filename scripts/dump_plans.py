@@ -118,7 +118,7 @@ def main() -> int:
         "through one Arrow kernel — never an all-postings scan.",
     )
     q = ast.Or([ast.Term("text", "render"), ast.Term("text", "shade"), ast.Term("text", "texture")])
-    p = formatted_plan(search_wand(s, q, limit=10))
+    p = formatted_plan(search_wand(s, q, limit=10, force_kernel=True))
     sec.plan("q_or3_wand", p)
     flat = p.replace(" ", "")
     sec.require("term filter pushed to the blocks scan", "In(term," in flat or "EqualTo(term," in flat)

@@ -109,7 +109,7 @@ def test_wand_pruned_path_matches(spark, fed):
     sg = Searcher(Index(spark, g, CFG))
     sf = Searcher(FederatedIndex(spark, parts, CFG))
     for q in QUERIES[:3]:  # flat shapes only (wand falls back on Phrase)
-        fed_wand = _rows(search_wand(sf, q, limit=10, n_buckets=4))
+        fed_wand = _rows(search_wand(sf, q, limit=10, n_buckets=4, force_kernel=True))
         assert fed_wand == _rows(sg.search(q, limit=10))
         assert fed_wand == _rows(sf.search(q, limit=10))
 
@@ -163,7 +163,7 @@ def test_tombstones_federate(spark, fed, tmp_path_factory):
     assert hits == 0
     # and the pruned path agrees on the tombstoned federation
     q = QUERIES[1]
-    assert _rows(search_wand(sf, q, limit=10, n_buckets=4)) == _rows(
+    assert _rows(search_wand(sf, q, limit=10, n_buckets=4, force_kernel=True)) == _rows(
         sg.search(q, limit=10)
     )
 

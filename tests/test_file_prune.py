@@ -186,8 +186,8 @@ def test_wand_parity_with_pruning(spark, built, monkeypatch):
     ix, s = _searcher(spark, store, config)
     terms = [r["term"] for r in ix.terms().orderBy(F.desc("df")).limit(3).collect()]
     q = ast.Or(tuple(ast.Term("text", t) for t in terms))
-    a = _rows(search_wand(s, q, limit=10, n_buckets=4))
+    a = _rows(search_wand(s, q, limit=10, n_buckets=4, force_kernel=True))
     monkeypatch.setenv("WNS_NO_FILE_PRUNE", "1")
     ix2, s2 = _searcher(spark, store, config)
-    b = _rows(search_wand(s2, q, limit=10, n_buckets=4))
+    b = _rows(search_wand(s2, q, limit=10, n_buckets=4, force_kernel=True))
     assert a == b

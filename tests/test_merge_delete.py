@@ -116,7 +116,7 @@ def test_merge_preserves_results(spark, segmented, oracle_cls):
             assert s1 == pytest.approx(s2, rel=1e-6)
     # WAND path still agrees on the merged single segment
     q = QUERIES[1]
-    pruned = [r["docid"] for r in search_wand(searcher, q, limit=10, n_buckets=5).collect()]
+    pruned = [r["docid"] for r in search_wand(searcher, q, limit=10, n_buckets=5, force_kernel=True).collect()]
     assert pruned == [d for d, _ in _ranks(searcher, q)]
 
 

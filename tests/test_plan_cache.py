@@ -63,9 +63,24 @@ def test_wand_cache_rank_identity(searcher):
         (ast.Term("text", "render"), ast.Term("text", "shade"), ast.Term("text", "texture"))
     )
     exact = _rows(searcher.search(q, limit=10))
-    w1 = _rows(search_wand(searcher, q, limit=10))
-    w2 = _rows(search_wand(searcher, q, limit=10))  # cached plan, fresh run
+    w1 = _rows(search_wand(searcher, q, limit=10, force_kernel=True))
+    w2 = _rows(search_wand(searcher, q, limit=10, force_kernel=True))  # cached
     assert [d for d, _ in w1] == [d for d, _ in exact]
     assert [d for d, _ in w2] == [d for d, _ in exact]
     for (_, s1), (_, s2) in zip(w1, w2):
         assert s1 == s2
+
+
+def test_wand_cost_route_below_cutoff(searcher):
+    """Default routing: a small-corpus disjunction is below the pruned
+    path's break-even posting volume, so search_wand plans the exact
+    aggregation (no Python-kernel nodes) — results identical."""
+    q = ast.Or((ast.Term("text", "render"), ast.Term("text", "shade")))
+    routed = search_wand(searcher, q, limit=10)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert _rows(routed) == _rows(searcher.search(q, limit=10))
+    forced = search_wand(searcher, q, limit=10, force_kernel=True)
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in fplan
+    assert [d for d, _ in _rows(forced)] == [d for d, _ in _rows(routed)]

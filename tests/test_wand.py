@@ -64,7 +64,7 @@ WAND_QUERIES = [
 def test_wand_equals_exact(built, q, k):
     ix, searcher = built
     exact = searcher.search(q, limit=k).collect()
-    pruned = search_wand(searcher, q, limit=k, n_buckets=6).collect()
+    pruned = search_wand(searcher, q, limit=k, n_buckets=6, force_kernel=True).collect()
     assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
     for p, e in zip(pruned, exact):
         assert p["score"] == pytest.approx(e["score"], rel=1e-12)
@@ -76,7 +76,7 @@ def test_wand_many_buckets(built):
     q = ast.Or((ast.Term("text", "w00000"), ast.Term("text", "render")))
     exact = [r["docid"] for r in searcher.search(q, limit=10).collect()]
     for nb in (1, 2, 17, 64):
-        got = [r["docid"] for r in search_wand(searcher, q, limit=10, n_buckets=nb).collect()]
+        got = [r["docid"] for r in search_wand(searcher, q, limit=10, n_buckets=nb, force_kernel=True).collect()]
         assert got == exact, nb
 
 
@@ -147,7 +147,7 @@ def test_wand_equals_exact_with_deletes(spark, built, tmp_path):
     for qq, k in [(q, 10), (ast.And((ast.Term("text", "render"), ast.Term("text", "shade"))), 10),
                   (ast.Term("text", "render"), 15)]:
         exact = searcher.search(qq, limit=k).collect()
-        pruned = search_wand(searcher, qq, limit=k, n_buckets=6).collect()
+        pruned = search_wand(searcher, qq, limit=k, n_buckets=6, force_kernel=True).collect()
         assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
         assert not (set(r["docid"] for r in pruned) & set(victims))
         for p, e in zip(pruned, exact):
@@ -172,7 +172,7 @@ def test_wand_multiterm_equals_exact(built, q, k):
     rank/score-identical to the exact joined-stats path."""
     ix, searcher = built
     exact = searcher.search(q, limit=k).collect()
-    pruned = search_wand(searcher, q, limit=k, n_buckets=6, multiterm=True).collect()
+    pruned = search_wand(searcher, q, limit=k, n_buckets=6, multiterm=True, force_kernel=True).collect()
     assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
     for p, e in zip(pruned, exact):
         assert p["score"] == pytest.approx(e["score"], rel=1e-12)
@@ -189,7 +189,7 @@ def test_wand_multiterm_cap_falls_back_to_exact(built, monkeypatch):
 
     monkeypatch.setattr(ix, "expand_terms", tiny_cap)
     exact = searcher.search(q, limit=10).collect()
-    got = search_wand(searcher, q, limit=10, n_buckets=6, multiterm=True).collect()
+    got = search_wand(searcher, q, limit=10, n_buckets=6, multiterm=True, force_kernel=True).collect()
     assert [r["docid"] for r in got] == [r["docid"] for r in exact]
 
 
@@ -212,7 +212,7 @@ def test_wand_multiterm_with_deletes(spark, tmp_path):
     searcher = Searcher(ix)
     assert ix.manifest.has_tombstones
     exact = searcher.search(q, limit=10).collect()
-    pruned = search_wand(searcher, q, limit=10, n_buckets=6, multiterm=True).collect()
+    pruned = search_wand(searcher, q, limit=10, n_buckets=6, multiterm=True, force_kernel=True).collect()
     assert [r["docid"] for r in pruned] == [r["docid"] for r in exact]
     assert not (set(r["docid"] for r in pruned) & set(victims))
     for p, e in zip(pruned, exact):
@@ -225,5 +225,5 @@ def test_wand_multiterm_default_routes_exact(built):
     ix, searcher = built
     q = ast.Prefix("text", "w0000")
     exact = searcher.search(q, limit=10).collect()
-    got = search_wand(searcher, q, limit=10, n_buckets=6).collect()
+    got = search_wand(searcher, q, limit=10, n_buckets=6, force_kernel=True).collect()
     assert [(r["docid"], r["score"]) for r in got] == [(r["docid"], r["score"]) for r in exact]

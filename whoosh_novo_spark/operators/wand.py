@@ -197,6 +197,7 @@ def search_wand(
     limit: int = 10,
     n_buckets: int | None = None,
     multiterm: bool = False,
+    force_kernel: bool = False,
 ) -> DataFrame:
     """Plan-cached wrapper over the pruned top-k (see Searcher.search's
     prepared-plan cache — same contract: plans only, never rows; cache
@@ -204,10 +205,10 @@ def search_wand(
     from whoosh_novo_spark.operators.query import _fresh_dataframe
 
     try:
-        key = ("wand", q, limit, n_buckets, multiterm)
+        key = ("wand", q, limit, n_buckets, multiterm, force_kernel)
         hash(key)
     except TypeError:
-        key = ("wand", repr(q), limit, n_buckets, multiterm)
+        key = ("wand", repr(q), limit, n_buckets, multiterm, force_kernel)
     cache = getattr(searcher, "_plan_cache", None)
     if cache is not None:
         got = cache.get(key)
@@ -216,7 +217,7 @@ def search_wand(
                 return _fresh_dataframe(got)
             except Exception:
                 cache.pop(key, None)
-    out = _search_wand(searcher, q, limit, n_buckets, multiterm)
+    out = _search_wand(searcher, q, limit, n_buckets, multiterm, force_kernel)
     if cache is not None:
         try:
             fresh = _fresh_dataframe(out)
@@ -233,6 +234,7 @@ def _search_wand(
     limit: int = 10,
     n_buckets: int | None = None,
     multiterm: bool = False,
+    force_kernel: bool = False,
 ) -> DataFrame:
     """Pruned top-k for flat And/Or-of-Terms queries over the blocks table.
 
@@ -316,6 +318,25 @@ def _search_wand(
     present = [t for t in terms if (t.fieldname, t.text) in stats]
     if not present or (mode == "and" and len(present) < len(terms)):
         return spark.createDataFrame([], "docid long, score double")
+
+    # Cost-based route (r6, guide §1.2 "choose the algorithm"): the
+    # bucket kernel pays a fixed ~0.7-0.9 s of plan machinery (blocks
+    # scan + explode + cogroup shuffle + per-bucket Python eval) before
+    # any pruning can help, while the exact JVM aggregation rides
+    # row-group pruning and whole-stage codegen.  Same-window medians at
+    # the 1M-doc index: kernel 0.84-1.4 s vs exact 0.20-0.55 s at every
+    # selectivity (sum_df 41k..2.9M), and the r3 4M probe still had the
+    # kernel behind.  The kernel only wins when the candidate volume is
+    # large enough that skipped blocks dominate its fixed cost, so below
+    # WNS_WAND_EXACT_CUTOFF total postings (default 5M) the planner
+    # chooses the rank-identical exact plan.  force_kernel=True pins the
+    # kernel (tests, plan dumps, calibration runs).
+    if not force_kernel:
+        import os as _os
+
+        cutoff = int(_os.environ.get("WNS_WAND_EXACT_CUTOFF", "5000000"))
+        if sum(stats[(t.fieldname, t.text)].df for t in present) < cutoff:
+            return searcher.search(q, limit=limit)
 
     avgfl = ix.avg_field_length(fieldname)
     B, K1 = searcher.model.field_b(fieldname), searcher.model.K1
