@@ -260,10 +260,18 @@ def main() -> None:
             )
         links = extract_links(docs, url_col=args.id_col)
     if args.anchors:
+        from whoosh_novo_spark.functions.urls import url_normalize
         from whoosh_novo_spark.operators.linkgraph import inlink_anchor_text
 
-        anch = inlink_anchor_text(links).withColumnRenamed("url", args.id_col)
-        docs = docs.join(anch, args.id_col, "left").withColumn(
+        # anchor targets are url_normalize'd by extract_links, but
+        # keep_latest_crawl preserves the survivor's ORIGINAL url bytes —
+        # join on a normalized key so a page whose captured URL differs
+        # from canonical form (trailing slash, tracking params, host
+        # case) still receives its inbound anchor text; the raw id_col
+        # stays untouched for indexing
+        anch = inlink_anchor_text(links).withColumnRenamed("url", "_norm_url")
+        docs = docs.withColumn("_norm_url", url_normalize(F.col(args.id_col)))
+        docs = docs.join(anch, "_norm_url", "left").drop("_norm_url").withColumn(
             "anchor_text", F.coalesce("anchor_text", F.lit(""))
         )
         fields.append(FieldConfig("anchor_text"))
@@ -280,7 +288,10 @@ def main() -> None:
             weight="weight", max_iter=15,
         ).withColumnRenamed("node", "_pr_host")
         docs = docs.withColumn("_pr_host", url_host(F.col(args.id_col)))
-        docs = docs.join(F.broadcast(pr), "_pr_host", "left").withColumn(
+        # no forced broadcast: at the crawl scale this CLI advertises the
+        # host table can exceed broadcast/driver limits (~10^8 hosts on a
+        # full Common Crawl) — let AQE pick broadcast when it fits
+        docs = docs.join(pr, "_pr_host", "left").withColumn(
             "pr", F.coalesce("rank", F.lit(0.0))
         )
         keep.append("pr")

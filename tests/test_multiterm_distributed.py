@@ -40,22 +40,44 @@ def _rows(df):
     return [(r["docid"], round(r["score"], 6)) for r in df.collect()]
 
 
-def test_prefix_plan_is_a_join_not_a_collect(built):
+def test_fat_prefix_plan_is_a_join_not_a_collect(built):
     ix, s = built
-    plan = _physical_plan(s.search(ast.Prefix("text", "s"), limit=10))
-    # both the postings AND terms tables are scanned in ONE plan — the
-    # expansion is a relational join, not a driver round-trip
+    # ~390 "w0*" vocabulary terms expand past the local-expansion cap
+    # (128): the plan must join the postings scan to the
+    # predicate-filtered terms table — no driver round-trip of a fat
+    # expansion, the r1 scale property
+    assert ix.expand_terms_local(ast.Prefix("text", "w0")) is None
+    plan = _physical_plan(s.search(ast.Prefix("text", "w0"), limit=10))
     assert "/terms" in plan and "/postings" in plan
     assert plan.count("Join") >= 1
 
 
+def test_small_prefix_plan_is_a_single_scan(built):
+    ix, s = built
+    # a small expansion (r6) resolves driver-side via the pyarrow lexicon
+    # seek and compiles to ONE postings scan with an IN-list — no terms
+    # scan, no broadcast stage in the per-query plan
+    local = ix.expand_terms_local(ast.Prefix("text", "s"))
+    assert local is not None and 1 < len(local) <= 128
+    plan = _physical_plan(s.search(ast.Prefix("text", "s"), limit=10))
+    assert "/terms" not in plan and "/postings" in plan
+    assert "Join" not in plan
+
+
 def test_prefix_pushdown_reaches_postings_scan(built):
     ix, s = built
-    plan = _physical_plan(s.search(ast.Prefix("text", "re"), limit=10))
-    # the cheap prefix bound is pushed into the postings parquet scan
-    assert "StartsWith(term,re)" in plan.replace(" ", "").replace("'", "") or (
+    # fat expansion (distributed join): the cheap prefix bound is pushed
+    # into the postings parquet scan
+    plan = _physical_plan(s.search(ast.Prefix("text", "w0"), limit=10))
+    assert "StartsWith(term,w0)" in plan.replace(" ", "").replace("'", "") or (
         "PushedFilters" in plan and "StartsWith" in plan
     )
+    # small expansion (local IN-list plan): the exact term list is pushed
+    # (a 1-term expansion simplifies to EqualTo)
+    plan2 = _physical_plan(s.search(ast.Prefix("text", "s"), limit=10)).replace(
+        " ", ""
+    )
+    assert "In(term" in plan2 or "EqualTo(term" in plan2
 
 
 @pytest.mark.parametrize(

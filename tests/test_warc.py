@@ -171,3 +171,30 @@ def test_http_body_chunked_and_gzip():
     assert got["http://c2.example/"] == html
     assert got["http://c3.example/"] == html
     assert got["http://c4.example/"] == b"zz\r\nnot-a-chunk"
+
+
+def test_http_body_truncated_gzip_keeps_raw_bytes():
+    """A truncated gzip body raises EOFError (not OSError) and corrupt
+    deflate data inside the stream raises zlib.error — both routine in
+    real crawls (WARC-Truncated); the documented contract is 'any decode
+    failure returns the bytes as captured', not a failed ingest task."""
+    import gzip as _gz
+
+    from whoosh_novo_spark.sources.warc import parse_warc_bytes
+
+    html = b"<html><body>will be truncated mid-stream</body></html>"
+    gz = _gz.compress(html)
+    trunc = gz[: len(gz) // 2]  # valid header, truncated stream -> EOFError
+    corrupt = gz[:12] + bytes(b ^ 0xFF for b in gz[12:])  # zlib.error
+    http_t = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + trunc
+    )
+    http_c = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + corrupt
+    )
+    data = _record("http://t.example/", http_t) + _record(
+        "http://c.example/", http_c
+    )
+    got = {u: b for u, _, b in parse_warc_bytes(data)}
+    assert got["http://t.example/"] == trunc
+    assert got["http://c.example/"] == corrupt

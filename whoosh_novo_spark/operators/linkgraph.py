@@ -256,18 +256,34 @@ def pagerank(
     else:
         tc = teleport.columns
         tw = F.col(tc[1]).cast("double") if len(tc) > 1 else F.lit(1.0)
-        seeds = teleport.select(F.col(tc[0]).alias("node"), tw.alias("tw"))
-        tot = seeds.agg(F.sum("tw")).collect()[0][0]
-        if not tot:
-            raise ValueError("teleport seeds have zero total weight")
-        tnodes = nodes.join(seeds, "node", "left").select(
-            "node", (F.coalesce(F.col("tw"), F.lit(0.0)) / tot).alias("t")
+        # aggregate duplicate seed rows BEFORE the join (a repeated seed
+        # node would otherwise fan out the join and emit duplicate rank
+        # rows), and normalize over the seeds that intersect the graph's
+        # node set — seeds absent from the edge-derived nodes must not
+        # absorb teleport mass, or ranks no longer sum to 1
+        seeds = (
+            teleport.select(F.col(tc[0]).alias("node"), tw.alias("tw"))
+            .groupBy("node")
+            .agg(F.sum("tw").alias("tw"))
         )
+        on_graph = nodes.join(seeds, "node", "left").select(
+            "node", F.coalesce(F.col("tw"), F.lit(0.0)).alias("tw")
+        )
+        tot = on_graph.agg(F.sum("tw")).collect()[0][0]
+        if not tot:
+            raise ValueError(
+                "teleport seeds have zero total weight on the graph's nodes"
+            )
+        tnodes = on_graph.select("node", (F.col("tw") / tot).alias("t"))
     tnodes = tnodes.persist()
     tnodes.count()
 
     ranks = tnodes.select("node", F.col("t").alias("rank")).localCheckpoint()
-    src_nodes = outw.select(F.col("src").alias("node"))
+    # with-out-edge node set from the PERSISTED probs table: deriving it
+    # from outw would re-run the full edge aggregation inside the
+    # dangling-mass anti-join on EVERY iteration (the rank vector is
+    # supposed to be the only moving data per round)
+    src_nodes = probs.select(F.col("src").alias("node")).distinct().persist()
     for _ in range(max_iter):
         # dangling mass rides INSIDE the plan as a broadcast 1-row agg —
         # no separate driver job per iteration (the per-round barrier
@@ -309,6 +325,7 @@ def pagerank(
     probs.unpersist()
     nodes.unpersist()
     tnodes.unpersist()
+    src_nodes.unpersist()
     return ranks
 
 

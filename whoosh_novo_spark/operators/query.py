@@ -430,6 +430,118 @@ class Index:
             return None  # unreadable footer/filter edge: Spark fallback
         return {k: TermStats(*v) for k, v in acc.items()}
 
+    def expand_terms_local(
+        self, q: ast.Query, cap: int = 128
+    ) -> list[tuple[str, TermStats]] | None:
+        """Driver-side bounded expansion for Prefix/TermRange (r6): the
+        lexicon slice is read in-process with pyarrow (the same local
+        seek as _term_stats_local) so a SMALL expansion can compile to
+        the literal-factor single-scan plan — no expansion subquery, no
+        broadcast stage, no count job.  Returns [(term, stats)] sorted
+        by term, or None when not applicable (other query types,
+        non-local storage, or more than ``cap`` expanded terms — the
+        distributed join IS the right plan for fat expansions).
+
+        Only Prefix/TermRange qualify because their membership predicate
+        has an exact Python twin (startswith / code-point range compare
+        == Spark's UTF8 binary compare); Wildcard/Regex/Fuzzy use Spark
+        expression semantics (Java regex, levenshtein) that must stay
+        in-plan to stay identical."""
+        import os as _os
+
+        if _os.environ.get("WNS_NO_LOCAL_STATS") == "1":
+            return None
+        if isinstance(q, ast.Prefix):
+            pred = lambda t: t.startswith(q.text)  # noqa: E731
+        elif isinstance(q, ast.TermRange):
+            def pred(t, _q=q):
+                if _q.start is not None:
+                    if _q.startexcl:
+                        if not (t > _q.start):
+                            return False
+                    elif not (t >= _q.start):
+                        return False
+                if _q.end is not None:
+                    if _q.endexcl:
+                        if not (t < _q.end):
+                            return False
+                    elif not (t <= _q.end):
+                        return False
+                return True
+        else:
+            return None
+        from urllib.parse import urlparse
+
+        files: list[str] = []
+        try:
+            for p in self.store.table_paths(self.manifest, "terms"):
+                if urlparse(p).scheme not in ("", "file"):
+                    return None
+                d = p[7:] if p.startswith("file://") else p
+                if not _os.path.isdir(d):
+                    return None
+                files.extend(
+                    _os.path.join(d, fn)
+                    for fn in sorted(_os.listdir(d))
+                    if fn.endswith(".parquet")
+                )
+        except Exception:
+            return None
+        if not files:
+            return None
+        b_lo, b_hi = _multiterm_file_bounds(q)
+        ranges = self._file_ranges("terms")
+        if ranges:
+            from whoosh_novo_spark.sources.file_prune import prune_files
+
+            keep = prune_files(ranges, q.fieldname, lo=b_lo, hi=b_hi)
+            if keep is not None:
+                keepset = {
+                    k[7:] if k.startswith("file://") else k for k in keep
+                }
+                pruned = [f for f in files if f in keepset]
+                if pruned:
+                    files = pruned
+        import pyarrow.parquet as pq
+
+        flt = [("field", "==", q.fieldname)]
+        if isinstance(q, ast.Prefix):
+            flt.append(("term", ">=", q.text))
+            if b_hi is not None:
+                flt.append(("term", "<", b_hi))
+        else:  # TermRange: honor the inclusive/exclusive flags exactly
+            if q.start is not None:
+                flt.append(("term", ">" if q.startexcl else ">=", q.start))
+            if q.end is not None:
+                flt.append(("term", "<" if q.endexcl else "<=", q.end))
+        cols = ["field", "term", "df", "cf", "max_weight", "min_len_q"]
+        acc: dict[str, list] = {}
+        try:
+            for f in files:
+                t = pq.read_table(f, columns=cols, filters=flt)
+                if t.num_rows == 0:
+                    continue
+                d = t.to_pydict()
+                for fld, trm, df_, cf_, mw, mlq in zip(
+                    d["field"], d["term"], d["df"], d["cf"],
+                    d["max_weight"], d["min_len_q"],
+                ):
+                    if fld != q.fieldname or not pred(trm):
+                        continue
+                    got = acc.get(trm)
+                    if got is None:
+                        if len(acc) >= cap:
+                            return None  # fat expansion: distributed plan
+                        acc[trm] = [int(df_), float(cf_), float(mw), int(mlq)]
+                    else:
+                        got[0] += int(df_)
+                        got[1] += float(cf_)
+                        got[2] = max(got[2], float(mw))
+                        got[3] = min(got[3], int(mlq))
+        except Exception:
+            return None
+        return [(t, TermStats(*acc[t])) for t in sorted(acc)]
+
     def expand_terms_df(self, q: ast.Query) -> DataFrame:
         """Multi-term expansion as a DataFrame over the terms table —
         (term, df, cf, max_weight, min_len_q), stats aggregated across
@@ -1225,6 +1337,16 @@ class Searcher:
         if not self._known_field(fieldname):
             return empty  # undeclared field: no terms (TermNotFound)
 
+        # small Prefix/TermRange expansions compile to the literal-factor
+        # single-scan plan (the Variations shape): the lexicon slice is a
+        # ~10 ms driver-side pyarrow seek, which replaces the expansion
+        # subquery + broadcast stage (and the constantscore count job)
+        # with an IN-list pushed into the postings scan.  Fat expansions
+        # (> cap) keep the distributed join below.
+        local = self.index.expand_terms_local(q)
+        if local is not None:
+            return self._compile_multiterm_local(q, local)
+
         tdf = ix.expand_terms_df(q)
         b_lo, b_hi = _multiterm_file_bounds(q)
         p = ix.postings_span(fieldname, lo=b_lo, hi=b_hi).where(
@@ -1278,6 +1400,45 @@ class Searcher:
             joined = p.join(tdf, "term")
         agg = (
             joined.select("docid", score.alias("score"))
+            .groupBy("docid")
+            .agg(F.sum("score").alias("score"))
+        )
+        if q.boost != 1.0:
+            agg = agg.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        return agg
+
+    def _compile_multiterm_local(
+        self, q, entries: list[tuple[str, TermStats]]
+    ) -> DataFrame:
+        """Literal-factor plan for a driver-expanded multiterm query —
+        same scores as the joined plan (the factor is the same model
+        factor, baked as a literal like the cached-stats Term path), same
+        membership (the IN-list IS the expansion)."""
+        ix = self.index
+        fieldname = q.fieldname
+        if not entries:
+            return ix.empty_scored()
+        texts = [t for t, _ in entries]
+        p = ix.postings_span(fieldname, terms=texts).where(
+            (F.col("field") == fieldname) & F.col("term").isin(texts)
+        )
+        if getattr(q, "constantscore", False) and len(entries) > 1:
+            # terms.py:230-239: >1 expansion with constantscore -> every
+            # matching doc scores `boost`; the expansion count is known
+            # driver-side here (no bounded count job needed)
+            return (
+                p.select("docid")
+                .distinct()
+                .select("docid", F.lit(float(q.boost)).alias("score"))
+            )
+        if not ix.config.field(fieldname).scorable:
+            score = F.col("weight")  # WeightScorer (scoring.py:301-303)
+        else:
+            score = self._terms_score_col(
+                fieldname, [(t, st, 1.0) for t, st in entries]
+            )
+        agg = (
+            p.select("docid", score.alias("score"))
             .groupBy("docid")
             .agg(F.sum("score").alias("score"))
         )

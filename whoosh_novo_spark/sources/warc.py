@@ -108,9 +108,16 @@ def _http_body(payload: bytes) -> bytes:
             pass
     enc = h.get("content-encoding", "").lower()
     if "gzip" in enc:
+        import zlib
+
         try:
             body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # a TRUNCATED gzip body raises EOFError and corrupt deflate
+            # data inside the stream raises zlib.error — neither
+            # subclasses OSError, and both are routine in real crawls
+            # (WARC-Truncated); honor the 'return bytes as captured'
+            # contract instead of failing the whole ingest task
             pass
     elif "deflate" in enc:
         import zlib
