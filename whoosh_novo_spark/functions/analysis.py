@@ -294,29 +294,148 @@ def ngram_aggregate_batch(
     return out, lens
 
 
+#: RE2 separator class for the Arrow fast tokenizer — the complement of
+#: the ASCII subset of the token charclass [\w\*.] (dots are token chars
+#: only BETWEEN word chars; over-grouped dot runs are fixed in phase 2).
+#: Applied ONLY to rows string_is_ascii proves pure ASCII, where RE2's
+#: byte classes and Python re's \w agree exactly.
+_ASCII_SEP_RX = r"[^0-9A-Za-z_*.]+"
+
+
+def _flatten_codes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_idx, codes, uniq_raw_tokens) for the tf-aggregate path —
+    token-identical to ``_flatten_findall`` + ``pd.factorize`` but
+    without materializing a Python object per token occurrence (r6: the
+    analyze stage is memory-bandwidth-bound; per-token PyUnicode churn
+    was the wall under 32 concurrent workers).
+
+    Pure-ASCII rows take the Arrow path: one RE2 split over the
+    contiguous string buffer, dictionary-encode the rough tokens (C++,
+    ~vocabulary-bound), then Python's own TOKEN_PATTERN re-tokenizes
+    each UNIQUE rough token ("phase 2") to apply the dot rules exactly
+    ("a..b" -> a, b; "a." -> a; "" dropped) — for ASCII the RE2 class
+    above and Python's \\w are the same byte set, so rough tokens can
+    only be over-grouped (dots), never split, and phase 2 restores
+    exact parity.  Rows with any non-ASCII char go through the original
+    per-row findall.  Within-row token order is preserved in both
+    branches; callers aggregate, so cross-branch row order is free."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    filled = texts.fillna("")
+    arr = pa.Array.from_pandas(filled, type=pa.string())
+    m = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    idx_fast = np.flatnonzero(m)
+    idx_slow = np.flatnonzero(~m)
+
+    final_vocab: dict[str, int] = {}
+    rows_parts: list[np.ndarray] = []
+    codes_parts: list[np.ndarray] = []
+
+    if len(idx_fast):
+        sub = arr.take(pa.array(idx_fast)) if len(idx_slow) else arr
+        parts = pc.split_pattern_regex(sub, _ASCII_SEP_RX)
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        row_f = np.repeat(idx_fast, counts)
+        denc = pc.dictionary_encode(pc.list_flatten(parts))
+        rough_codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rough_uniq = denc.dictionary.to_pylist()
+        # phase 2: exact Python tokenization of each UNIQUE rough token
+        exp_ids: list[np.ndarray] = []
+        for u in rough_uniq:
+            toks = TOKEN_PATTERN.findall(u)
+            exp_ids.append(
+                np.array(
+                    [final_vocab.setdefault(t, len(final_vocab)) for t in toks],
+                    dtype=np.int64,
+                )
+            )
+        mult = np.array([len(x) for x in exp_ids], dtype=np.int64)
+        if (mult == 1).all():
+            fid_of = np.array([x[0] for x in exp_ids], dtype=np.int64)
+            rows_parts.append(row_f)
+            codes_parts.append(fid_of[rough_codes])
+        else:
+            rep = mult[rough_codes]
+            starts = np.cumsum(mult) - mult
+            flat_ids = (
+                np.concatenate(exp_ids)
+                if len(exp_ids)
+                else np.array([], dtype=np.int64)
+            )
+            total = int(rep.sum())
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(rep) - rep, rep
+            )
+            rows_parts.append(np.repeat(row_f, rep))
+            codes_parts.append(flat_ids[np.repeat(starts[rough_codes], rep) + offs])
+
+    if len(idx_slow):
+        tok_lists = filled.iloc[idx_slow].str.findall(TOKEN_PATTERN)
+        counts_s = tok_lists.str.len().to_numpy(dtype=np.int64)
+        rows_parts.append(np.repeat(idx_slow, counts_s))
+        if counts_s.sum():
+            flat_s = np.concatenate(
+                [np.asarray(lst, dtype=object) for lst in tok_lists]
+            )
+            scodes, suniq = pd.factorize(pd.Series(flat_s, dtype=object))
+            fid_of_s = np.array(
+                [final_vocab.setdefault(t, len(final_vocab)) for t in suniq],
+                dtype=np.int64,
+            )
+            codes_parts.append(fid_of_s[scodes])
+        else:
+            codes_parts.append(np.array([], dtype=np.int64))
+
+    row_idx = (
+        np.concatenate(rows_parts) if rows_parts else np.array([], dtype=np.int64)
+    )
+    codes = (
+        np.concatenate(codes_parts) if codes_parts else np.array([], dtype=np.int64)
+    )
+    uniq = np.array(list(final_vocab.keys()), dtype=object)
+    return row_idx, codes, uniq
+
+
+def _lower_stop_on_uniques(
+    uniq: np.ndarray,
+    stops: frozenset[str],
+    minsize: int,
+    maxsize: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lowered_uniques, keep_mask) — the unique-vocabulary half of
+    ``_lower_stop_uniques`` for callers that already hold codes."""
+    lu = pd.Series(uniq, dtype=object).str.lower()
+    lens_u = lu.str.len().to_numpy()
+    keep_u = (lens_u >= minsize) & ~lu.isin(stops).to_numpy()
+    if maxsize is not None:
+        keep_u &= lens_u <= maxsize
+    return lu.to_numpy(), keep_u
+
+
 def _standard_aggregate(
     texts: pd.Series,
     stops: frozenset[str] | None = STOP_WORDS,
     minsize: int = MIN_WORD_SIZE,
     stem_fn=None,
 ) -> tuple[pd.DataFrame, np.ndarray]:
-    """tf-aggregated standard chain entirely on integer codes: tokenize ->
-    factorize raw tokens -> lower/stop/stem the UNIQUE vocabulary ->
-    integer-key (row, term) aggregation.  Per-occurrence work is one
-    factorize + fancy-indexed gathers; no per-token string ops."""
-    row_idx, flat, _ord = _flatten_findall(texts)
+    """tf-aggregated standard chain entirely on integer codes: tokenize
+    (Arrow fast path, _flatten_codes) -> lower/stop/stem the UNIQUE
+    vocabulary -> integer-key (row, term) aggregation.  Per-occurrence
+    work is C++ split/dictionary-encode + fancy-indexed gathers; no
+    per-token Python objects or string ops."""
+    row_idx, codes, uniq = _flatten_codes(texts)
     n = len(texts)
     empty = pd.DataFrame(
         {"row": np.array([], dtype=np.int64), "term": [], "tf": []}
     )
-    if len(flat) == 0:
+    if len(codes) == 0:
         return empty, np.zeros(n, dtype=np.int64)
     if stops is None:
-        codes, uniq = pd.factorize(pd.Series(flat, dtype=object))
         proc_u = pd.Series(uniq, dtype=object).str.lower().to_numpy()
         keep_u = np.ones(len(proc_u), dtype=bool)
     else:
-        codes, proc_u, keep_u = _lower_stop_uniques(flat, stops, minsize)
+        proc_u, keep_u = _lower_stop_on_uniques(uniq, stops, minsize)
     if stem_fn is not None:
         proc_u = np.asarray(proc_u, dtype=object).copy()
         proc_u[keep_u] = stem_fn(proc_u[keep_u])
