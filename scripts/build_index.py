@@ -114,6 +114,18 @@ def main() -> None:
 
     import os
 
+    # phase tracing for the deployment smoke (WNS_CLI_TRACE=1): stderr
+    # timestamps around each pipeline phase, used to attribute the CLI's
+    # fixed costs (the pipeline is lazy, so wall time lands on actions)
+    _trace_t = [time.time()]
+
+    def _trace(name: str) -> None:
+        if os.environ.get("WNS_CLI_TRACE") != "1":
+            return
+        t = time.time()
+        print(f"[trace] {name}: +{t - _trace_t[0]:.1f}s", file=sys.stderr, flush=True)
+        _trace_t[0] = t
+
     from pyspark.sql import SparkSession
 
     # Under spark-submit these configs come from the submit command and
@@ -121,6 +133,7 @@ def main() -> None:
     # script is run bare (local smoke), Spark's defaults (1g driver heap,
     # 200 shuffle partitions x local[ALL] threads) OOM on iterative work
     # like --pagerank-prior — size them to the machine instead.
+    _trace("argparse+imports")
     spark = (
         SparkSession.builder.appName("wns-build")
         .config("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
@@ -179,6 +192,7 @@ def main() -> None:
         ap.error("--input and --index are required unless --federate is given")
     if args.from_warc and (args.iceberg or args.from_html):
         ap.error("--from-warc already yields extracted text; it excludes --iceberg/--from-html")
+    _trace("session up")
     store = SegmentStore(args.index)
     if args.from_warc:
         from whoosh_novo_spark.sources.warc import read_warc, warc_to_corpus
@@ -223,7 +237,18 @@ def main() -> None:
             docs = keep_latest_crawl(docs, url_col=args.id_col)
     if args.lang_routed and "lang" not in docs.columns:
         ap.error("--lang-routed needs a lang column (e.g. --from-warc)")
+    # Multiple downstream ACTIONS consume the cleaned corpus (report
+    # stats, link extraction, PageRank, the build's docid stage): persist
+    # it once so the ingest lineage (WARC parse -> recrawl dedup window)
+    # is not re-executed per action.  MEMORY_AND_DISK spills on big
+    # corpora — the standard 'materialize the cleaned corpus' shape; a
+    # single-action run (plain build) skips the persist.
+    _docs_pinned = None
+    if args.report or args.pagerank_prior or args.anchors:
+        docs = docs.persist()
+        _docs_pinned = docs
     if args.report:
+        _trace("lineage built (pre-report)")
         from whoosh_novo_spark.operators.report import corpus_report
 
         print(json.dumps(corpus_report(
@@ -232,6 +257,7 @@ def main() -> None:
             lang_col="lang" if "lang" in docs.columns else None,
             url_col=args.id_col,
         )))
+        _trace("report")
     fields = [
         FieldConfig(
             args.text_col, positions=args.positions, lang_routed=args.lang_routed
@@ -283,6 +309,7 @@ def main() -> None:
         from whoosh_novo_spark.functions.urls import url_host
         from whoosh_novo_spark.operators.linkgraph import host_graph, pagerank
 
+        _trace("pre-pagerank")
         pr = pagerank(
             host_graph(links), src="src_host", dst="dst_host",
             weight="weight", max_iter=15,
@@ -298,8 +325,12 @@ def main() -> None:
         stored = ("pr",)
     cfg = IndexConfig(id_col=args.id_col, fields=tuple(fields), stored_cols=stored)
     docs = docs.select(*keep)
+    _trace("pagerank+joins")
     t0 = time.time()
     m = build_segment(spark, docs, cfg, store, partitions=args.partitions)
+    _trace("build_segment")
+    if _docs_pinned is not None:
+        _docs_pinned.unpersist()
     out = {
         "generation": m.generation,
         "segments": len(m.segments),

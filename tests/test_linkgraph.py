@@ -601,3 +601,37 @@ def test_pagerank_random_graph_sweep(spark, seed):
     for v in present:
         assert got[f"n{v}"] == pytest.approx(want[idx[v]], abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+@pytest.mark.parametrize("seeded", [False, True])
+def test_pagerank_local_fast_path_matches_distributed(spark, monkeypatch, seeded):
+    """The r6 small-graph driver fast path must agree with the
+    distributed iteration at 1e-9 (same update rule, teleport handling
+    and early stop) — the env cap forces the distributed loop."""
+    rng = __import__("random").Random(7)
+    n = 14
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(40)
+    ]
+    edges = [(i, j) for i, j in edges if i != j] or [(0, 1)]
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i, j in edges], "src string, dst string"
+    )
+    seeds = (
+        spark.createDataFrame([("n0", 2.0), ("n1", 1.0)], "node string, w double")
+        if seeded
+        else None
+    )
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=10, tol=1e-8, teleport=seeds).collect()
+    }
+    monkeypatch.setenv("WNS_PAGERANK_LOCAL_MAX_NODES", "0")
+    slow = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=10, tol=1e-8, teleport=seeds).collect()
+    }
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert fast[k] == pytest.approx(slow[k], abs=1e-9)
