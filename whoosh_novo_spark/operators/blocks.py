@@ -188,6 +188,90 @@ def build_blocks_from_path(
     return paths.mapInPandas(fold_files, BLOCKS_SCHEMA)
 
 
+def fold_blocks_local(
+    postings_path: str,
+    out_path: str,
+    block_limit: int = 128,
+    max_bytes: int = 64 * 1024 * 1024,
+) -> bool:
+    """Driver-side block fold for SMALL local postings tables (r6): a
+    tiny build was paying a scheduled Spark job (createDataFrame +
+    Python-worker spin-up + distributed write, ~1.5-2 s) to fold a few
+    MB of postings.  Folds every file in-process with the same
+    _fold_file kernel and writes one parquet file with the exact
+    mapInPandas output schema.  Returns False (caller uses the
+    distributed route) for non-local schemes or tables over
+    ``max_bytes``."""
+    import os
+    import shutil
+
+    from urllib.parse import urlparse
+
+    if urlparse(postings_path).scheme not in ("", "file"):
+        return False
+    local = postings_path[7:] if postings_path.startswith("file://") else postings_path
+    if not os.path.isdir(local):
+        return False
+    files, total = [], 0
+    for fn in sorted(os.listdir(local)):
+        if fn.endswith(".parquet"):
+            p = os.path.join(local, fn)
+            total += os.path.getsize(p)
+            files.append(p)
+    if not files or total > max_bytes:
+        return False
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parts = [
+        out for out in (_fold_file(p, block_limit) for p in files) if len(out)
+    ]
+    pdf = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(
+            {
+                "field": pd.Series(dtype=object),
+                "term": pd.Series(dtype=object),
+                "block_no": pd.Series(dtype=np.int32),
+                "n": pd.Series(dtype=np.int32),
+                "min_docid": pd.Series(dtype=np.int64),
+                "max_docid": pd.Series(dtype=np.int64),
+                "max_weight": pd.Series(dtype=np.float64),
+                "min_len_q": pd.Series(dtype=np.int64),
+                "ids": pd.Series(dtype=object),
+                "weights": pd.Series(dtype=object),
+                "lens": pd.Series(dtype=object),
+            }
+        )
+    )
+    schema = pa.schema(
+        [
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("block_no", pa.int32()),
+            ("n", pa.int32()),
+            ("min_docid", pa.int64()),
+            ("max_docid", pa.int64()),
+            ("max_weight", pa.float64()),
+            ("min_len_q", pa.int32()),
+            ("ids", pa.binary()),
+            ("weights", pa.binary()),
+            ("lens", pa.binary()),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    out_local = out_path[7:] if out_path.startswith("file://") else out_path
+    tmp = out_local + "._local_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"), compression="zstd")
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    shutil.rmtree(out_local, ignore_errors=True)
+    os.replace(tmp, out_local)
+    return True
+
+
 def _fold_file(path: str, block_limit: int) -> pd.DataFrame:
     """Fold one sorted postings parquet file into block rows (pyarrow
     native read; only per-block values materialize as Python objects)."""

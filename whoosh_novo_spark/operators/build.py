@@ -529,6 +529,45 @@ def _term_spans(path: str) -> dict:
     return ranges_to_json(ranges or [])
 
 
+def _doclens_totals_local(path: str, max_bytes: int = 256 * 1024 * 1024) -> dict | None:
+    """Per-field exact length totals straight from the doclens parquet
+    (integer sums, driver-side) — None when the dir is non-local or
+    bigger than ``max_bytes`` (the Spark aggregate takes over)."""
+    import os
+
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme not in ("", "file"):
+        return None
+    local = path[7:] if path.startswith("file://") else path
+    if not os.path.isdir(local):
+        return None
+    files, total = [], 0
+    for fn in sorted(os.listdir(local)):
+        if fn.endswith(".parquet"):
+            p = os.path.join(local, fn)
+            total += os.path.getsize(p)
+            files.append(p)
+    if not files or total > max_bytes:
+        return None
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    try:
+        for f in files:
+            g = (
+                pq.read_table(f, columns=["field", "len"])
+                .group_by("field")
+                .aggregate([("len", "sum")])
+            )
+            d = g.to_pydict()
+            for fld, ln in zip(d["field"], d["len_sum"]):
+                out[fld] = out.get(fld, 0) + int(ln)
+    except Exception:
+        return None
+    return out
+
+
 def parquet_file_rows(path: str) -> dict[str, int]:
     """Per-file row counts straight from parquet footers (no Spark job) —
     the per-partition lineage record for each build stage."""
@@ -759,15 +798,18 @@ def _build_segment_locked(
         doclens.write.mode("overwrite").parquet(store.table_path(segment_id, "doclens"))
         # exact field-length totals from the doclens AGGREGATE we just
         # wrote (sum over docs of len == sum of true post-filter lengths,
-        # an integer identity) — replaces a second full scan of the raw
-        # postings for a one-file read of the tiny doclens table
-        totals = {
-            r["field"]: r["total"]
-            for r in spark.read.parquet(store.table_path(segment_id, "doclens"))
-            .groupBy("field")
-            .agg(F.sum("len").alias("total"))
-            .collect()
-        }
+        # an integer identity) — read driver-side with pyarrow when the
+        # table is small and local (saves a scheduled job per build);
+        # Spark agg otherwise
+        totals = _doclens_totals_local(store.table_path(segment_id, "doclens"))
+        if totals is None:
+            totals = {
+                r["field"]: r["total"]
+                for r in spark.read.parquet(store.table_path(segment_id, "doclens"))
+                .groupBy("field")
+                .agg(F.sum("len").alias("total"))
+                .collect()
+            }
         store.write_stage_marker(
             segment_id,
             "doclens",
@@ -888,12 +930,20 @@ def _build_segment_locked(
     # stage 4c: posting blocks (skip pointers + block-max metadata,
     # whoosh3.py:806-824) for the WAND kernel
     if store.read_stage_marker(segment_id, "blocks") is None:
-        from whoosh_novo_spark.operators.blocks import build_blocks_from_path
+        from whoosh_novo_spark.operators.blocks import (
+            build_blocks_from_path,
+            fold_blocks_local,
+        )
 
         t_b = time.time()
-        build_blocks_from_path(
-            spark, store.table_path(segment_id, "postings"), config.block_limit
-        ).write.mode("overwrite").parquet(store.table_path(segment_id, "blocks"))
+        if not fold_blocks_local(
+            store.table_path(segment_id, "postings"),
+            store.table_path(segment_id, "blocks"),
+            config.block_limit,
+        ):
+            build_blocks_from_path(
+                spark, store.table_path(segment_id, "postings"), config.block_limit
+            ).write.mode("overwrite").parquet(store.table_path(segment_id, "blocks"))
         store.write_stage_marker(
             segment_id,
             "blocks",
