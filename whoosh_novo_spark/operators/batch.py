@@ -132,9 +132,17 @@ def search_batch(
         qt = spark.createDataFrame(
             qt_rows, "qno int, field string, term string, factor double"
         )
-        qmeta = spark.createDataFrame(
-            qmeta_rows, "qno int, qtype string, n_terms int, present int"
-        )
+        # per-query metadata (qtype / required-term count / string qid):
+        # for small batches these ride as literal MAPs on the aggregate
+        # instead of two broadcast joins + two createDataFrame round
+        # trips (r6 — measured ~0.3-0.5 s of the cold batch50 plan);
+        # big batches keep the joins so codegen never sees a giant map
+        lit_meta = len(qmeta_rows) <= 256
+        qmeta = None
+        if not lit_meta:
+            qmeta = spark.createDataFrame(
+                qmeta_rows, "qno int, qtype string, n_terms int, present int"
+            )
 
         texts = sorted({t for _, _, t, _ in qt_rows})
         p = ix.postings_span_pairs(
@@ -209,35 +217,62 @@ def search_batch(
             # summation order (<=3 ulp).  Full A/B in
             # BENCH/BASELINE.md §r5.
             scored = scored.repartition("qno")
-        agg = (
-            scored.groupBy("qno", "docid")
-            .agg(
-                F.sum("score").alias("_sum"),
-                F.max("score").alias("_max"),
-                F.count(F.lit(1)).alias("_nc"),
+        grouped = scored.groupBy("qno", "docid").agg(
+            F.sum("score").alias("_sum"),
+            F.max("score").alias("_max"),
+            F.count(F.lit(1)).alias("_nc"),
+        )
+        if lit_meta:
+            m_type = F.create_map(
+                *[F.lit(x) for qno, qtype, _n, _p in qmeta_rows for x in (qno, qtype)]
             )
-            .join(F.broadcast(qmeta), "qno")
-            .where((F.col("qtype") != "and") | (F.col("_nc") == F.col("n_terms")))
-        )
-        res = agg.select(
-            "qno",
-            "docid",
-            F.when(F.col("qtype") == "dismax", F.col("_max"))
-            .otherwise(F.col("_sum"))
-            .alias("score"),
-        )
+            m_n = F.create_map(
+                *[F.lit(x) for qno, _qt, n, _p in qmeta_rows for x in (qno, n)]
+            )
+            agg = grouped.where(
+                (m_type[F.col("qno")] != "and")
+                | (F.col("_nc") == m_n[F.col("qno")])
+            )
+            res = agg.select(
+                "qno",
+                "docid",
+                F.when(m_type[F.col("qno")] == "dismax", F.col("_max"))
+                .otherwise(F.col("_sum"))
+                .alias("score"),
+            )
+        else:
+            agg = grouped.join(F.broadcast(qmeta), "qno").where(
+                (F.col("qtype") != "and") | (F.col("_nc") == F.col("n_terms"))
+            )
+            res = agg.select(
+                "qno",
+                "docid",
+                F.when(F.col("qtype") == "dismax", F.col("_max"))
+                .otherwise(F.col("_sum"))
+                .alias("score"),
+            )
         w_ = Window.partitionBy("qno").orderBy(F.desc("score"), F.asc("docid"))
         topk = res.withColumn("rank", F.row_number().over(w_)).where(
             F.col("rank") <= limit
         )
-        names = spark.createDataFrame(
-            [(n, q) for q, n in qno_of.items()], "qno int, qid string"
-        )
-        parts.append(
-            topk.join(F.broadcast(names), "qno").select(
-                "qid", "docid", "score", "rank"
+        if lit_meta:
+            m_qid = F.create_map(
+                *[F.lit(x) for q, n in qno_of.items() for x in (n, q)]
             )
-        )
+            parts.append(
+                topk.select(
+                    m_qid[F.col("qno")].alias("qid"), "docid", "score", "rank"
+                )
+            )
+        else:
+            names = spark.createDataFrame(
+                [(n, q) for q, n in qno_of.items()], "qno int, qid string"
+            )
+            parts.append(
+                topk.join(F.broadcast(names), "qno").select(
+                    "qid", "docid", "score", "rank"
+                )
+            )
 
     for qid, q in fallback.items():
         r = searcher.search(q, limit=limit)
